@@ -1,0 +1,127 @@
+"""ctypes bindings for the ema_native C++ library.
+
+The library is compiled on first use with g++ (no pip deps); the .so is
+cached next to the source and rebuilt when the source changes.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "ema_native.cpp")
+_SO = os.path.join(_DIR, "libema_native.so")
+
+_lock = threading.Lock()
+_lib = None
+
+
+def _build() -> None:
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+        "-march=native", "-funroll-loops",
+        _SRC, "-o", _SO + ".tmp",
+    ]
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    os.replace(_SO + ".tmp", _SO)
+
+
+def get_lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            _build()
+        lib = ctypes.CDLL(_SO)
+
+        lib.sais_u8.restype = None
+        lib.sais_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64,
+        ]
+
+        lib.align_batch.restype = None
+        lib.align_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+        ]
+        _lib = lib
+        return _lib
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def suffix_array(text: np.ndarray, alphabet_size: int) -> np.ndarray:
+    """Suffix array of a uint8 text (values in [0, alphabet_size))."""
+    text = np.ascontiguousarray(text, dtype=np.uint8)
+    n = text.shape[0]
+    sa = np.empty(n, dtype=np.int64)
+    get_lib().sais_u8(_ptr(text, ctypes.c_uint8), _ptr(sa, ctypes.c_int64),
+                      ctypes.c_int64(n), ctypes.c_int64(alphabet_size))
+    return sa
+
+
+def align_batch(reads: np.ndarray, read_lens: np.ndarray,
+                refs: np.ndarray, ref_lens: np.ndarray,
+                match: int = 1, mismatch: int = 4,
+                gap_open: int = 6, gap_extend: int = 1,
+                clip_penalty: int = 5, max_cigar: int = 64):
+    """Batched affine-gap alignment with traceback.
+
+    reads: [B, m_max] uint8 codes (0-3, 4=N); refs: [B, n_max].
+    Returns dict of per-item arrays: score, pos, qb, qe, nm, n_cigar,
+    cigars [B, max_cigar] (BAM encoding: len<<4|op, op 0=M 1=I 2=D 4=S).
+    """
+    reads = np.ascontiguousarray(reads, dtype=np.uint8)
+    refs = np.ascontiguousarray(refs, dtype=np.uint8)
+    read_lens = np.ascontiguousarray(read_lens, dtype=np.int32)
+    ref_lens = np.ascontiguousarray(ref_lens, dtype=np.int32)
+    B, m_max = reads.shape
+    _, n_max = refs.shape
+    score = np.empty(B, dtype=np.int32)
+    pos = np.empty(B, dtype=np.int32)
+    qb = np.empty(B, dtype=np.int32)
+    qe = np.empty(B, dtype=np.int32)
+    nm = np.empty(B, dtype=np.int32)
+    n_cigar = np.empty(B, dtype=np.int32)
+    cigars = np.zeros((B, max_cigar), dtype=np.uint32)
+    get_lib().align_batch(
+        _ptr(reads, ctypes.c_uint8), _ptr(read_lens, ctypes.c_int32),
+        ctypes.c_int32(m_max),
+        _ptr(refs, ctypes.c_uint8), _ptr(ref_lens, ctypes.c_int32),
+        ctypes.c_int32(n_max),
+        ctypes.c_int32(B),
+        ctypes.c_int32(match), ctypes.c_int32(mismatch),
+        ctypes.c_int32(gap_open), ctypes.c_int32(gap_extend),
+        ctypes.c_int32(clip_penalty),
+        _ptr(score, ctypes.c_int32), _ptr(pos, ctypes.c_int32),
+        _ptr(qb, ctypes.c_int32), _ptr(qe, ctypes.c_int32),
+        _ptr(nm, ctypes.c_int32), _ptr(cigars, ctypes.c_uint32),
+        _ptr(n_cigar, ctypes.c_int32),
+        ctypes.c_int32(max_cigar),
+    )
+    return {
+        "score": score, "pos": pos, "qb": qb, "qe": qe, "nm": nm,
+        "n_cigar": n_cigar, "cigars": cigars,
+    }

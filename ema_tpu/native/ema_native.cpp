@@ -1,0 +1,306 @@
+// ema_native — host-side native kernels for ema_tpu.
+//
+// The reference implementation is all native (C aligner core + C++
+// preprocessor + the BWA library); this library provides the TPU build's
+// host-side native components:
+//
+//   1. sais_u8 / sais_int: SA-IS suffix-array construction (linear time),
+//      used by the index builder (the reference gets its FM-index from
+//      `bwa index`, loaded via bwa_idx_load — bwabridge.c:77-96).
+//   2. align_batch: batched affine-gap alignment with soft-clip-penalized
+//      ends and full traceback -> CIGAR/NM, used for the final
+//      CIGAR-producing pass (the reference calls mem_reg2aln per kept
+//      candidate — align.c:1013, bwabridge.c:301-311).  Candidate *scoring*
+//      runs on TPU; only survivors take this host path.
+//
+// Build: g++ -O3 -shared -fPIC (see build.py).  Exposed via ctypes.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+#include <algorithm>
+
+// ---------------------------------------------------------------------------
+// SA-IS suffix array construction
+// ---------------------------------------------------------------------------
+// Induced-sorting suffix array algorithm (Nong, Zhang & Chan 2009).
+// T is over alphabet [0, K); a virtual sentinel smaller than everything is
+// assumed at T[n] (not stored).  SA gets the n suffix start positions.
+
+namespace {
+
+template <typename I>
+static void get_buckets(const I *T, int64_t n, int64_t K, int64_t *bkt, bool end) {
+    for (int64_t i = 0; i < K; i++) bkt[i] = 0;
+    for (int64_t i = 0; i < n; i++) bkt[T[i]]++;
+    int64_t sum = 0;
+    for (int64_t i = 0; i < K; i++) {
+        sum += bkt[i];
+        bkt[i] = end ? sum : sum - bkt[i];
+    }
+}
+
+// t[i]: suffix type, true = S-type
+template <typename I>
+static void induce_sal(const I *T, int64_t *SA, int64_t n, int64_t K,
+                       int64_t *bkt, const std::vector<bool> &t) {
+    get_buckets(T, n, K, bkt, false);
+    // sentinel suffix: preceding char T[n-1] is L-type
+    if (n > 0) {
+        int64_t j = n - 1;
+        if (!t[j]) SA[bkt[T[j]]++] = j;
+    }
+    for (int64_t i = 0; i < n; i++) {
+        int64_t j = SA[i] - 1;
+        if (SA[i] > 0 && !t[j]) SA[bkt[T[j]]++] = j;
+    }
+}
+
+template <typename I>
+static void induce_sas(const I *T, int64_t *SA, int64_t n, int64_t K,
+                       int64_t *bkt, const std::vector<bool> &t) {
+    get_buckets(T, n, K, bkt, true);
+    for (int64_t i = n - 1; i >= 0; i--) {
+        int64_t j = SA[i] - 1;
+        if (SA[i] > 0 && t[j]) SA[--bkt[T[j]]] = j;
+    }
+}
+
+template <typename I>
+static void sais_core(const I *T, int64_t *SA, int64_t n, int64_t K) {
+    if (n == 0) return;
+    if (n == 1) { SA[0] = 0; return; }
+
+    std::vector<bool> t(n);
+    t[n - 1] = false;  // last real char: L-type (followed by smaller sentinel)
+    for (int64_t i = n - 2; i >= 0; i--)
+        t[i] = (T[i] < T[i + 1]) || (T[i] == T[i + 1] && t[i + 1]);
+
+    auto is_lms = [&](int64_t i) { return i > 0 && t[i] && !t[i - 1]; };
+
+    std::vector<int64_t> bkt(K);
+
+    // step 1: place LMS suffixes, induce-sort
+    std::fill(SA, SA + n, -1);
+    get_buckets(T, n, K, bkt.data(), true);
+    for (int64_t i = 1; i < n; i++)
+        if (is_lms(i)) SA[--bkt[T[i]]] = i;
+    induce_sal(T, SA, n, K, bkt.data(), t);
+    induce_sas(T, SA, n, K, bkt.data(), t);
+
+    // compact sorted LMS positions into the front of SA
+    int64_t n1 = 0;
+    for (int64_t i = 0; i < n; i++)
+        if (is_lms(SA[i])) SA[n1++] = SA[i];
+
+    // name LMS substrings
+    std::fill(SA + n1, SA + n, -1);
+    int64_t name = 0, prev = -1;
+    for (int64_t i = 0; i < n1; i++) {
+        int64_t pos = SA[i];
+        bool diff = false;
+        if (prev < 0) diff = true;
+        else {
+            for (int64_t d = 0;; d++) {
+                if (pos + d == n || prev + d == n) { diff = (pos + d == n) != (prev + d == n); break; }
+                if (T[pos + d] != T[prev + d] || t[pos + d] != t[prev + d]) { diff = true; break; }
+                if (d > 0 && (is_lms(pos + d) || is_lms(prev + d))) {
+                    diff = !(is_lms(pos + d) && is_lms(prev + d));
+                    break;
+                }
+            }
+        }
+        if (diff) { name++; prev = pos; }
+        SA[n1 + pos / 2] = name - 1;
+    }
+    int64_t *s1 = SA + n - n1;
+    for (int64_t i = n - 1, j = n - 1; i >= n1; i--)
+        if (SA[i] >= 0) SA[j--] = SA[i];
+
+    // step 2: sort the reduced problem
+    int64_t *SA1 = SA;
+    if (name < n1) {
+        sais_core<int64_t>(s1, SA1, n1, name);
+    } else {
+        for (int64_t i = 0; i < n1; i++) SA1[s1[i]] = i;
+    }
+
+    // step 3: induce the final SA from sorted LMS suffixes
+    std::vector<int64_t> lms;
+    lms.reserve(n1);
+    for (int64_t i = 1; i < n; i++)
+        if (is_lms(i)) lms.push_back(i);
+    for (int64_t i = 0; i < n1; i++) SA1[i] = lms[SA1[i]];
+
+    std::fill(SA + n1, SA + n, -1);
+    get_buckets(T, n, K, bkt.data(), true);
+    for (int64_t i = n1 - 1; i >= 0; i--) {
+        int64_t j = SA[i];
+        SA[i] = -1;
+        SA[--bkt[T[j]]] = j;
+    }
+    induce_sal(T, SA, n, K, bkt.data(), t);
+    induce_sas(T, SA, n, K, bkt.data(), t);
+}
+
+}  // namespace
+
+// Suffix array of uint8 text (alphabet [0,K)), result int64.
+extern "C" void sais_u8(const uint8_t *T, int64_t *SA, int64_t n, int64_t K) {
+    sais_core<uint8_t>(T, SA, n, K);
+}
+
+// ---------------------------------------------------------------------------
+// Batched affine-gap alignment with clip-penalized ends + traceback
+// ---------------------------------------------------------------------------
+// Semantics (BWA-MEM-like; reference constants via mem_opt_init, see
+// SURVEY.md §2.3): match +ma, mismatch -mb, gap open+ext -(go+ge), extend
+// -ge.  The read may be soft-clipped at either end for a flat `clip`
+// penalty; the reported score includes clip penalties (this reproduces
+// BWA's "extend to end unless local is better by > pen_clip" rule in a
+// single DP).  The reference window is free at both ends (glocal).
+//
+// Reads/refs are 2-bit codes, 4 = N (always scores -1).
+//
+// Outputs per item: score (clip-penalized), pos (window offset of first
+// aligned ref base), qb/qe (aligned read span, 0-based half-open), NM,
+// n_cigar + BAM-encoded cigar (len<<4|op, op: 0=M 1=I 2=D 4=S),
+// where I consumes read, D consumes ref.  Soft clips are included.
+
+namespace {
+
+struct Cell { int32_t h, e, f; };
+
+}  // namespace
+
+extern "C" void align_one(const uint8_t *read, int32_t m, const uint8_t *ref, int32_t n,
+               int32_t ma, int32_t mb, int32_t go, int32_t ge, int32_t clip,
+               int32_t *score_out, int32_t *pos_out, int32_t *qb_out,
+               int32_t *qe_out, int32_t *nm_out, uint32_t *cigar_out,
+               int32_t *n_cigar_out, int32_t max_cigar, uint8_t *tb_buf) {
+    const int32_t NEG = -(1 << 28);
+    // tb flags per cell: bits0-1 H source (0 diag, 1 from D, 2 from I, 3 fresh
+    // start), bit2 D extends D (else opens from H), bit3 I extends I.
+    // Row arrays indexed by j hold the previous row's H and I (vertical gap);
+    // the horizontal gap D is a within-row scalar.
+    std::vector<int32_t> H(n + 1), V(n + 1);
+    // row 0: alignment may start before any ref base; H[0][j] = 0
+    for (int32_t j = 0; j <= n; j++) { H[j] = 0; V[j] = NEG; }
+
+    int32_t best = NEG, best_i = 0, best_j = 0;
+    for (int32_t i = 1; i <= m; i++) {
+        int32_t d = NEG;          // D[i][j-1], horizontal (consumes ref)
+        int32_t h_diag = H[0];    // H[i-1][j-1]
+        // starting the alignment at read position i-1 clips i-1 bases
+        const int32_t start_val = (i == 1) ? 0 : -clip;
+        H[0] = NEG;  // i read bases cannot align to 0 ref bases (no leading I)
+        int32_t h_left = NEG;     // H[i][j-1]
+        uint8_t *tbrow = tb_buf + (int64_t)(i - 1) * n;
+        const uint8_t rb = read[i - 1];
+        for (int32_t j = 1; j <= n; j++) {
+            uint8_t flags = 0;
+            // D: gap in read (consumes ref), within-row recurrence
+            int32_t d_open = h_left - (go + ge);
+            int32_t d_ext = d - ge;
+            d = d_open >= d_ext ? d_open : d_ext;
+            if (d_ext > d_open) flags |= 4;
+            // I: gap in ref (consumes read), from the previous row
+            int32_t v_open = H[j] - (go + ge);  // H[i-1][j]
+            int32_t v_ext = V[j] - ge;
+            int32_t v = v_open >= v_ext ? v_open : v_ext;
+            if (v_ext > v_open) flags |= 8;
+            // H: diagonal (match/mismatch), possibly a fresh (clipped) start
+            const uint8_t cb = ref[j - 1];
+            const int32_t sub = (rb >= 4 || cb >= 4) ? -1 : (rb == cb ? ma : -mb);
+            int32_t diag_from = h_diag >= start_val ? h_diag : start_val;
+            if (start_val > h_diag) flags |= 3;  // fresh start marker
+            int32_t h = diag_from + sub;
+            if (d > h) { h = d; flags = (flags & ~3u) | 1; }
+            if (v > h) { h = v; flags = (flags & ~3u) | 2; }
+            // record
+            h_diag = H[j];
+            H[j] = h;
+            V[j] = v;
+            h_left = h;
+            tbrow[j - 1] = flags;
+            const int32_t end_bonus = (i == m) ? 0 : -clip;
+            if (h + end_bonus > best) { best = h + end_bonus; best_i = i; best_j = j; }
+        }
+    }
+
+    if (best <= 0) {  // no usable alignment
+        *score_out = best; *pos_out = -1; *qb_out = 0; *qe_out = 0;
+        *nm_out = 0; *n_cigar_out = 0;
+        return;
+    }
+
+    // traceback from (best_i, best_j)
+    std::vector<uint32_t> rcig;  // reversed (op, len) runs
+    auto push_op = [&](uint32_t op) {
+        if (!rcig.empty() && (rcig.back() & 0xf) == op) rcig.back() += 16;
+        else rcig.push_back(16 | op);
+    };
+    int32_t i = best_i, j = best_j, nm = 0;
+    int32_t state = 0;  // 0=H, 1=E, 2=F
+    while (i > 0) {
+        uint8_t flags = tb_buf[(int64_t)(i - 1) * n + (j - 1)];
+        if (state == 0) {
+            uint8_t src = flags & 3;
+            if (src == 1) { state = 1; continue; }
+            if (src == 2) { state = 2; continue; }
+            // diagonal step (M)
+            push_op(0);
+            if (read[i - 1] != ref[j - 1] || read[i - 1] >= 4) nm++;
+            i--; j--;
+            if (src == 3) break;  // fresh start: alignment begins here
+            if (i == 0) break;
+            if (j == 0) break;
+        } else if (state == 1) {  // E: D op, consumes ref
+            push_op(2); nm++;
+            state = (flags & 4) ? 1 : 0;
+            j--;
+            if (j == 0) break;
+        } else {  // F: I op, consumes read
+            push_op(1); nm++;
+            state = (flags & 8) ? 2 : 0;
+            i--;
+            if (i == 0) break;
+        }
+    }
+
+    const int32_t qb = i;           // bases 0..i-1 soft-clipped at start
+    const int32_t qe = best_i;      // aligned through best_i-1
+    *score_out = best;
+    *pos_out = j;                   // 0-based window offset of first aligned base
+    *qb_out = qb;
+    *qe_out = qe;
+    *nm_out = nm;
+
+    int32_t nc = 0;
+    if (qb > 0 && nc < max_cigar) cigar_out[nc++] = ((uint32_t)qb << 4) | 4;
+    for (auto it = rcig.rbegin(); it != rcig.rend() && nc < max_cigar; ++it)
+        cigar_out[nc++] = *it;
+    if (qe < m && nc < max_cigar) cigar_out[nc++] = ((uint32_t)(m - qe) << 4) | 4;
+    *n_cigar_out = nc;
+}
+
+// Batched driver.  reads: [B, m_max], lens m_len[B]; refs: [B, n_max],
+// lens n_len[B].  Outputs are [B] (cigars [B, max_cigar]).
+extern "C" void align_batch(const uint8_t *reads, const int32_t *m_len, int32_t m_max,
+                 const uint8_t *refs, const int32_t *n_len, int32_t n_max,
+                 int32_t B,
+                 int32_t ma, int32_t mb, int32_t go, int32_t ge, int32_t clip,
+                 int32_t *score, int32_t *pos, int32_t *qb, int32_t *qe,
+                 int32_t *nm, uint32_t *cigars, int32_t *n_cigar,
+                 int32_t max_cigar) {
+    std::vector<uint8_t> tb((int64_t)m_max * n_max);
+    for (int32_t b = 0; b < B; b++) {
+        align_one(reads + (int64_t)b * m_max, m_len[b],
+                  refs + (int64_t)b * n_max, n_len[b],
+                  ma, mb, go, ge, clip,
+                  score + b, pos + b, qb + b, qe + b, nm + b,
+                  cigars + (int64_t)b * max_cigar, n_cigar + b, max_cigar,
+                  tb.data());
+    }
+}

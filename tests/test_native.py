@@ -1,0 +1,133 @@
+"""Tests for the native C++ library: SA-IS and banded alignment traceback."""
+
+import numpy as np
+import pytest
+
+from ema_tpu import native
+
+
+def brute_suffix_array(text):
+    n = len(text)
+    t = list(text)
+    return np.array(sorted(range(n), key=lambda i: t[i:]), dtype=np.int64)
+
+
+class TestSAIS:
+    @pytest.mark.parametrize("seed,n", [(0, 1), (1, 2), (2, 10), (3, 100), (4, 1000)])
+    def test_matches_bruteforce(self, seed, n):
+        rng = np.random.default_rng(seed)
+        text = rng.integers(0, 4, size=n).astype(np.uint8)
+        sa = native.suffix_array(text, 5)
+        expect = brute_suffix_array(text.tolist())
+        np.testing.assert_array_equal(sa, expect)
+
+    def test_repetitive(self):
+        text = np.array(([0, 1] * 50) + [2] * 30 + ([3, 3, 0] * 20), dtype=np.uint8)
+        sa = native.suffix_array(text, 5)
+        expect = brute_suffix_array(text.tolist())
+        np.testing.assert_array_equal(sa, expect)
+
+    def test_large_random(self):
+        rng = np.random.default_rng(7)
+        text = rng.integers(0, 4, size=200_000).astype(np.uint8)
+        sa = native.suffix_array(text, 5)
+        # spot-check sortedness on a sample of adjacent pairs
+        idx = rng.integers(0, len(text) - 1, size=500)
+        for i in idx:
+            a, b = int(sa[i]), int(sa[i + 1])
+            sl = 50
+            assert text[a:a + sl].tobytes() <= text[b:b + sl].tobytes()
+
+
+def encode(s):
+    lut = {"A": 0, "C": 1, "G": 2, "T": 3, "N": 4}
+    return np.array([lut[c] for c in s], dtype=np.uint8)
+
+
+def run_one(read, ref, **kw):
+    r = encode(read)[None, :]
+    f = encode(ref)[None, :]
+    out = native.align_batch(r, np.array([len(read)]), f, np.array([len(ref)]), **kw)
+    return {k: v[0] for k, v in out.items()}
+
+
+def cigar_str(cigars, n):
+    ops = "MIDSS"
+    return "".join(f"{int(c) >> 4}{ops[int(c) & 0xf]}" for c in cigars[:n])
+
+
+class TestAlign:
+    def test_exact_match(self):
+        out = run_one("ACGTACGTAC", "TTACGTACGTACTT")
+        assert out["score"] == 10
+        assert out["pos"] == 2
+        assert out["qb"] == 0 and out["qe"] == 10
+        assert out["nm"] == 0
+        assert cigar_str(out["cigars"], out["n_cigar"]) == "10M"
+
+    def test_mismatch(self):
+        out = run_one("ACGTACGTAC", "TTACGTCCGTACTT")
+        # one mismatch: 9*1 - 4 = 5 beats clipping around it
+        assert out["score"] == 5
+        assert out["nm"] == 1
+        assert cigar_str(out["cigars"], out["n_cigar"]) == "10M"
+
+    def test_insertion_in_read(self):
+        #        read has an extra G vs the reference
+        out = run_one("ACGTAGGGTACCCC", "TTACGTAGGTACCCCTT")
+        assert "I" in cigar_str(out["cigars"], out["n_cigar"])
+        assert out["nm"] == 1
+
+    def test_deletion_in_read(self):
+        out = run_one("ACGTAGTACCCC", "TTACGTAGGGTACCCCTT")
+        s = cigar_str(out["cigars"], out["n_cigar"])
+        assert "D" in s
+        assert out["nm"] == 2
+
+    def test_clip_preference_keeps_cheap_tail(self):
+        # a single mismatch 2 bases from the end: keeping the tail costs
+        # -4+2 = -2 vs clipping 3 bases costs -5 -> keep the tail (BWA
+        # pen_clip rule)
+        read = "ACGTACGTACGTAGTT"  # last 3: mismatch G->A? construct below
+        ref_m = "ACGTACGTACGTACTTZZ".replace("Z", "A")
+        out = run_one(read, ref_m)
+        s = cigar_str(out["cigars"], out["n_cigar"])
+        assert s == "16M"
+        assert out["nm"] == 1
+
+    def test_clip_applied_for_expensive_tail(self):
+        # 6 trailing read bases completely absent from ref: clip them
+        read = "ACGTACGTACGT" + "CCCCCC"
+        ref = "TTACGTACGTACGTTT"
+        out = run_one(read, ref)
+        s = cigar_str(out["cigars"], out["n_cigar"])
+        assert s.endswith("S")
+        assert out["qe"] == 12
+        # score: 12 matches - 5 clip penalty = 7
+        assert out["score"] == 7
+
+    def test_left_clip(self):
+        read = "GGGGGG" + "ACGTACGTACGT"
+        ref = "TTACGTACGTACGTTT"
+        out = run_one(read, ref)
+        s = cigar_str(out["cigars"], out["n_cigar"])
+        assert s.startswith("6S")
+        assert out["qb"] == 6
+        assert out["pos"] == 2
+
+    def test_batch(self):
+        reads = ["ACGTACGTAC", "TTTTGGGG"]
+        refs = ["AAACGTACGTACAA", "CCTTTTGGGGCC"]
+        m = max(len(r) for r in reads)
+        n = max(len(r) for r in refs)
+        ra = np.zeros((2, m), dtype=np.uint8)
+        fa = np.zeros((2, n), dtype=np.uint8)
+        for i, (rd, rf) in enumerate(zip(reads, refs)):
+            ra[i, :len(rd)] = encode(rd)
+            fa[i, :len(rf)] = encode(rf)
+        out = native.align_batch(
+            ra, np.array([len(r) for r in reads]),
+            fa, np.array([len(r) for r in refs]))
+        assert out["score"][0] == 10
+        assert out["score"][1] == 8
+        assert out["pos"][1] == 2
