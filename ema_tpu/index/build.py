@@ -1,0 +1,242 @@
+"""Reference index construction (host-side, C++ SA-IS + numpy).
+
+The reference consumes a prebuilt BWA index (`bwa index`, loaded through
+bwa_idx_load — reference: src/bwabridge.c:77-96).  Here we build our own:
+
+  - 2-bit text of the concatenated contigs (N bases randomized with a fixed
+    seed, as BWA does during pac construction),
+  - suffix array via the native SA-IS,
+  - BWT with the $-row removed and its position kept as ``primary``
+    (the classic FM-index layout),
+  - occ checkpoint *blocks* laid out for TPU rank queries: one int32 row of
+    12 words per 128 BWT chars — 4 cumulative counts followed by 8 packed
+    2-bit words — so a rank query is a single row gather plus popcounts,
+  - a *value-sampled* suffix array for locate: rows whose SA value is
+    divisible by ``sa_rate`` are marked in a bitmap (with per-word prefix
+    counts) and their values stored compactly.  Because each LF step
+    decrements the SA value by exactly one, a batched locate is a *fixed*
+    ``sa_rate``-step loop — no data-dependent iteration count on device.
+
+The forward strand only is indexed; reverse-strand hits come from searching
+the reverse-complement of the read (the reference's BWA index instead packs
+both strands — a design choice, not a behavior difference).
+
+Positions use int32 throughout (TPU-friendly); total genome length is
+limited to < 2^31 bases (covers every per-chromosome / bacterial config in
+BASELINE.md; whole-GRCh38 support via contig-sharded indexes is tracked for
+a later round).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from ema_tpu import native
+
+OCC_BLOCK = 128          # BWT chars per checkpoint block
+OCC_ROW_WORDS = 12       # 4 counts + 8 packed words
+DEFAULT_SA_RATE = 8
+
+
+@dataclasses.dataclass
+class ReferenceIndex:
+    names: List[str]
+    offsets: np.ndarray       # int64 [n_contigs] start offset in text
+    lengths: np.ndarray       # int64 [n_contigs]
+    text: np.ndarray          # uint8 [n] 2-bit codes (N randomized)
+    n_mask_intervals: np.ndarray  # int64 [k, 2] original-N intervals (global coords)
+    primary: int              # row of the $ in the full BWT
+    counts: np.ndarray        # int64 [5] C array: C[c] = 1 + #chars < c
+    occ_blocks: np.ndarray    # int32 [n_blocks, 12]
+    sa_rate: int
+    sa_mark_words: np.ndarray  # uint32 [ceil((n+1)/32)] bitmap of sampled rows
+    sa_mark_rank: np.ndarray   # int32 same len: marked count before each word
+    sa_values: np.ndarray      # int32 [n_marked] SA values of marked rows
+
+    @property
+    def n(self) -> int:
+        return int(self.text.shape[0])
+
+    @property
+    def n_contigs(self) -> int:
+        return len(self.names)
+
+    def contig_of(self, pos: np.ndarray) -> np.ndarray:
+        """Map global text positions -> contig indices."""
+        return np.searchsorted(self.offsets, np.asarray(pos), side="right") - 1
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            names=np.array(self.names, dtype=object),
+            offsets=self.offsets, lengths=self.lengths, text=self.text,
+            n_mask_intervals=self.n_mask_intervals,
+            primary=np.int64(self.primary), counts=self.counts,
+            occ_blocks=self.occ_blocks, sa_rate=np.int64(self.sa_rate),
+            sa_mark_words=self.sa_mark_words, sa_mark_rank=self.sa_mark_rank,
+            sa_values=self.sa_values)
+
+    @classmethod
+    def load(cls, path: str) -> "ReferenceIndex":
+        z = np.load(path, allow_pickle=True)
+        return cls(
+            names=[str(s) for s in z["names"]],
+            offsets=z["offsets"], lengths=z["lengths"], text=z["text"],
+            n_mask_intervals=z["n_mask_intervals"],
+            primary=int(z["primary"]), counts=z["counts"],
+            occ_blocks=z["occ_blocks"], sa_rate=int(z["sa_rate"]),
+            sa_mark_words=z["sa_mark_words"], sa_mark_rank=z["sa_mark_rank"],
+            sa_values=z["sa_values"])
+
+
+_LUT = np.full(256, 255, dtype=np.uint8)
+for b, c in zip(b"ACGTacgt", [0, 1, 2, 3, 0, 1, 2, 3]):
+    _LUT[b] = c
+
+
+def parse_fasta(path: str) -> Dict[str, np.ndarray]:
+    """Parse FASTA into {name: uint8 codes (0-3, 255 = N/other)}."""
+    seqs: Dict[str, np.ndarray] = {}
+    name = None
+    chunks: List[bytes] = []
+
+    def flush():
+        if name is not None:
+            raw = np.frombuffer(b"".join(chunks), dtype=np.uint8)
+            seqs[name] = _LUT[raw]
+
+    with open(path, "rb") as f:
+        for line in f:
+            line = line.rstrip()
+            if line.startswith(b">"):
+                flush()
+                name = line[1:].split()[0].decode()
+                chunks = []
+            elif line:
+                chunks.append(line)
+    flush()
+    return seqs
+
+
+def build_index(contigs: Dict[str, np.ndarray] | str,
+                sa_rate: int = DEFAULT_SA_RATE,
+                seed: int = 11) -> ReferenceIndex:
+    """Build the FM-index from a FASTA path or {name: uint8 code array}."""
+    if isinstance(contigs, str):
+        contigs = parse_fasta(contigs)
+
+    names = list(contigs.keys())
+    arrs = [np.ascontiguousarray(contigs[k], dtype=np.uint8) for k in names]
+    lengths = np.array([a.shape[0] for a in arrs], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int64)
+    text = np.concatenate(arrs) if arrs else np.zeros(0, np.uint8)
+    n = text.shape[0]
+    if n >= 2**31 - 1:
+        raise ValueError("genome too large for int32 index (>2^31 bases)")
+
+    # randomize ambiguous bases deterministically (BWA does the same when
+    # packing; keeps DP/scoring honest via the recorded N intervals)
+    bad = text > 3
+    n_mask = _intervals_from_mask(bad)
+    if bad.any():
+        rng = np.random.default_rng(seed)
+        text = text.copy()
+        text[bad] = rng.integers(0, 4, size=int(bad.sum()), dtype=np.uint8)
+
+    sa = native.suffix_array(text, 4) if n else np.zeros(0, np.int64)
+
+    # full BWT rows are [$, sa[0], sa[1], ...]; BWT char of row i>0 is
+    # text[sa[i-1]-1], with the $ appearing where sa[i-1] == 0
+    bwt = np.empty(n, dtype=np.uint8)
+    primary = 0
+    if n:
+        prev = sa - 1
+        src = np.where(prev >= 0, prev, 0)
+        bwt_full_tail = text[src]           # char for rows 1..n
+        zero_row = int(np.nonzero(sa == 0)[0][0]) + 1
+        primary = zero_row
+        bwt_row0 = text[n - 1]
+        full = np.concatenate([[bwt_row0], bwt_full_tail])
+        bwt = np.delete(full, primary).astype(np.uint8)
+
+    counts = np.zeros(5, dtype=np.int64)
+    cnt = np.bincount(text, minlength=4)[:4] if n else np.zeros(4, np.int64)
+    counts[0] = 1                      # the $ row
+    for c in range(4):
+        counts[c + 1] = counts[c] + cnt[c]
+
+    occ_blocks = _pack_occ_blocks(bwt)
+
+    # value-sampled SA over full rows 0..n (row 0 is $, SA value n)
+    full_sa = np.empty(n + 1, dtype=np.int64)
+    full_sa[0] = n
+    full_sa[1:] = sa
+    marked = (full_sa % sa_rate) == 0
+    n_words = (n + 1 + 31) // 32
+    rows_marked = np.nonzero(marked)[0]
+    words = np.zeros(n_words, dtype=np.uint32)
+    np.bitwise_or.at(words, rows_marked >> 5,
+                     (np.uint32(1) << (rows_marked & 31).astype(np.uint32)))
+    per_word = np.bincount(rows_marked >> 5, minlength=n_words)
+    mark_rank = np.zeros(n_words, dtype=np.int64)
+    mark_rank[1:] = np.cumsum(per_word)[:-1]
+    sa_values = full_sa[marked].astype(np.int32)
+
+    return ReferenceIndex(
+        names=names, offsets=offsets, lengths=lengths, text=text,
+        n_mask_intervals=n_mask, primary=primary, counts=counts,
+        occ_blocks=occ_blocks, sa_rate=sa_rate,
+        sa_mark_words=words, sa_mark_rank=mark_rank.astype(np.int32),
+        sa_values=sa_values)
+
+
+def _intervals_from_mask(mask: np.ndarray) -> np.ndarray:
+    if not mask.any():
+        return np.zeros((0, 2), dtype=np.int64)
+    d = np.diff(mask.astype(np.int8))
+    starts = np.nonzero(d == 1)[0] + 1
+    ends = np.nonzero(d == -1)[0] + 1
+    if mask[0]:
+        starts = np.concatenate([[0], starts])
+    if mask[-1]:
+        ends = np.concatenate([ends, [mask.shape[0]]])
+    return np.stack([starts, ends], axis=1).astype(np.int64)
+
+
+def _pack_occ_blocks(bwt: np.ndarray) -> np.ndarray:
+    """Pack the BWT into TPU-friendly rank blocks.
+
+    Row layout (int32 x 12): [cntA, cntC, cntG, cntT, w0..w7] where cnt* are
+    cumulative counts before the block and w* hold 128 bases at 2 bits each
+    (base k of the block lives in word k//16, bits 2*(k%16) ..).
+    One extra final block carries the totals so rank(k=n) needs no special
+    case.
+    """
+    n = bwt.shape[0]
+    n_blocks = n // OCC_BLOCK + 1
+    padded = np.zeros(n_blocks * OCC_BLOCK, dtype=np.uint8)
+    padded[:n] = bwt
+
+    onehot = np.zeros((4, padded.shape[0]), dtype=np.int64)
+    for c in range(4):
+        onehot[c] = padded == c
+    if n:   # padding must not count
+        onehot[0, n:] = 0
+
+    per_block = onehot.reshape(4, n_blocks, OCC_BLOCK).sum(axis=2)
+    cum = np.zeros((n_blocks, 4), dtype=np.int64)
+    cum[1:] = np.cumsum(per_block.T[:-1], axis=0)
+
+    # pack 2-bit codes, 16 per uint32, little-endian within the word
+    codes = padded.astype(np.uint32).reshape(n_blocks, 8, 16)
+    shifts = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
+    words = (codes << shifts).sum(axis=2, dtype=np.uint32)
+
+    out = np.empty((n_blocks, OCC_ROW_WORDS), dtype=np.int32)
+    out[:, :4] = cum.astype(np.int32)
+    out[:, 4:] = words.view(np.int32)
+    return out
