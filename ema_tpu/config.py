@@ -125,7 +125,7 @@ class AlignerParams:
     min_seed_len: int = 19      # opt->min_seed_len
     max_occ: int = 3000         # reference override, src/align.c:185
     mapq_coef_len: int = 50     # opt->mapQ_coef_len
-    mapq_coef_fac: float = math.log(50) * 30.0  # opt->mapQ_coef_fac (bwa: log(l)*30)
+    mapq_coef_fac: float = math.log(50)  # opt->mapQ_coef_fac
     mem_mapq_coef: float = 30.0  # MEM_MAPQ_COEF
     # our seeding strategy (TPU batched k-mer/backward-search, not SMEM):
     seed_len: int = 19

@@ -1,0 +1,529 @@
+"""The align pipeline: batched candidate generation + per-barcode EM.
+
+Stage layout (host <-> device choreography; compare the reference call
+stack in SURVEY.md §3.1):
+
+  1. encode + orient reads (host)            [read_fastq_* in the reference]
+  2. seeding: FM backward search + locate    [mem_align1_core seeding, L0]
+     (device, batched over 4P oriented reads)
+  3. chaining (host, vectorized numpy)       [mem_chain]
+  4. SW scoring of all candidate windows     [banded extension]
+     (device, one batched wavefront)
+  5. mate rescue windows + second SW pass    [mem_matesw, bwabridge.c:213-283]
+  6. CIGAR traceback for survivors (C++)     [mem_reg2aln per kept candidate]
+  7. generative rescoring + mapq (host)      [score_alignment, align.c:846-913]
+  8. per-barcode clouds + EM + selection     [find_clouds_and_align core]
+  9. SAM emission (host)                     [print_sam_record]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ema_tpu import config, native
+from ema_tpu.core import groups as groups_mod
+from ema_tpu.core import samout
+from ema_tpu.core import score as score_mod
+from ema_tpu.core.records import RECORD_DTYPE, empty_records
+from ema_tpu.index import fmindex
+from ema_tpu.ops import chaining
+from ema_tpu.ops.sw import sw_score_batch
+
+_BASE_LUT = np.full(256, 4, dtype=np.uint8)
+for _b, _c in zip(b"ACGTacgt", [0, 1, 2, 3, 0, 1, 2, 3]):
+    _BASE_LUT[_b] = _c
+
+WINDOW_PAD = 24          # slack around the chain diagonal for the SW window
+CIGAR_CAP = 16           # max candidates per oriented read taking traceback
+MAX_CIGAR_OPS = 64
+
+
+@dataclasses.dataclass
+class ReadBatch:
+    """P read pairs, host-side."""
+
+    ids: List[str]
+    bc: np.ndarray               # uint64 [P]
+    seqs: List[str]              # [2P], mate-interleaved (2*i + mate)
+    quals: List[str]
+    codes: np.ndarray            # uint8 [2P, L]
+    lens: np.ndarray             # int32 [2P]
+
+    @classmethod
+    def from_pairs(cls, ids, bcs, seq1, qual1, seq2, qual2) -> "ReadBatch":
+        P = len(ids)
+        seqs: List[str] = []
+        quals: List[str] = []
+        for i in range(P):
+            seqs.extend((seq1[i], seq2[i]))
+            quals.extend((qual1[i], qual2[i]))
+        L = max((len(s) for s in seqs), default=1)
+        codes = np.full((2 * P, L), 4, np.uint8)
+        lens = np.zeros(2 * P, np.int32)
+        for r, s in enumerate(seqs):
+            b = np.frombuffer(s.encode(), np.uint8)
+            codes[r, :len(b)] = _BASE_LUT[b]
+            lens[r] = len(b)
+        return cls(list(ids), np.asarray(bcs, np.uint64), seqs, quals,
+                   codes, lens)
+
+
+@dataclasses.dataclass
+class CandidateSet:
+    """Flat candidate arrays over one batch (owner = oriented read index)."""
+
+    owner: np.ndarray            # int64 [N] read index 0..2P-1
+    rev: np.ndarray              # int8 [N]
+    gpos: np.ndarray             # int64 [N] text pos of alignment start
+    chrom: np.ndarray            # int32 [N]
+    pos_local: np.ndarray        # int64 [N] 1-based contig-local position
+    sw: np.ndarray               # int32 [N]
+    qb: np.ndarray               # int32
+    qe: np.ndarray               # int32
+    clip: np.ndarray             # int32
+    nm: np.ndarray               # int32
+    cigars: np.ndarray           # uint32 [N, MAX_CIGAR_OPS]
+    n_cigar: np.ndarray          # int32
+    seedcov: np.ndarray          # int32
+    sub: np.ndarray              # int32 per-candidate: best other sw score
+    sub_n: np.ndarray            # int32
+    frac_rep: np.ndarray         # float32
+    unique: np.ndarray           # bool
+
+
+class Aligner:
+    """Holds the index on device and runs batched alignment."""
+
+    def __init__(self, index, cfg: Optional[config.RunConfig] = None):
+        self.index = index
+        self.cfg = cfg or config.RunConfig()
+        self.fma = fmindex.FMIndexArrays.from_index(index)
+        self._cloud_id = 0
+
+    # ------------------------------------------------------------------
+    # candidate generation
+    # ------------------------------------------------------------------
+
+    def generate_candidates(self, batch: ReadBatch) -> CandidateSet:
+        params = self.cfg.aligner
+        idx = self.index
+        codes, lens = batch.codes, batch.lens
+        n_reads, L = codes.shape
+
+        # orient: rows [0, n_reads) forward, [n_reads, 2n) reverse-complement
+        rc = np.full_like(codes, 4)
+        pos = lens[:, None] - 1 - np.arange(L)[None, :]
+        valid = pos >= 0
+        src = np.take_along_axis(codes, np.maximum(pos, 0), axis=1)
+        rc_vals = np.where(src < 4, 3 - np.minimum(src, 3), 4).astype(np.uint8)
+        np.putmask(rc, valid, rc_vals[valid])
+        oriented = np.concatenate([codes, rc], axis=0)
+        olens = np.concatenate([lens, lens])
+
+        # --- device: seed + locate ------------------------------------
+        s_lo, s_hi, s_qb, s_len, n_seeds = fmindex.seed_reads(
+            self.fma, jnp.asarray(oriented), jnp.asarray(olens),
+            max_seeds=16, min_seed_len=params.seed_len)
+        rows, hvalid = fmindex.expand_seed_hits(
+            s_lo, s_hi, params.max_hits_per_seed)
+        hpos = np.asarray(fmindex.locate(self.fma, rows))
+        hvalid = np.asarray(hvalid)
+
+        # --- host: chain ----------------------------------------------
+        owner, qb, slen, hp = chaining.flatten_seed_hits(
+            hpos, hvalid, np.asarray(s_qb), np.asarray(s_len),
+            np.asarray(n_seeds))
+        read_lens2 = olens.astype(np.int64)
+        cands = chaining.chain_hits(
+            owner, qb, slen, hp, 2 * n_reads, read_lens2, idx.n,
+            band_width=params.band_width, pad=WINDOW_PAD,
+            max_candidates=params.max_candidates_per_read)
+
+        co, ck = np.nonzero(cands.valid)
+        win_lo = cands.win_lo[co, ck]
+        win_len = cands.win_len[co, ck]
+        seedcov = cands.seedcov[co, ck]
+        weight = cands.weight[co, ck]
+
+        # --- device: score all candidate windows -----------------------
+        sw = self._score_windows(oriented, olens, co, win_lo, win_len)
+
+        # --- mate rescue ------------------------------------------------
+        ro, rlo, rlen = self._rescue_windows(
+            n_reads, olens, co, win_lo, sw["score"], params)
+        if ro.shape[0]:
+            rsw = self._score_windows(oriented, olens, ro, rlo, rlen)
+            min_rescue = params.min_seed_len * params.match
+            keep_r = rsw["score"] >= min_rescue
+            co = np.concatenate([co, ro[keep_r]])
+            win_lo = np.concatenate([win_lo, rlo[keep_r]])
+            win_len = np.concatenate([win_len, rlen[keep_r]])
+            seedcov = np.concatenate(
+                [seedcov, (rsw["qe"] - rsw["qb"])[keep_r].astype(np.int32)])
+            weight = np.concatenate(
+                [weight, rsw["score"][keep_r].astype(np.int32)])
+            sw = {k: np.concatenate([sw[k], rsw[k][keep_r]]) for k in sw}
+
+        return self._finalize_candidates(
+            batch, oriented, olens, n_reads, co, win_lo, win_len,
+            seedcov, weight, sw, params)
+
+    def _score_windows(self, oriented, olens, owners, win_lo, win_len):
+        idx = self.index
+        if owners.shape[0] == 0:
+            z = np.zeros(0, np.int32)
+            return {"score": z, "qb": z, "qe": z, "ref_end": z}
+        Wmax = int(win_len.max())
+        wins = idx.text[np.minimum(
+            win_lo[:, None] + np.arange(Wmax)[None, :], idx.n - 1)]
+        reads = oriented[owners]
+        out = sw_score_batch(
+            jnp.asarray(reads), jnp.asarray(olens[owners]),
+            jnp.asarray(wins), jnp.asarray(win_len),
+            match=self.cfg.aligner.match, mismatch=self.cfg.aligner.mismatch,
+            gap_open=self.cfg.aligner.gap_open,
+            gap_extend=self.cfg.aligner.gap_extend,
+            clip=self.cfg.aligner.clip_penalty)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def _rescue_windows(self, n_reads, olens, co, win_lo, sw_score, params):
+        """Mate-rescue windows (reference pes = {-35, 500, 200, 100},
+        FR orientation only — bwabridge.c:213-231)."""
+        ros, rlos, rhis = [], [], []
+        if co.shape[0] == 0:
+            return (np.zeros(0, np.int64),) * 3
+        # best score per oriented read
+        best = np.zeros(2 * n_reads, np.int64)
+        np.maximum.at(best, co, sw_score)
+
+        # candidate anchor ~ window start + pad
+        anchor = win_lo + WINDOW_PAD
+        good = sw_score >= best[co] - params.rescue_score_delta
+        pad2 = WINDOW_PAD
+
+        for i in np.nonzero(good)[0]:
+            r = int(co[i])                      # oriented index
+            fwd = r < n_reads
+            read = r if fwd else r - n_reads
+            pair, mate = divmod(read, 2)
+            mread = pair * 2 + (1 - mate)
+            # FR: mate aligns in the opposite orientation
+            mo = mread + (n_reads if fwd else 0)
+            g = int(anchor[i])
+            lb = int(olens[mread])
+            if fwd:
+                lo = g + params.pes_low - pad2
+                hi = g + params.pes_high + lb + pad2
+            else:
+                g_end = g + int(olens[read])
+                lo = g_end - params.pes_high - lb - pad2
+                hi = g_end - params.pes_low + pad2
+            ros.append(mo)
+            rlos.append(max(lo, 0))
+            rhis.append(min(hi, self.index.n))
+        if not ros:
+            return (np.zeros(0, np.int64),) * 3
+        ro = np.array(ros, np.int64)
+        rlo = np.array(rlos, np.int64)
+        rlen = (np.array(rhis, np.int64) - rlo).astype(np.int32)
+        ok = rlen > params.min_seed_len
+        ro, rlo, rlen = ro[ok], rlo[ok], rlen[ok]
+
+        # dedupe: skip a rescue whose window center already has a candidate
+        # for the same oriented read (within band)
+        existing = {}
+        for i in range(co.shape[0]):
+            existing.setdefault(int(co[i]), []).append(int(win_lo[i]))
+        keep = np.ones(ro.shape[0], bool)
+        for i in range(ro.shape[0]):
+            for w in existing.get(int(ro[i]), ()):  # pragma: no branch
+                if rlo[i] - 600 <= w <= rlo[i] + int(rlen[i]):
+                    keep[i] = False
+                    break
+        # also dedupe identical rescue windows
+        seen = set()
+        for i in range(ro.shape[0]):
+            key = (int(ro[i]), int(rlo[i]) // 64)
+            if key in seen:
+                keep[i] = False
+            seen.add(key)
+        return ro[keep], rlo[keep], rlen[keep]
+
+    def _finalize_candidates(self, batch, oriented, olens, n_reads,
+                             co, win_lo, win_len, seedcov, weight, sw,
+                             params) -> CandidateSet:
+        """Order, filter, traceback, and assemble per-candidate arrays."""
+        idx = self.index
+        L_arr = olens[co] if co.shape[0] else np.zeros(0, np.int32)
+        clip = (L_arr - (sw["qe"] - sw["qb"])).astype(np.int32)
+
+        # order: per oriented read by score desc (reference: mem returns
+        # score-sorted; best_dist comes from the first candidate)
+        ord1 = np.lexsort((win_lo, -sw["score"], co))
+        co, win_lo, win_len = co[ord1], win_lo[ord1], win_len[ord1]
+        seedcov, weight, clip = seedcov[ord1], weight[ord1], clip[ord1]
+        sw = {k: v[ord1] for k, v in sw.items()}
+
+        # drop non-positive scores and heavy clipping (align.c:1015-1017)
+        ok = (sw["score"] > 0) & (clip < L_arr[ord1] // 2)
+        # per-read rank; cap traceback load
+        first = np.ones(co.shape[0], bool)
+        first[1:] = co[1:] != co[:-1]
+        idx_all = np.arange(co.shape[0])
+        rank = idx_all - np.maximum.accumulate(np.where(first, idx_all, 0))
+        ok &= rank < CIGAR_CAP
+        co, win_lo, win_len = co[ok], win_lo[ok], win_len[ok]
+        seedcov, weight, clip = seedcov[ok], weight[ok], clip[ok]
+        sw = {k: v[ok] for k, v in sw.items()}
+
+        if co.shape[0] == 0:
+            return _empty_candidate_set()
+
+        # --- C++ traceback for survivors -------------------------------
+        Wmax = int(win_len.max())
+        wins = idx.text[np.minimum(
+            win_lo[:, None] + np.arange(Wmax)[None, :], idx.n - 1)]
+        nat = native.align_batch(
+            oriented[co], olens[co], wins, win_len,
+            match=params.match, mismatch=params.mismatch,
+            gap_open=params.gap_open, gap_extend=params.gap_extend,
+            clip_penalty=params.clip_penalty, max_cigar=MAX_CIGAR_OPS)
+
+        gpos = win_lo + nat["pos"]
+        nm = nat["nm"].astype(np.int32)
+        dist = nm + clip
+
+        # edit-distance window filter relative to the first candidate
+        # (align.c:1020-1024)
+        first = np.ones(co.shape[0], bool)
+        first[1:] = co[1:] != co[:-1]
+        first_idx = np.maximum.accumulate(
+            np.where(first, np.arange(co.shape[0]), 0))
+        best_dist = dist[first_idx]
+        ok = first | (dist - best_dist <= config.EXTRA_SEARCH_DEPTH)
+        # contig containment: alignment must not cross a contig boundary
+        chrom = idx.contig_of(gpos).astype(np.int32)
+        ref_len = _cigar_ref_len(nat["cigars"], nat["n_cigar"])
+        ends = gpos + ref_len - 1
+        ok &= (chrom == idx.contig_of(np.maximum(ends, gpos))) & (nat["pos"] >= 0)
+
+        co, win_lo = co[ok], win_lo[ok]
+        seedcov, weight, clip = seedcov[ok], weight[ok], clip[ok]
+        sw = {k: v[ok] for k, v in sw.items()}
+        gpos, nm, chrom = gpos[ok], nm[ok], chrom[ok]
+        cigars, n_cigar = nat["cigars"][ok], nat["n_cigar"][ok]
+
+        # uniqueness + sub stats per oriented read.  ``sub`` (the best score
+        # among the read's *other* candidates) feeds the BWA-shaped mapq;
+        # both orientations of one read share the statistics, as in BWA
+        # where alnregs of one read span both strands.
+        N = co.shape[0]
+        phys = np.where(co >= n_reads, co - n_reads, co)
+        n_per = np.bincount(phys, minlength=n_reads)
+        unique = n_per[phys] == 1
+        best_read = np.zeros(n_reads, np.int64)
+        np.maximum.at(best_read, phys, sw["score"])
+        # second-best per physical read: max of scores strictly below the
+        # best slot (mask out one occurrence of the max)
+        second_read = np.zeros(n_reads, np.int64)
+        is_best = sw["score"] == best_read[phys]
+        first_best = np.zeros(N, bool)
+        seen: Dict[int, bool] = {}
+        for i in range(N):
+            if is_best[i] and not seen.get(int(phys[i]), False):
+                seen[int(phys[i])] = True
+                first_best[i] = True
+        np.maximum.at(second_read, phys[~first_best], sw["score"][~first_best])
+        sub = np.where(sw["score"] == best_read[phys],
+                       second_read[phys], best_read[phys])
+        sub_n = np.maximum(n_per[phys] - 2, 0)
+
+        rev = (co >= n_reads).astype(np.int8)
+        pos_local = gpos - idx.offsets[chrom] + 1
+
+        return CandidateSet(
+            owner=np.where(rev == 1, co - n_reads, co).astype(np.int64),
+            rev=rev, gpos=gpos, chrom=chrom, pos_local=pos_local,
+            sw=sw["score"].astype(np.int32),
+            qb=sw["qb"].astype(np.int32), qe=sw["qe"].astype(np.int32),
+            clip=clip.astype(np.int32), nm=nm,
+            cigars=cigars, n_cigar=n_cigar.astype(np.int32),
+            seedcov=seedcov.astype(np.int32),
+            sub=sub.astype(np.int32), sub_n=sub_n.astype(np.int32),
+            frac_rep=np.zeros(N, np.float32),
+            unique=unique)
+
+    # ------------------------------------------------------------------
+    # record assembly + group processing
+    # ------------------------------------------------------------------
+
+    def candidates_to_records(self, batch: ReadBatch, cs: CandidateSet,
+                              pair_offset: int = 0):
+        """CandidateSet -> RECORD_DTYPE array + ident array + cigar pool."""
+        N = cs.owner.shape[0]
+        recs = empty_records(N)
+        pairs = cs.owner // 2
+        mates = cs.owner % 2
+        recs["bc"] = batch.bc[pairs]
+        recs["chrom"] = cs.chrom
+        recs["pos"] = cs.pos_local
+        recs["pair"] = pairs + pair_offset
+        recs["mate"] = mates.astype(np.int8)
+        recs["rev"] = cs.rev
+        score, score_mapq = score_mod.score_alignments(
+            cs.cigars, cs.n_cigar, cs.nm, self.cfg.platform.error_rate)
+        recs["score"] = score
+        recs["score_mapq"] = score_mapq
+        recs["mapq"] = score_mod.approx_mapq(
+            cs.sw.astype(np.int64), cs.sub.astype(np.int64),
+            (cs.qe - cs.qb).astype(np.int64), cs.seedcov.astype(np.int64),
+            cs.sub_n.astype(np.int64), cs.frac_rep.astype(np.float64),
+            self.cfg.aligner)
+        recs["clip"] = cs.clip
+        recs["clip_edit_dist"] = cs.nm + cs.clip
+        recs["edit_dist"] = cs.nm
+        recs["sw_score"] = cs.sw
+        recs["unique"] = cs.unique
+        recs["aln_pos0"] = cs.pos_local - 1
+
+        pool = cs.cigars.reshape(-1)
+        recs["cig_off"] = np.arange(N, dtype=np.int64) * cs.cigars.shape[1]
+        recs["cig_len"] = cs.n_cigar
+
+        idents = np.array([batch.ids[p] for p in pairs], dtype=object)
+        return recs, idents, pool
+
+    def align_batch_to_sam(self, batch: ReadBatch,
+                           pair_offset: int = 0) -> List[str]:
+        """Full pipeline for one batch whose pairs are barcode-grouped.
+
+        Every barcode in the batch must be complete (the caller batches on
+        group boundaries).  Returns SAM lines.
+        """
+        cs = self.generate_candidates(batch)
+        recs, idents, pool = self.candidates_to_records(batch, cs, pair_offset)
+        lines: List[str] = []
+
+        rng = np.random.default_rng(self.cfg.seed)
+        # group by barcode, in batch order
+        order = np.argsort(recs["bc"], kind="stable")
+        recs = recs[order]
+        idents = idents[order]
+        # remap cigar offsets after reorder (pool unchanged)
+        bcs = recs["bc"]
+        boundaries = np.nonzero(np.diff(bcs))[0] + 1
+        starts = np.concatenate([[0], boundaries, [recs.shape[0]]])
+
+        pair_bc: Dict[int, int] = {}
+        for i, b in enumerate(batch.bc):
+            pair_bc.setdefault(int(b), 0)
+            pair_bc[int(b)] += 1
+
+        for s, e in zip(starts[:-1], starts[1:]):
+            if e <= s:
+                continue
+            group = recs[s:e]
+            gid = idents[s:e]
+            n_pairs = pair_bc.get(int(group["bc"][0]), 0)
+            lines.extend(self._process_group(batch, group, gid, pool,
+                                             n_pairs, rng, pair_offset))
+        return lines
+
+    def _process_group(self, batch: ReadBatch, group, gid, pool,
+                       n_pairs: int, rng, pair_offset: int) -> List[str]:
+        res = groups_mod.process_barcode_group(
+            group, gid.astype(str), self.cfg.platform,
+            cloud_id_start=self._cloud_id,
+            apply_opt=self.cfg.apply_density_opt, rng=rng,
+            n_pairs_in_group=n_pairs)
+        R = res.records
+        RI = res.idents
+        self._cloud_id += res.n_clouds
+
+        names = self.index.names
+        rg_id = None
+        if self.cfg.read_group:
+            at = self.cfg.read_group.find("ID:")
+            if at >= 0:
+                rg_id = self.cfg.read_group[at + 3:].split("\t")[0]
+        is_hap = self.cfg.platform.name == "haplotag"
+        bc_len = self.cfg.platform.bc_len or 16
+
+        def cigar_of(i):
+            off = int(R["cig_off"][i])
+            return pool[off:off + int(R["cig_len"][i])]
+
+        def read_of(i):
+            pair = int(R["pair"][i]) - pair_offset
+            mate = int(R["mate"][i])
+            r = pair * 2 + mate
+            return batch.seqs[r], batch.quals[r]
+
+        def alt_of(i):
+            a = int(res.alt_idx[i])
+            if a < 0:
+                return None
+            return {
+                "chrom": names[int(R["chrom"][a])],
+                "pos": int(R["pos"][a]),
+                "cigar": cigar_of(a),
+                "edit_dist": int(R["edit_dist"][a]),
+                "rev": int(R["rev"][a]),
+            }
+
+        lines = []
+        for a, b in res.emit_pairs:
+            ra = R[a]
+            rb = R[b] if b >= 0 else None
+            seq_a, qual_a = read_of(a)
+            ident = str(RI[a])
+            lines.append(samout.format_record(
+                ra, rb, ident, names[int(ra["chrom"])],
+                names[int(rb["chrom"])] if rb is not None else None,
+                seq_a, qual_a, cigar_of(a),
+                cigar_of(b) if b >= 0 else None,
+                float(res.gamma[a]), int(res.cloud_id[a]),
+                int(res.cloud_bad[a]), alt_of(a),
+                rg_id, self.cfg.bx_index, is_hap, bc_len))
+            if rb is not None:
+                seq_b, qual_b = read_of(b)
+                lines.append(samout.format_record(
+                    rb, ra, ident, names[int(rb["chrom"])],
+                    names[int(ra["chrom"])],
+                    seq_b, qual_b, cigar_of(b), cigar_of(a),
+                    float(res.gamma[b]), int(res.cloud_id[b]),
+                    int(res.cloud_bad[b]), alt_of(b),
+                    rg_id, self.cfg.bx_index, is_hap, bc_len))
+            else:
+                # unmapped mate record (samrecord.c:157-174)
+                pair = int(ra["pair"]) - pair_offset
+                r = pair * 2 + (1 - int(ra["mate"]))
+                lines.append(samout.format_record(
+                    None, ra, ident, "*", names[int(ra["chrom"])],
+                    batch.seqs[r], batch.quals[r], None, cigar_of(a),
+                    0.0, 0, 0, None, rg_id, self.cfg.bx_index,
+                    is_hap, bc_len))
+        return lines
+
+
+def _cigar_ref_len(cigars: np.ndarray, n_cigar: np.ndarray) -> np.ndarray:
+    ops = cigars & 0xF
+    lens = (cigars >> 4).astype(np.int64)
+    live = np.arange(cigars.shape[1])[None, :] < n_cigar[:, None]
+    use = live & ((ops == 0) | (ops == 2))
+    return np.where(use, lens, 0).sum(axis=1)
+
+
+def _empty_candidate_set() -> CandidateSet:
+    z = np.zeros(0, np.int64)
+    z32 = np.zeros(0, np.int32)
+    return CandidateSet(
+        owner=z, rev=np.zeros(0, np.int8), gpos=z, chrom=z32, pos_local=z,
+        sw=z32, qb=z32, qe=z32, clip=z32, nm=z32,
+        cigars=np.zeros((0, MAX_CIGAR_OPS), np.uint32), n_cigar=z32,
+        seedcov=z32, sub=z32, sub_n=z32,
+        frac_rep=np.zeros(0, np.float32), unique=np.zeros(0, bool))

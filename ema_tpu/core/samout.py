@@ -1,0 +1,171 @@
+"""SAM emission (reference: src/samrecord.c:104-284, align.c:193-212).
+
+Host-side formatting of selected records into SAM lines: flag assembly,
+3-way-min mapq, CIGAR with hard->soft clip conversion, mate fields and
+TLEN, revcomp of seq/qual for reverse-strand records, and the linked-read
+tags NM / BX / XG / MI / XF / RG / XA.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ema_tpu import config
+from ema_tpu.core import score as score_mod
+from ema_tpu.utils.barcodes import decode_bc
+
+SAM_READ_PAIRED = 1
+SAM_READ_PROPER = 2
+SAM_READ_UNMAPPED = 4
+SAM_MATE_UNMAPPED = 8
+SAM_READ_REVERSED = 16
+SAM_MATE_REVERSED = 32
+SAM_1ST_IN_PAIR = 64
+SAM_2ND_IN_PAIR = 128
+SAM_READ_IS_A_DUP = 1024
+
+_CIGAR_OPS = "MIDSS"   # op 3 (H) printed as S — samrecord.c:187
+_COMP = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+
+
+def write_sam_header(chrom_names, chrom_lens, rg: Optional[str],
+                     version: str, cmd_line: str) -> str:
+    lines = ["@HD\tVN:1.3\tSO:unsorted"]
+    for name, ln in zip(chrom_names, chrom_lens):
+        lines.append(f"@SQ\tSN:{name}\tLN:{int(ln)}")
+    if rg:
+        lines.append(rg)
+    lines.append(f"@PG\tID:ema\tPN:ema\tVN:{version}\tCL:{cmd_line}")
+    return "\n".join(lines) + "\n"
+
+
+def cigar_string(cigar_ops: np.ndarray) -> str:
+    return "".join(f"{int(op) >> 4}{_CIGAR_OPS[int(op) & 0xF]}"
+                   for op in cigar_ops)
+
+
+def _ref_len(cigar_ops: np.ndarray) -> int:
+    """Reference-consumed length of a CIGAR (samrecord.c:75-84)."""
+    total = 0
+    for op in cigar_ops:
+        o = int(op) & 0xF
+        if o == 0 or o == 2:
+            total += int(op) >> 4
+    return total
+
+
+def revcomp(seq: str) -> str:
+    return "".join(_COMP.get(c, "N") for c in reversed(seq))
+
+
+def format_g(x: float) -> str:
+    """%.5g with C-style formatting (samrecord.c XG:f tag)."""
+    return f"{x:.5g}"
+
+
+def format_record(rec, mate, ident: str, chrom_name: str,
+                  mate_chrom_name: Optional[str],
+                  seq: str, qual: str,
+                  rec_cigar: Optional[np.ndarray],
+                  mate_cigar: Optional[np.ndarray],
+                  gamma: float, cloud_id: int, cloud_bad: int,
+                  alt: Optional[dict],
+                  rg_id: Optional[str], bx_index: str,
+                  is_haplotag: bool, bc_len: int) -> str:
+    """Format one SAM line.
+
+    ``rec``/``mate`` are RECORD_DTYPE rows or None (one side may be
+    unmapped — samrecord.c:157-174).  ``seq``/``qual`` are the record's
+    read (forward orientation as read from FASTQ).
+    """
+    flag = SAM_READ_PAIRED
+    chrom = "*"
+    pos = 0
+    mapq = 0
+
+    if rec is not None:
+        chrom = chrom_name
+        pos = int(rec["pos"])
+        bc = int(rec["bc"])
+        g_mapq_in = gamma
+        mapq = int(score_mod.final_mapq(
+            np.array([gamma]), np.array([rec["score_mapq"]]),
+            np.array([rec["mapq"]]))[0])
+        if rec["rev"]:
+            flag |= SAM_READ_REVERSED
+        if rec["duplicate"]:
+            flag |= SAM_READ_IS_A_DUP
+        flag |= SAM_1ST_IN_PAIR if rec["mate"] == 0 else SAM_2ND_IN_PAIR
+    else:
+        bc = int(mate["bc"])
+        flag |= SAM_READ_UNMAPPED
+        flag |= SAM_2ND_IN_PAIR if mate["mate"] == 0 else SAM_1ST_IN_PAIR
+
+    if mate is not None:
+        if rec is not None and _is_pair(rec, mate):
+            flag |= SAM_READ_PROPER
+        if mate["rev"]:
+            flag |= SAM_MATE_REVERSED
+    else:
+        flag |= SAM_MATE_UNMAPPED
+
+    out = [ident, str(flag), chrom, str(pos), str(mapq)]
+
+    # cigar
+    out.append(cigar_string(rec_cigar) if rec is not None else "*")
+
+    # mate fields + TLEN (samrecord.c:194-211)
+    if mate is not None:
+        same = rec is not None and rec["chrom"] == mate["chrom"]
+        out.append("=" if same else mate_chrom_name)
+        out.append(str(int(mate["pos"])))
+        if same and rec_cigar is not None and mate_cigar is not None \
+                and len(rec_cigar) and len(mate_cigar):
+            p0 = int(rec["aln_pos0"]) + (_ref_len(rec_cigar) - 1 if rec["rev"] else 0)
+            p1 = int(mate["aln_pos0"]) + (_ref_len(mate_cigar) - 1 if mate["rev"] else 0)
+            sign = 1 if p0 > p1 else (-1 if p0 < p1 else 0)
+            out.append(str(-(p0 - p1 + sign)))
+        else:
+            out.append("0")
+    else:
+        out.extend(["*", "0", "0"])
+
+    # seq/qual
+    if rec is not None and rec["rev"]:
+        out.append(revcomp(seq))
+        out.append(qual[::-1])
+    else:
+        out.append(seq)
+        out.append(qual)
+
+    line = "\t".join(out)
+
+    # tags
+    bc_str = decode_bc(bc, bc_len, is_haplotag)
+    if rec is not None:
+        bx = bc_str if is_haplotag else f"{bc_str}-{bx_index}"
+        line += (f"\tNM:i:{int(rec['edit_dist'])}\tBX:Z:{bx}"
+                 f"\tXG:f:{format_g(gamma)}\tMI:i:{cloud_id}\tXF:i:{cloud_bad}")
+    else:
+        bx = bc_str if is_haplotag else f"{bc_str}-1"
+        line += f"\tBX:Z:{bx}"
+
+    if rg_id:
+        line += f"\tRG:Z:{rg_id.split()[0]}"
+
+    if alt is not None:
+        line += ("\tXA:Z:"
+                 f"{alt['chrom']},{'-' if alt['rev'] else '+'}{alt['pos']},"
+                 f"{cigar_string(alt['cigar'])},{alt['edit_dist']};")
+    return line + "\n"
+
+
+def _is_pair(r1, r2) -> bool:
+    """Proper-pair predicate (align.c:27-40)."""
+    if r1["rev"] == r2["rev"] or r1["chrom"] != r2["chrom"]:
+        return False
+    a, b = (r2, r1) if r2["rev"] else (r1, r2)
+    d = int(a["pos"]) - int(b["pos"])
+    return config.INSERT_MIN <= d <= config.INSERT_MAX

@@ -1,0 +1,126 @@
+"""Seed chaining: seed hits -> candidate alignment windows (host, numpy).
+
+The reference gets chains from BWA (`mem_chain` inside mem_align1_core).
+Our design: seeds located on device arrive as flat (read, qb, len, pos)
+tuples; we group hits of one read by alignment *diagonal* (pos - qb) with a
+band-width tolerance, aggregate each cluster, and emit the top-K clusters
+per read as candidate windows for the batched SW scorer.  Everything is
+vectorized numpy (lexsort + reduceat) — no per-read Python loops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Candidates:
+    """Top-K candidate windows per oriented read, padded arrays [B, K]."""
+
+    win_lo: np.ndarray      # int64 text coord of window start
+    win_len: np.ndarray     # int32 window length
+    weight: np.ndarray      # int32 total seed bases in the chain
+    seedcov: np.ndarray     # int32 approx read bases covered by seeds
+    n_seeds: np.ndarray     # int32 seeds in the chain
+    valid: np.ndarray       # bool
+    n_cands: np.ndarray     # int32 [B]
+
+
+def chain_hits(owner: np.ndarray, qb: np.ndarray, seed_len: np.ndarray,
+               pos: np.ndarray, n_reads: int, read_lens: np.ndarray,
+               text_len: int,
+               band_width: int = 100, pad: int = 24,
+               max_candidates: int = 64) -> Candidates:
+    """Cluster flat seed hits into candidate windows.
+
+    owner/qb/seed_len/pos: int64 [H] flat arrays over all valid hits of the
+    batch; ``owner`` is the oriented-read index, ``pos`` the text position
+    of the seed start, ``qb`` the seed's read offset.
+    """
+    K = max_candidates
+    out = Candidates(
+        win_lo=np.zeros((n_reads, K), np.int64),
+        win_len=np.zeros((n_reads, K), np.int32),
+        weight=np.zeros((n_reads, K), np.int32),
+        seedcov=np.zeros((n_reads, K), np.int32),
+        n_seeds=np.zeros((n_reads, K), np.int32),
+        valid=np.zeros((n_reads, K), bool),
+        n_cands=np.zeros(n_reads, np.int32),
+    )
+    if owner.shape[0] == 0:
+        return out
+
+    diag = pos - qb
+    order = np.lexsort((pos, diag, owner))
+    owner = owner[order]
+    qb = qb[order]
+    seed_len = seed_len[order]
+    pos = pos[order]
+    diag = diag[order]
+
+    brk = np.ones(owner.shape[0], bool)
+    brk[1:] = (owner[1:] != owner[:-1]) | (np.abs(diag[1:] - diag[:-1]) > band_width)
+    cid = np.cumsum(brk) - 1
+    n_clusters = cid[-1] + 1
+    starts = np.nonzero(brk)[0]
+
+    c_owner = owner[starts]
+    c_weight = np.add.reduceat(seed_len, starts)
+    c_diag_min = np.minimum.reduceat(diag, starts)
+    c_qb_min = np.minimum.reduceat(qb, starts)
+    c_qe_max = np.maximum.reduceat(qb + seed_len, starts)
+    c_nseeds = np.diff(np.append(starts, owner.shape[0]))
+    c_seedcov = np.minimum(c_weight, c_qe_max - c_qb_min).astype(np.int32)
+
+    # drop duplicate chains on the same diagonal span (cap-sampled repeats
+    # collapse because identical (owner, diag) sort adjacently)
+
+    # rank clusters per read by weight (desc), keep top K
+    order2 = np.lexsort((-c_weight, c_owner))
+    c_owner = c_owner[order2]
+    c_weight = c_weight[order2]
+    c_diag_min = c_diag_min[order2]
+    c_seedcov = c_seedcov[order2]
+    c_nseeds = c_nseeds[order2]
+
+    first = np.ones(n_clusters, bool)
+    first[1:] = c_owner[1:] != c_owner[:-1]
+    # rank within read
+    idx_all = np.arange(n_clusters)
+    first_idx = np.maximum.accumulate(np.where(first, idx_all, 0))
+    rank_in_read = idx_all - first_idx
+    keep = rank_in_read < K
+
+    o = c_owner[keep].astype(np.int64)
+    r = rank_in_read[keep]
+    rl = read_lens[o]
+    lo = np.maximum(c_diag_min[keep] - pad, 0)
+    hi = np.minimum(c_diag_min[keep] + rl + pad, text_len)
+
+    out.win_lo[o, r] = lo
+    out.win_len[o, r] = (hi - lo).astype(np.int32)
+    out.weight[o, r] = c_weight[keep].astype(np.int32)
+    out.seedcov[o, r] = c_seedcov[keep]
+    out.n_seeds[o, r] = c_nseeds[keep].astype(np.int32)
+    out.valid[o, r] = True
+    np.add.at(out.n_cands, o, 1)
+    return out
+
+
+def flatten_seed_hits(hit_pos: np.ndarray, hit_valid: np.ndarray,
+                      seed_qb: np.ndarray, seed_len: np.ndarray,
+                      n_seeds: np.ndarray):
+    """Device seeding outputs -> flat hit arrays for chain_hits.
+
+    hit_pos/hit_valid: [B, S, H]; seed_qb/seed_len: [B, S]; n_seeds: [B].
+    """
+    B, S, H = hit_pos.shape
+    seed_live = (np.arange(S)[None, :] < n_seeds[:, None])
+    live = hit_valid & seed_live[:, :, None]
+    b_idx, s_idx, _ = np.nonzero(live)
+    return (b_idx.astype(np.int64),
+            seed_qb[b_idx, s_idx].astype(np.int64),
+            seed_len[b_idx, s_idx].astype(np.int64),
+            hit_pos[live].astype(np.int64))

@@ -1,0 +1,126 @@
+"""End-to-end pipeline test: synthetic genome -> simulated linked reads ->
+SAM, checking mapping accuracy, pairing flags, tags, and mapq sanity."""
+
+import numpy as np
+import pytest
+
+from ema_tpu import config
+from ema_tpu.core.pipeline import Aligner, ReadBatch
+from ema_tpu.index import build_index
+
+from simulate import (parse_sam_line, rand_genome, simulate_pairs, to_str)
+
+
+@pytest.fixture(scope="module")
+def world():
+    rng = np.random.default_rng(17)
+    genome = rand_genome(rng, 120_000)
+    genome_str = to_str(genome)
+    idx = build_index({"chr1": genome})
+    ids, bc_strs, bcs, s1, q1, s2, q2, truth = simulate_pairs(
+        rng, genome_str, n_barcodes=5)
+    batch = ReadBatch.from_pairs(ids, bcs, s1, q1, s2, q2)
+    aligner = Aligner(idx)
+    lines = aligner.align_batch_to_sam(batch)
+    sams = [parse_sam_line(l) for l in lines]
+    return dict(idx=idx, truth=truth, ids=ids, sams=sams, batch=batch)
+
+
+class TestEndToEnd:
+    def test_most_pairs_emitted(self, world):
+        emitted = {s["qname"] for s in world["sams"]}
+        assert len(emitted) >= 0.98 * len(world["ids"])
+
+    def test_mapping_accuracy(self, world):
+        truth_by_id = {f"sim{i}": t for i, t in enumerate(world["truth"])}
+        correct = total = 0
+        for s in world["sams"]:
+            if s["flag"] & 4:
+                continue
+            total += 1
+            t = truth_by_id[s["qname"]]
+            want = t["pos1"] if (s["flag"] & 64) else t["pos2"]
+            if abs(s["pos"] - want) <= 5:
+                correct += 1
+        assert total > 0
+        assert correct / total >= 0.97, (correct, total)
+
+    def test_pair_flags(self, world):
+        by_name = {}
+        for s in world["sams"]:
+            by_name.setdefault(s["qname"], []).append(s)
+        n_proper = 0
+        for name, recs in by_name.items():
+            assert len(recs) == 2, name
+            flags = sorted(r["flag"] & (64 | 128) for r in recs)
+            assert flags == [64, 128], name
+            for r in recs:
+                assert r["flag"] & 1
+            if all(not (r["flag"] & 4) for r in recs):
+                # orientation: one fwd one rev for proper sims
+                revs = sorted(bool(r["flag"] & 16) for r in recs)
+                if revs == [False, True] and recs[0]["rname"] == recs[1]["rname"]:
+                    if recs[0]["flag"] & 2:
+                        n_proper += 1
+        assert n_proper >= 0.9 * len(by_name)
+
+    def test_tags(self, world):
+        truth_by_id = {f"sim{i}": t for i, t in enumerate(world["truth"])}
+        for s in world["sams"]:
+            t = truth_by_id[s["qname"]]
+            assert "BX" in s["tags"]
+            assert s["tags"]["BX"] == f"{t['bc']}-1"
+            if not (s["flag"] & 4):
+                assert "NM" in s["tags"]
+                assert int(s["tags"]["NM"]) <= 10
+                assert "XG" in s["tags"]
+                g = float(s["tags"]["XG"])
+                assert -1.0 <= g <= 1.0
+                assert "MI" in s["tags"]
+                assert "RG" in s["tags"] and s["tags"]["RG"] == "rg1"
+
+    def test_mapq_range_and_quality(self, world):
+        mapqs = [s["mapq"] for s in world["sams"] if not (s["flag"] & 4)]
+        assert all(0 <= m <= 60 for m in mapqs)
+        # unique true-positive alignments on random genome: mostly high mapq
+        assert np.mean(np.array(mapqs) >= 30) > 0.8
+
+    def test_cigar_mostly_full_match(self, world):
+        L = 100
+        full = sum(1 for s in world["sams"]
+                   if not (s["flag"] & 4) and s["cigar"] == f"{L}M")
+        mapped = sum(1 for s in world["sams"] if not (s["flag"] & 4))
+        assert full / mapped >= 0.9
+
+    def test_tlen_symmetry(self, world):
+        by_name = {}
+        for s in world["sams"]:
+            by_name.setdefault(s["qname"], []).append(s)
+        for name, recs in by_name.items():
+            if any(r["flag"] & 4 for r in recs):
+                continue
+            if recs[0]["rname"] == recs[1]["rname"]:
+                assert recs[0]["tlen"] == -recs[1]["tlen"], name
+
+
+class TestSmallGroupNoEM:
+    def test_single_pair_group(self, world):
+        # a lone pair (group < 30) must still align with gamma 1.0 for
+        # unique hits (normalize_log_probs single-candidate short-circuit)
+        idx = world["idx"]
+        rng = np.random.default_rng(3)
+        from simulate import revcomp_str
+        gs = to_str(idx.text)
+        p = 50_000
+        r1 = gs[p:p + 100]
+        r2 = revcomp_str(gs[p + 150:p + 250])
+        batch = ReadBatch.from_pairs(
+            ["solo"], [12345], [r1], ["I" * 100], [r2], ["I" * 100])
+        lines = Aligner(idx).align_batch_to_sam(batch)
+        assert len(lines) == 2
+        recs = [parse_sam_line(l) for l in lines]
+        for r in recs:
+            assert not (r["flag"] & 4)
+            assert r["flag"] & 2, r
+        poss = sorted(r["pos"] for r in recs)
+        assert poss == [p + 1, p + 151]
