@@ -397,15 +397,35 @@ class Aligner:
         idents = np.array([batch.ids[p] for p in pairs], dtype=object)
         return recs, idents, pool
 
-    def align_batch_to_sam(self, batch: ReadBatch,
-                           pair_offset: int = 0) -> List[str]:
-        """Full pipeline for one batch whose pairs are barcode-grouped.
+    def align_batch_to_sam(self, batch: ReadBatch) -> List[str]:
+        """Full pipeline for one ReadBatch whose barcodes are complete.
 
-        Every barcode in the batch must be complete (the caller batches on
-        group boundaries).  Returns SAM lines.
+        Candidate generation runs in device-sized chunks
+        (cfg.batch_size pairs); group processing then runs over the
+        merged records.  Returns SAM lines.
         """
-        cs = self.generate_candidates(batch)
-        recs, idents, pool = self.candidates_to_records(batch, cs, pair_offset)
+        P = len(batch.ids)
+        B = max(self.cfg.batch_size, 1)
+        rec_parts, id_parts, pool_parts = [], [], []
+        pool_off = 0
+        for s in range(0, P, B):
+            e = min(s + B, P)
+            sub = ReadBatch(
+                ids=batch.ids[s:e], bc=batch.bc[s:e],
+                seqs=batch.seqs[2 * s:2 * e], quals=batch.quals[2 * s:2 * e],
+                codes=batch.codes[2 * s:2 * e], lens=batch.lens[2 * s:2 * e])
+            cs = self.generate_candidates(sub)
+            recs, idents, pool = self.candidates_to_records(sub, cs, s)
+            recs["cig_off"] += pool_off
+            pool_off += pool.shape[0]
+            rec_parts.append(recs)
+            id_parts.append(idents)
+            pool_parts.append(pool)
+        recs = np.concatenate(rec_parts) if rec_parts else empty_records(0)
+        idents = (np.concatenate(id_parts) if id_parts
+                  else np.zeros(0, dtype=object))
+        pool = (np.concatenate(pool_parts) if pool_parts
+                else np.zeros(0, np.uint32))
         lines: List[str] = []
 
         rng = np.random.default_rng(self.cfg.seed)
@@ -430,11 +450,11 @@ class Aligner:
             gid = idents[s:e]
             n_pairs = pair_bc.get(int(group["bc"][0]), 0)
             lines.extend(self._process_group(batch, group, gid, pool,
-                                             n_pairs, rng, pair_offset))
+                                             n_pairs, rng))
         return lines
 
     def _process_group(self, batch: ReadBatch, group, gid, pool,
-                       n_pairs: int, rng, pair_offset: int) -> List[str]:
+                       n_pairs: int, rng) -> List[str]:
         res = groups_mod.process_barcode_group(
             group, gid.astype(str), self.cfg.platform,
             cloud_id_start=self._cloud_id,
@@ -458,9 +478,7 @@ class Aligner:
             return pool[off:off + int(R["cig_len"][i])]
 
         def read_of(i):
-            pair = int(R["pair"][i]) - pair_offset
-            mate = int(R["mate"][i])
-            r = pair * 2 + mate
+            r = int(R["pair"][i]) * 2 + int(R["mate"][i])
             return batch.seqs[r], batch.quals[r]
 
         def alt_of(i):
@@ -500,8 +518,7 @@ class Aligner:
                     rg_id, self.cfg.bx_index, is_hap, bc_len))
             else:
                 # unmapped mate record (samrecord.c:157-174)
-                pair = int(ra["pair"]) - pair_offset
-                r = pair * 2 + (1 - int(ra["mate"]))
+                r = int(ra["pair"]) * 2 + (1 - int(ra["mate"]))
                 lines.append(samout.format_record(
                     None, ra, ident, "*", names[int(ra["chrom"])],
                     batch.seqs[r], batch.quals[r], None, cigar_of(a),

@@ -1,0 +1,93 @@
+"""Input readers for the align stage (reference: src/align.c:637-843).
+
+Three input modes, as in the reference:
+  - special EMA-FASTQ bucket files (`-s` / `-x`): one line per pair
+    `bc id read1 qual1 read2 qual2` (read1/qual1 barcode+7bp-trimmed);
+    the whole file is read and sorted by barcode prefix
+    (align.c:746-806).
+  - standard barcode-sorted paired FASTQs (`-1`/`-2`), barcode taken from
+    the read ID by the platform extractor (techs.c:5-69).
+  - interleaved single FASTQ (`-1` only).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Tuple
+
+from ema_tpu.core.pipeline import ReadBatch
+from ema_tpu.utils.barcodes import encode_bc, extract_bc_from_id
+
+
+def read_special_fastq(path: str, is_haplotag: bool = False,
+                       bc_len: int = 16) -> ReadBatch:
+    """Read a bucket file into one barcode-sorted ReadBatch."""
+    rows: List[Tuple[str, ...]] = []
+    with open(path, "r") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            rows.append(tuple(line.split(" ")))
+    # sort by the barcode prefix (strncmp with BC_LEN — align.c:752-757)
+    rows.sort(key=lambda r: r[0][:bc_len])
+    ids, bcs, s1, q1, s2, q2 = [], [], [], [], [], []
+    for r in rows:
+        bc_str, rid, r1, r1q, r2, r2q = r[0], r[1], r[2], r[3], r[4], r[5]
+        bcs.append(encode_bc(bc_str, is_haplotag))
+        ids.append(rid[1:] if rid.startswith("@") else rid)
+        s1.append(r1)
+        q1.append(r1q)
+        s2.append(r2)
+        q2.append(r2q)
+    return ReadBatch.from_pairs(ids, bcs, s1, q1, s2, q2)
+
+
+def _read_fastq_records(path: str):
+    with open(path, "r") as f:
+        while True:
+            rid = f.readline()
+            if not rid:
+                return
+            seq = f.readline().rstrip("\n")
+            f.readline()
+            qual = f.readline().rstrip("\n")
+            yield rid.rstrip("\n"), seq, qual
+
+
+def read_fastq_pair(fq1_path: str, fq2_path: str | None,
+                    platform: str) -> ReadBatch:
+    """Standard path: two barcode-sorted FASTQs (or one interleaved)."""
+    ids, bcs, s1, q1, s2, q2 = [], [], [], [], [], []
+    if fq2_path is None or fq2_path == fq1_path:
+        it = _read_fastq_records(fq1_path)
+        recs = list(it)
+        r1s, r2s = recs[0::2], recs[1::2]
+    else:
+        r1s = list(_read_fastq_records(fq1_path))
+        r2s = list(_read_fastq_records(fq2_path))
+    assert len(r1s) == len(r2s), "unpaired FASTQ inputs"
+    for (id1, sa, qa), (_, sb, qb) in zip(r1s, r2s):
+        ident, bc = extract_bc_from_id(id1, platform)
+        ids.append(ident)
+        bcs.append(bc)
+        s1.append(sa)
+        q1.append(qa)
+        s2.append(sb)
+        q2.append(qb)
+    # group by barcode, preserving arrival order within a barcode
+    order = sorted(range(len(ids)), key=lambda i: bcs[i])
+    return ReadBatch.from_pairs(
+        [ids[i] for i in order], [bcs[i] for i in order],
+        [s1[i] for i in order], [q1[i] for i in order],
+        [s2[i] for i in order], [q2[i] for i in order])
+
+
+def read_fai(path: str) -> List[str]:
+    """Chromosome name table from a .fai (main.c:57-71)."""
+    names = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                names.append(line.split()[0])
+    return names

@@ -1,0 +1,308 @@
+"""`preproc` stage: barcode correction + bucketing (reference: cpp/correct.cc).
+
+Four phases, mirroring correct.cc:271-633:
+  1. load the whitelist and all `.ema-ncnt` priors (+1 pseudocount),
+  2. stream `.ema-fcnt` blocks and correct each distinct fused key —
+     exact hit (optionally refined by Hamming-2 search) or Hamming-1 /
+     N-position search, accepting when the posterior share clears
+     BC_CONF_THRESH = 0.975,
+  3. greedy min-heap assignment of barcodes to buckets,
+  4. re-stream the FASTQ, route each pair to its barcode's bucket in the
+     special EMA-FASTQ one-line format (or BX-tagged FASTQ), barcode+7bp
+     trimmed from read 1; uncorrectable pairs go to `ema-nobc`.
+
+The reference fans the per-key correction across std::threads
+(correct.cc:244-261); here the whole block is *vectorized*: all H1
+neighborhoods are materialized as one [K, 48] array of barcode candidates
+and resolved with a single searchsorted — no threads needed.
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+import struct
+from typing import Dict, List
+
+import numpy as np
+
+from ema_tpu import config
+from ema_tpu.preproc.count import (
+    BC_LEN, QUAL_BASE, HASH_DNA, decode_bc_preproc_str,
+    iter_fastq_pairs, load_whitelist_preproc, read_ncnt, read_fcnt_blocks,
+    fused_keys_and_barcodes)
+
+QO = config.ILLUMINA_QUAL_OFFSET
+
+_PHRED = 10.0 ** (-np.minimum(np.arange(128), QUAL_BASE - 1) / 10.0)
+
+
+def _keys_decompose(keys: np.ndarray):
+    """[K, 16] fused keys -> (base codes [K,16] with 4=N, quals [K,16])."""
+    n = keys // QUAL_BASE
+    q = keys % QUAL_BASE
+    return n.astype(np.int64), q.astype(np.int64)
+
+
+def _encode_from_codes(codes: np.ndarray) -> np.ndarray:
+    """[..., 16] base codes (N->0) -> uint32 preproc encoding."""
+    c = np.where(codes == 4, 0, codes).astype(np.uint64)
+    shifts = (2 * np.arange(BC_LEN - 1, -1, -1, dtype=np.uint64))
+    return np.sum(c << shifts, axis=-1, dtype=np.uint64).astype(np.uint32)
+
+
+class Corrector:
+    """Vectorized fused-key barcode correction (correct.cc:66-188)."""
+
+    def __init__(self, wl: np.ndarray, priors: np.ndarray, do_h2: bool):
+        self.wl = wl
+        self.priors = priors
+        self.do_h2 = do_h2
+        self.stats = {"nochange": 0, "h1": 0, "h2": 0, "nobucket": 0}
+
+    def _lookup(self, bcs: np.ndarray):
+        idx = np.searchsorted(self.wl, bcs)
+        idxc = np.clip(idx, 0, self.wl.shape[0] - 1)
+        found = (idx < self.wl.shape[0]) & (self.wl[idxc] == bcs)
+        return idxc, found
+
+    def correct_block(self, keys: np.ndarray, counts: np.ndarray):
+        """Returns per-key corrected barcode (0 = uncorrectable) and type."""
+        K = keys.shape[0]
+        codes, quals = _keys_decompose(keys)
+        n_ns = (codes == 4).sum(axis=1)
+        bc = _encode_from_codes(codes)
+
+        out_bc = np.zeros(K, np.uint32)
+        out_type = np.full(K, 3, np.int8)   # NOBUCKET
+
+        exact_idx, exact_hit = self._lookup(bc)
+        is_exact = exact_hit & (n_ns == 0)
+
+        max_p = np.where(is_exact, self.priors[exact_idx], -1.0)
+        max_bc = np.where(is_exact, bc, 0).astype(np.uint32)
+        total = np.where(is_exact, np.maximum(max_p, 0.0), 0.0)
+        out_type[is_exact] = 0              # NOCHANGE so far
+
+        # --- H1 / N-position search for misses (ns <= 1) ----------------
+        miss = ~is_exact & (n_ns <= 1)
+        if miss.any():
+            mi = np.nonzero(miss)[0]
+            m_codes = codes[mi]
+            m_quals = quals[mi]
+            has_n = n_ns[mi] == 1
+            # candidate positions: all 16 when ns==0; only the N when ns==1
+            pos_ok = np.where(has_n[:, None], m_codes == 4,
+                              np.ones_like(m_codes, bool))
+            # for each position i and substitute j in 0..3
+            nb_bc, nb_p, nb_valid = self._h1_neighbors(
+                m_codes, m_quals, pos_ok, has_n)
+            tot_m, best_p, best_bc, best_valid = _reduce_neighbors(
+                nb_bc, nb_p, nb_valid)
+            total[mi] += tot_m
+            better = best_valid & (best_p > max_p[mi])
+            max_p[mi] = np.where(better, best_p, max_p[mi])
+            max_bc[mi] = np.where(better, best_bc, max_bc[mi])
+            t = out_type[mi]
+            t[better] = 1                   # H1CHANGE
+            out_type[mi] = t
+
+        # --- H2 refinement for exact hits --------------------------------
+        if self.do_h2 and is_exact.any():
+            ei = np.nonzero(is_exact)[0]
+            # chunk to bound the [E, 1080] neighbor blowup
+            for s in range(0, ei.shape[0], 4096):
+                sub = ei[s:s + 4096]
+                nb_bc, nb_p, nb_valid = self._h2_neighbors(
+                    codes[sub], quals[sub])
+                tot_m, best_p, best_bc, best_valid = _reduce_neighbors(
+                    nb_bc, nb_p, nb_valid)
+                total[sub] += tot_m
+                better = best_valid & (best_p > max_p[sub])
+                max_p[sub] = np.where(better, best_p, max_p[sub])
+                max_bc[sub] = np.where(better, best_bc, max_bc[sub])
+                t = out_type[sub]
+                t[better] = 2               # H2CHANGE
+                out_type[sub] = t
+
+        # --- acceptance (correct.cc:157-164) -----------------------------
+        with np.errstate(divide="ignore", invalid="ignore"):
+            share = np.where(total > 0, max_p / np.where(total > 0, total, 1.0), 0.0)
+        accept = (share > config.BC_CONF_THRESH) & (max_p > 0)
+        out_bc = np.where(accept, max_bc, 0).astype(np.uint32)
+        out_type = np.where(accept, out_type, 3).astype(np.int8)
+
+        for t, name in ((0, "nochange"), (1, "h1"), (2, "h2"), (3, "nobucket")):
+            self.stats[name] += int(counts[out_type == t].sum())
+        return out_bc, out_type
+
+    def _h1_neighbors(self, codes, quals, pos_ok, has_n):
+        """All Hamming-1 (or N-substitution) neighbors: [M, 16*4] arrays."""
+        M = codes.shape[0]
+        base = _encode_from_codes(codes).astype(np.uint64)
+        i = np.arange(BC_LEN)
+        shift = (2 * (BC_LEN - 1 - i)).astype(np.uint64)
+        cleared = (base[:, None] & ~(np.uint64(3) << shift)[None, :])
+        j = np.arange(4, dtype=np.uint64)
+        nb = (cleared[:, :, None] | (j[None, None, :] << shift[None, :, None]))
+        nb = nb.reshape(M, BC_LEN * 4).astype(np.uint32)
+
+        same = (codes[:, :, None] == j[None, None, :].astype(np.int64))
+        # ns==0: skip j == current base; ns==1: only the N position, all j
+        valid = pos_ok[:, :, None] & (has_n[:, None, None] | ~same)
+        valid = valid.reshape(M, BC_LEN * 4)
+
+        idx, found = self._lookup(nb.reshape(-1))
+        p = np.where(found, self.priors[idx], 0.0).reshape(M, BC_LEN * 4)
+        qq = np.repeat(quals[:, :, None], 4, axis=2).reshape(M, BC_LEN * 4)
+        p = p * _PHRED[np.clip(qq, 0, 127)]
+        return nb, p, valid & (p > 0)
+
+    def _h2_neighbors(self, codes, quals):
+        """All Hamming-2 neighbors for exact hits (correct.cc:107-132)."""
+        M = codes.shape[0]
+        pairs = [(i1, i2) for i1 in range(BC_LEN) for i2 in range(i1 + 1, BC_LEN)]
+        P = len(pairs)
+        i1 = np.array([p[0] for p in pairs])
+        i2 = np.array([p[1] for p in pairs])
+        base = _encode_from_codes(codes).astype(np.uint64)
+        sh1 = (2 * (BC_LEN - 1 - i1)).astype(np.uint64)
+        sh2 = (2 * (BC_LEN - 1 - i2)).astype(np.uint64)
+        cleared = (base[:, None]
+                   & ~(np.uint64(3) << sh1)[None, :]
+                   & ~(np.uint64(3) << sh2)[None, :])
+        j1 = np.arange(4, dtype=np.uint64)[None, None, :, None]
+        j2 = np.arange(4, dtype=np.uint64)[None, None, None, :]
+        nb = (cleared[:, :, None, None]
+              | (j1 << sh1[None, :, None, None])
+              | (j2 << sh2[None, :, None, None]))
+        nb = nb.reshape(M, P * 16).astype(np.uint32)
+
+        c1 = codes[:, i1]
+        c2 = codes[:, i2]
+        valid = ((c1[:, :, None, None] != j1.astype(np.int64))
+                 & (c2[:, :, None, None] != j2.astype(np.int64)))
+        valid = np.broadcast_to(valid, (M, P, 4, 4)).reshape(M, P * 16)
+
+        idx, found = self._lookup(nb.reshape(-1))
+        p = np.where(found, self.priors[idx], 0.0).reshape(M, P * 16)
+        # quality weighting with the reference's odd clamp:
+        # p_i = phred(max(3, q_i - 1))  (correct.cc:121-122)
+        q1 = np.maximum(quals[:, i1] - 1, 3)
+        q2 = np.maximum(quals[:, i2] - 1, 3)
+        w = (_PHRED[np.clip(q1, 0, 127)] * _PHRED[np.clip(q2, 0, 127)])
+        w = np.repeat(w[:, :, None], 16, axis=2).reshape(M, P * 16)
+        p = p * w
+        return nb, p, valid & (p > 0)
+
+
+def _reduce_neighbors(nb_bc, nb_p, nb_valid):
+    p = np.where(nb_valid, nb_p, 0.0)
+    tot = p.sum(axis=1)
+    best = np.argmax(p, axis=1)
+    rows = np.arange(p.shape[0])
+    best_p = p[rows, best]
+    best_bc = nb_bc[rows, best]
+    return tot, best_p, best_bc, best_p > 0
+
+
+def correct(whitelist_path: str, input_prefixes: List[str], output_dir: str,
+            stream, do_h2: bool = False, do_bx_format: bool = False,
+            n_buckets: int = config.DEFAULT_N_BUCKETS,
+            is_haplotag: bool = False) -> dict:
+    """Run the full preproc stage; returns stats."""
+    os.makedirs(output_dir, exist_ok=True)
+
+    # 1. whitelist + priors
+    wl = load_whitelist_preproc(whitelist_path)
+    prior_counts = np.zeros(wl.shape[0], np.float64)
+    for prefix in input_prefixes:
+        bcs, cnts = read_ncnt(prefix if prefix.endswith(".ema-ncnt")
+                              else prefix + ".ema-ncnt")
+        idx = np.searchsorted(wl, bcs)
+        idxc = np.clip(idx, 0, wl.shape[0] - 1)
+        hit = (idx < wl.shape[0]) & (wl[idxc] == bcs)
+        np.add.at(prior_counts, idxc[hit], cnts[hit])
+    total_counts = (prior_counts + 1.0).sum()
+    priors = (prior_counts + 1.0) / total_counts
+
+    # 2. correct fused keys
+    corrector = Corrector(wl, priors, do_h2)
+    corrected: Dict[bytes, int] = {}
+    n_reads_per_bc = np.zeros(wl.shape[0], np.int64)
+    for prefix in input_prefixes:
+        fpath = (prefix[:-9] + ".ema-fcnt" if prefix.endswith(".ema-ncnt")
+                 else prefix + ".ema-fcnt")
+        for keys, counts in read_fcnt_blocks(fpath):
+            out_bc, out_type = corrector.correct_block(keys, counts)
+            ok = out_bc != 0
+            idx, found = corrector._lookup(out_bc[ok].astype(np.uint32))
+            np.add.at(n_reads_per_bc, idx[found], counts[ok][found])
+            changed = ok & ((out_type == 1) | (out_type == 2))
+            for k, b in zip(keys[changed], out_bc[changed]):
+                corrected[k.tobytes()] = int(b)
+
+    # 3. greedy bucket assignment (correct.cc:374-411)
+    bucket_of = np.zeros(wl.shape[0], np.int64)
+    heap = [(0, i + 1) for i in range(n_buckets)]   # (size, file idx); 0=nobc
+    heapq.heapify(heap)
+    sizes = {i + 1: 0 for i in range(n_buckets)}
+    order = np.argsort(-n_reads_per_bc, kind="stable")
+    for wi in order:
+        size, fidx = heapq.heappop(heap)
+        bucket_of[wi] = fidx
+        heapq.heappush(heap, (size + int(n_reads_per_bc[wi]), fidx))
+
+    # 4. re-stream FASTQ into buckets
+    files = [open(os.path.join(output_dir, "ema-nobc"), "wb")]
+    for i in range(n_buckets):
+        files.append(open(os.path.join(output_dir, f"ema-bin-{i:03d}"), "wb"))
+
+    trim = BC_LEN + config.MATE1_TRIM
+    n_routed = 0
+    for pair in iter_fastq_pairs(stream):
+        name1, r1, q1 = pair[0], pair[1], pair[3]
+        name2, r2, q2 = pair[4], pair[5], pair[7]
+        if len(r1) < config.MIN_READ_SIZE:
+            continue
+        seqs = np.frombuffer(r1[:BC_LEN], np.uint8)[None, :]
+        quals = np.frombuffer(q1[:BC_LEN], np.uint8)[None, :]
+        ok, has_n, bc_arr, key = fused_keys_and_barcodes(seqs, quals)
+        if not ok[0]:
+            continue
+        bc = int(bc_arr[0])
+        kb = key[0].tobytes()
+        if kb in corrected:
+            bc = corrected[kb]
+            has_n[0] = False
+        fidx = 0
+        if not has_n[0]:
+            idx = int(np.searchsorted(wl, np.uint32(bc)))
+            if idx < wl.shape[0] and wl[idx] == bc:
+                fidx = int(bucket_of[idx])
+        if fidx == 0:
+            bc = 0
+
+        f = files[fidx]
+        short1 = name1.split()[0]
+        short2 = name2.split()[0]
+        if fidx and not do_bx_format:
+            bcs = decode_bc_preproc_str(bc).encode()
+            f.write(bcs + b" " + short1 + b" " + r1[trim:] + b" "
+                    + q1[trim:] + b" " + r2 + b" " + q2 + b"\n")
+        elif fidx and do_bx_format:
+            bcs = decode_bc_preproc_str(bc).encode()
+            f.write(short1 + b" BX:Z:" + bcs + b"-1\n" + r1[trim:]
+                    + b"\n+\n" + q1[trim:] + b"\n")
+            f.write(short2 + b" BX:Z:" + bcs + b"-1\n" + r2
+                    + b"\n+\n" + q2 + b"\n")
+        else:
+            f.write(short1 + b"\n" + r1[trim:] + b"\n+\n" + q1[trim:] + b"\n")
+            f.write(short2 + b"\n" + r2 + b"\n+\n" + q2 + b"\n")
+        n_routed += 1
+
+    for f in files:
+        f.close()
+    stats = dict(corrector.stats)
+    stats["routed_pairs"] = n_routed
+    return stats

@@ -1,0 +1,232 @@
+"""`count` stage: preliminary barcode counting (reference: cpp/count.cc).
+
+Streams interleaved FASTQ, and for each pair's read-1 prefix builds
+  (a) the 2-bit barcode (first base in the HIGH bits — the preprocessor's
+      own convention, count.cc:130; distinct from the aligner codec), and
+  (b) the 16-byte fused base*34+qual key (count.cc:129),
+counting exact-whitelist hits into `.ema-ncnt` and all observed fused keys
+into `.ema-fcnt` (spilled in blocks).  Output files are byte-compatible
+with the reference (layouts: SURVEY.md §2.5).
+
+The per-pair work is vectorized: reads stream in chunks and barcode/key
+construction happens on [N, 16] uint8 arrays.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, Iterable, Iterator, List, Tuple
+
+import numpy as np
+
+from ema_tpu import config
+
+BC_LEN = config.PREPROC_BC_LEN
+QUAL_BASE = config.QUAL_BASE
+QO = config.ILLUMINA_QUAL_OFFSET
+
+# hash_dna: ACGT->0..3, everything else 0 (common.h:76-89)
+HASH_DNA = np.zeros(256, np.uint8)
+HASH_DNA_N = np.zeros(256, np.uint8)
+for _b, _c in zip(b"ACGTacgt", [0, 1, 2, 3, 0, 1, 2, 3]):
+    HASH_DNA[_b] = _c
+    HASH_DNA_N[_b] = _c
+HASH_DNA_N[ord("N")] = 4
+HASH_DNA_N[ord("n")] = 4
+
+
+def encode_bc_preproc(bases: np.ndarray) -> np.ndarray:
+    """[N, 16] uint8 base codes -> uint32, first base in the high bits."""
+    shifts = (2 * np.arange(BC_LEN - 1, -1, -1, dtype=np.uint64))[None, :]
+    return np.sum(bases.astype(np.uint64) << shifts, axis=1,
+                  dtype=np.uint64).astype(np.uint32)
+
+
+def decode_bc_preproc_str(bc: int) -> str:
+    out = []
+    for i in range(BC_LEN - 1, -1, -1):
+        out.append("ACGT"[(bc >> (2 * i)) & 3])
+    return "".join(out)
+
+
+def load_whitelist_preproc(path: str) -> np.ndarray:
+    """Whitelist barcodes in preproc encoding, sorted uint32."""
+    bcs = []
+    with open(path, "rb") as f:
+        for line in f:
+            line = line.strip()
+            if not line or b"#" in line:
+                continue
+            arr = HASH_DNA[np.frombuffer(line[:BC_LEN], np.uint8)]
+            v = 0
+            for c in arr:
+                v = (v << 2) | int(c)
+            if v == 0:
+                raise ValueError("Invalid barcode AAA...AA whitelisted")
+            bcs.append(v)
+    return np.sort(np.array(bcs, dtype=np.uint32))
+
+
+def iter_fastq_pairs(stream) -> Iterator[List[bytes]]:
+    """Yield 8-line chunks (one read pair) from an interleaved FASTQ."""
+    while True:
+        lines = [stream.readline() for _ in range(8)]
+        if not lines[0]:
+            return
+        yield [l.rstrip(b"\n") for l in lines]
+
+
+def fused_keys_and_barcodes(seqs: np.ndarray, quals: np.ndarray):
+    """[N, 16] raw seq/qual bytes -> (ok, has_n, barcode u32, key [N,16] u8).
+
+    Implements count.cc:113-133: reject pairs with qual < '!'; cap quals at
+    QUAL_BASE-1; key byte = hash_dna_n(s)*QUAL_BASE + min(QUAL_BASE-1, q-33).
+    """
+    ok = (quals >= QO).all(axis=1)
+    q = np.minimum(quals.astype(np.int32) - QO, QUAL_BASE - 1)
+    n_codes = HASH_DNA_N[seqs]
+    key = (n_codes.astype(np.uint8) * QUAL_BASE
+           + np.maximum(q, 0).astype(np.uint8))
+    bc = encode_bc_preproc(HASH_DNA[seqs])
+    has_n = (n_codes == 4).any(axis=1)
+    return ok, has_n, bc, key
+
+
+class FullCountMap:
+    """fused-key -> count map with block spill (count.cc:16-34)."""
+
+    def __init__(self, out_path: str | None, max_entries: int = 8_000_000):
+        self.map: Dict[bytes, int] = {}
+        self.out = open(out_path, "wb") if out_path else None
+        self.max_entries = max_entries
+
+    def add_batch(self, keys: np.ndarray):
+        m = self.map
+        for k in keys:
+            kb = k.tobytes()
+            m[kb] = m.get(kb, 0) + 1
+        if self.out is not None and len(m) >= self.max_entries:
+            self.spill()
+
+    def spill(self):
+        if not self.map:
+            return
+        self.out.write(struct.pack("<q", len(self.map)))
+        for k, v in self.map.items():
+            self.out.write(k)
+            self.out.write(struct.pack("<q", v))
+        self.out.flush()
+        self.map.clear()
+
+    def close(self):
+        if self.out is not None:
+            self.spill()
+            self.out.close()
+
+
+def count(whitelist_path: str, output_prefix: str, stream,
+          is_haplotag: bool = False, chunk_pairs: int = 10_000,
+          max_map_entries: int = 8_000_000) -> dict:
+    """Run the count stage; returns stats.
+
+    ``stream`` is a binary file object with interleaved FASTQ.
+    """
+    if is_haplotag:
+        return _count_haplotag(output_prefix, stream, chunk_pairs)
+
+    wl = load_whitelist_preproc(whitelist_path)
+    counts = np.zeros(wl.shape[0], dtype=np.int64)
+    fc = FullCountMap(f"{output_prefix}.ema-fcnt", max_map_entries)
+
+    total = nice = ignored = 0
+    batch_seq: List[bytes] = []
+    batch_qual: List[bytes] = []
+
+    def flush():
+        nonlocal total, nice, ignored
+        if not batch_seq:
+            return
+        seqs = np.frombuffer(b"".join(batch_seq), np.uint8).reshape(-1, BC_LEN)
+        quals = np.frombuffer(b"".join(batch_qual), np.uint8).reshape(-1, BC_LEN)
+        ok, has_n, bc, key = fused_keys_and_barcodes(seqs, quals)
+        good = ok
+        total += int(good.sum())
+        ignored += int((~good).sum())
+        exact = good & ~has_n
+        idx = np.searchsorted(wl, bc[exact])
+        idxc = np.clip(idx, 0, wl.shape[0] - 1)
+        hit = (idx < wl.shape[0]) & (wl[idxc] == bc[exact])
+        np.add.at(counts, idxc[hit], 1)
+        nice += int(hit.sum())
+        fc.add_batch(key[good])
+        batch_seq.clear()
+        batch_qual.clear()
+
+    for pair in iter_fastq_pairs(stream):
+        seq1, qual1 = pair[1], pair[3]
+        if len(seq1) < config.MIN_READ_SIZE:
+            ignored += 1
+            continue
+        batch_seq.append(seq1[:BC_LEN])
+        batch_qual.append(qual1[:BC_LEN])
+        if len(batch_seq) >= chunk_pairs:
+            flush()
+    flush()
+    fc.close()
+
+    _write_ncnt(f"{output_prefix}.ema-ncnt", wl, counts)
+    return {"total": total, "nice": nice, "ignored": ignored}
+
+
+def _write_ncnt(path: str, barcodes: np.ndarray, counts: np.ndarray):
+    nz = counts > 0
+    with open(path, "wb") as f:
+        f.write(struct.pack("<q", int(nz.sum())))
+        inter = np.empty(int(nz.sum()), dtype=np.dtype(
+            [("bc", "<u4"), ("cnt", "<i8")]))
+        inter["bc"] = barcodes[nz]
+        inter["cnt"] = counts[nz]
+        f.write(inter.tobytes())
+
+
+def read_ncnt(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    with open(path, "rb") as f:
+        n = struct.unpack("<q", f.read(8))[0]
+        data = np.frombuffer(f.read(n * 12),
+                             dtype=np.dtype([("bc", "<u4"), ("cnt", "<i8")]))
+    return data["bc"].copy(), data["cnt"].copy()
+
+
+def read_fcnt_blocks(path: str) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Yield (keys [N, 16] uint8, counts [N]) per spill block."""
+    with open(path, "rb") as f:
+        while True:
+            head = f.read(8)
+            if len(head) < 8:
+                return
+            n = struct.unpack("<q", head)[0]
+            rec = np.frombuffer(f.read(n * 24), dtype=np.dtype(
+                [("key", "u1", 16), ("cnt", "<i8")]))
+            yield rec["key"].copy(), rec["cnt"].copy()
+
+
+def _count_haplotag(output_prefix: str, stream, chunk_pairs: int) -> dict:
+    """Haplotag mode: count BX:Z:AxxCxxBxxDxx tags (count.cc:89-103)."""
+    from ema_tpu.utils.barcodes import encode_bc_haplotag
+    counts: Dict[int, int] = {}
+    total = ignored = 0
+    for pair in iter_fastq_pairs(stream):
+        name = pair[0].decode()
+        seq1 = pair[1]
+        bx = name.find("BX:Z:")
+        if bx >= 0 and bx + 17 <= len(name) and len(seq1) >= config.MIN_READ_SIZE:
+            bc = encode_bc_haplotag(name[bx + 5:bx + 17])
+            counts[bc] = counts.get(bc, 0) + 1
+            total += 1
+        else:
+            ignored += 1
+    with open(f"{output_prefix}.ema-ncnt", "wb") as f:
+        f.write(struct.pack("<q", len(counts)))
+        for bc, cnt in counts.items():
+            f.write(struct.pack("<Iq", bc, cnt))
+    return {"total": total, "nice": total, "ignored": ignored}
