@@ -1,0 +1,96 @@
+"""Align-stage benchmark: read pairs/sec on the attached device.
+
+Mirrors BASELINE.md config 1 ("align -s on one preprocessed bucket,
+~10k pairs vs a bacterial-scale reference"): simulate a 2 Mbp genome and
+barcoded linked-read pairs, build the FM index, run the full align
+pipeline (seed -> chain -> SW -> EM -> SAM), and report steady-state
+throughput.
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": ..., "value": N, "unit": "pairs/s", "vs_baseline": N}
+
+``vs_baseline`` anchors on ~1000 pairs/s for one reference align job
+(4 threads) — the reference publishes no numbers (BASELINE.md), so this is
+a cost-model estimate from its own operational guidance (README.md:125-129,
+10 jobs x 4 threads on a 40-thread host for WGS-scale inputs).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+GENOME = 2_000_000
+N_PAIRS = 10_000
+READ_LEN = 100
+WARMUP_PAIRS = 1_024
+BASELINE_PAIRS_PER_SEC = 1000.0
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    sys.path.insert(0, ".")
+    from tests.simulate import rand_genome, simulate_pairs, to_str
+
+    import jax
+
+    from ema_tpu import config
+    from ema_tpu.core.pipeline import Aligner, ReadBatch
+    from ema_tpu.index import build_index
+
+    log(f"devices: {jax.devices()}")
+    rng = np.random.default_rng(2026)
+    t0 = time.time()
+    genome = rand_genome(rng, GENOME)
+    genome_str = to_str(genome)
+    idx = build_index({"chr1": genome}, sa_rate=8)
+    log(f"index built: {idx.n} bp in {time.time()-t0:.1f}s")
+
+    # ~50 pairs per barcode so the EM path engages (>=30-pair gate)
+    n_bc = max(N_PAIRS // 50, 1)
+    ids, bc_strs, bcs, s1, q1, s2, q2, truth = simulate_pairs(
+        rng, genome_str, n_barcodes=n_bc, frags_per_bc=(2, 4),
+        pairs_per_frag=(15, 25), frag_len=30_000, read_len=READ_LEN,
+        err=0.003)
+    n_pairs = len(ids)
+    log(f"simulated {n_pairs} pairs across {n_bc} barcodes")
+
+    cfg = config.RunConfig()
+    aligner = Aligner(idx, cfg)
+
+    def run(lo: int, hi: int) -> int:
+        batch = ReadBatch.from_pairs(
+            ids[lo:hi], bcs[lo:hi], s1[lo:hi], q1[lo:hi], s2[lo:hi],
+            q2[lo:hi])
+        return len(aligner.align_batch_to_sam(batch))
+
+    # warmup: trigger every compile shape
+    t0 = time.time()
+    run(0, WARMUP_PAIRS)
+    log(f"warmup ({WARMUP_PAIRS} pairs incl. compiles): "
+        f"{time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    n_lines = run(WARMUP_PAIRS, n_pairs)
+    dt = time.time() - t0
+    timed_pairs = n_pairs - WARMUP_PAIRS
+    pps = timed_pairs / dt
+    log(f"aligned {timed_pairs} pairs -> {n_lines} SAM records "
+        f"in {dt:.1f}s = {pps:.1f} pairs/s")
+
+    print(json.dumps({
+        "metric": "align_read_pairs_per_sec",
+        "value": round(pps, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(pps / BASELINE_PAIRS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

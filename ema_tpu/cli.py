@@ -139,7 +139,9 @@ def main(argv=None) -> int:
         from ema_tpu import io as io_mod
         from ema_tpu.core.pipeline import Aligner
         from ema_tpu.core.samout import write_sam_header
+        from ema_tpu.utils.backend import ensure_backend
 
+        ensure_backend()
         idx = _load_or_build_index(a.ref)
         cfg = config.RunConfig(platform=profile, read_group=rg,
                                bx_index=a.bx_index,

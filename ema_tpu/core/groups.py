@@ -78,8 +78,8 @@ def process_barcode_group(records: np.ndarray, idents: np.ndarray,
                           cloud_id_start: int = 0,
                           apply_opt: bool = False,
                           rng: Optional[np.random.Generator] = None,
-                          n_pairs_in_group: Optional[int] = None
-                          ) -> GroupResult:
+                          n_pairs_in_group: Optional[int] = None,
+                          use_device_em: bool = False) -> GroupResult:
     """Run clouds+EM+selection for all records of one barcode.
 
     records: RECORD_DTYPE array (all same bc); idents: per-record read-name
@@ -200,29 +200,34 @@ def process_barcode_group(records: np.ndarray, idents: np.ndarray,
     n_pairs = (n_pairs_in_group if n_pairs_in_group is not None
                else len({int(p) for p, _ in entry_keys}))
     if n_pairs >= config.MIN_PAIRS_FOR_EM:
-        # phase split: later-inserted member of each mate pair updates first
-        e_idx = np.arange(n_entries)
-        phase_b = (mate_entry >= 0) & (e_idx < mate_entry)   # earlier-inserted
-        phase_a = ~phase_b
         active = R["active"][cand_rec] & ~R["duplicate"][cand_rec] & cmask
         rec_chrom = R["chrom"][cand_rec]
         rec_pos = R["pos"][cand_rec]
         rec_rev = R["rev"][cand_rec]
         raw_score = R["score"][cand_rec]
 
-        for _ in range(config.EM_ITERS):
-            for phase in (phase_a, phase_b):
-                if not phase.any():
-                    continue
-                sel = np.nonzero(phase)[0]
-                gammas[sel] = _recompute_gammas(
-                    sel, gammas, weights, mate_entry, cand_cloud, cmask,
-                    rec_chrom, rec_pos, rec_rev, raw_score, many)
-            exp_cov[:] = 0.0
-            np.add.at(exp_cov, cand_cloud[active], gammas[active])
-            weights = exp_cov.copy()
-            if not many and n_clouds:
-                weights = _normalize_chains(weights, comp)
+        if use_device_em and n_entries:
+            gammas = _run_em_device(
+                raw_score, cmask, active, cand_cloud, rec_chrom, rec_pos,
+                rec_rev, mate_entry, comp, n_clouds, many)
+        else:
+            # phase split: later-inserted mate-pair member updates first
+            e_idx = np.arange(n_entries)
+            phase_b = (mate_entry >= 0) & (e_idx < mate_entry)
+            phase_a = ~phase_b
+            for _ in range(config.EM_ITERS):
+                for phase in (phase_a, phase_b):
+                    if not phase.any():
+                        continue
+                    sel = np.nonzero(phase)[0]
+                    gammas[sel] = _recompute_gammas(
+                        sel, gammas, weights, mate_entry, cand_cloud, cmask,
+                        rec_chrom, rec_pos, rec_rev, raw_score, many)
+                exp_cov[:] = 0.0
+                np.add.at(exp_cov, cand_cloud[active], gammas[active])
+                weights = exp_cov.copy()
+                if not many and n_clouds:
+                    weights = _normalize_chains(weights, comp)
 
     # --- selection (align.c:545-572, samdict.c:166-243) ------------------
     gamma_out = np.zeros(n, np.float64)
@@ -308,6 +313,36 @@ def process_barcode_group(records: np.ndarray, idents: np.ndarray,
         selected_mate=selected_mate,
         n_clouds=n_clouds,
     )
+
+
+def _run_em_device(raw_score, cmask, active, cand_cloud, rec_chrom, rec_pos,
+                   rec_rev, mate_entry, comp, n_clouds, many) -> np.ndarray:
+    """Run the EM iterations on device (ema_tpu.core.em_jax), G=1 batch."""
+    import jax.numpy as jnp
+
+    from ema_tpu.core import em_jax
+
+    nc = max(int(n_clouds), 1)
+    comp_full = np.arange(nc, dtype=np.int32) if many else np.asarray(
+        comp, np.int64).astype(np.int32)
+    if comp_full.shape[0] < nc:
+        comp_full = np.concatenate(
+            [comp_full, np.arange(comp_full.shape[0], nc, dtype=np.int32)])
+    inp = em_jax.EMInputs(
+        score=jnp.asarray(np.where(cmask, raw_score, 0.0)[None]),
+        cmask=jnp.asarray(cmask[None]),
+        active=jnp.asarray(active[None]),
+        cand_cloud=jnp.asarray(cand_cloud[None].astype(np.int32)),
+        rec_chrom=jnp.asarray(rec_chrom[None].astype(np.int32)),
+        rec_pos=jnp.asarray(rec_pos[None].astype(np.int32)),
+        rec_rev=jnp.asarray(rec_rev[None].astype(np.int32)),
+        mate_entry=jnp.asarray(mate_entry[None].astype(np.int32)),
+        emask=jnp.asarray(np.ones((1, cmask.shape[0]), bool)),
+        comp=jnp.asarray(comp_full[None]),
+        run_em=jnp.asarray(np.ones(1, bool)),
+    )
+    gammas, _ = em_jax.em_run(inp, many=many)
+    return np.asarray(gammas[0], dtype=np.float64)
 
 
 def _normalize_chains(weights: np.ndarray, comp: np.ndarray) -> np.ndarray:

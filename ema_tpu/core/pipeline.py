@@ -41,6 +41,16 @@ WINDOW_PAD = 24          # slack around the chain diagonal for the SW window
 CIGAR_CAP = 16           # max candidates per oriented read taking traceback
 MAX_CIGAR_OPS = 64
 
+# shape-bucketing granularity: device calls are padded up to these multiples
+# so XLA compiles a handful of program shapes instead of one per batch
+ROW_BUCKET = 256         # oriented-read rows (seeding)
+CAND_BUCKET = 512        # candidate pairs (SW scoring)
+WIN_BUCKET = 64          # SW ref-window width
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
 
 @dataclasses.dataclass
 class ReadBatch:
@@ -124,19 +134,27 @@ class Aligner:
         oriented = np.concatenate([codes, rc], axis=0)
         olens = np.concatenate([lens, lens])
 
-        # --- device: seed + locate ------------------------------------
+        # --- device: seed ------------------------------------------------
+        # rows padded to a bucket size so XLA reuses compiled programs
+        n_rows = oriented.shape[0]
+        rows_pad = _round_up(max(n_rows, 1), ROW_BUCKET)
+        opad = np.full((rows_pad, L), 4, np.uint8)
+        opad[:n_rows] = oriented
+        lpad = np.zeros(rows_pad, np.int32)
+        lpad[:n_rows] = olens
         s_lo, s_hi, s_qb, s_len, n_seeds = fmindex.seed_reads(
-            self.fma, jnp.asarray(oriented), jnp.asarray(olens),
+            self.fma, jnp.asarray(opad), jnp.asarray(lpad),
             max_seeds=16, min_seed_len=params.seed_len)
-        rows, hvalid = fmindex.expand_seed_hits(
-            s_lo, s_hi, params.max_hits_per_seed)
-        hpos = np.asarray(fmindex.locate(self.fma, rows))
-        hvalid = np.asarray(hvalid)
 
-        # --- host: chain ----------------------------------------------
-        owner, qb, slen, hp = chaining.flatten_seed_hits(
-            hpos, hvalid, np.asarray(s_qb), np.asarray(s_len),
-            np.asarray(n_seeds))
+        # --- host: compact seed hits; device: locate only real rows ------
+        # (one small stacked transfer; most SA intervals hold 1-2 rows, so
+        # locating the dense [B, S, K] expansion would be ~1000x wasted work)
+        seed_stack = np.asarray(jnp.stack(
+            [s_lo, s_hi, s_qb, s_len]))[:, :n_rows]
+        nsd = np.asarray(n_seeds)[:n_rows]
+        owner, qb, slen, rows_flat = _compact_seed_hits(
+            seed_stack, nsd, params.max_hits_per_seed)
+        hp = locate_rows_bucketed(self.fma, rows_flat)
         read_lens2 = olens.astype(np.int64)
         cands = chaining.chain_hits(
             owner, qb, slen, hp, 2 * n_reads, read_lens2, idx.n,
@@ -174,21 +192,30 @@ class Aligner:
 
     def _score_windows(self, oriented, olens, owners, win_lo, win_len):
         idx = self.index
-        if owners.shape[0] == 0:
+        N = owners.shape[0]
+        if N == 0:
             z = np.zeros(0, np.int32)
             return {"score": z, "qb": z, "qe": z, "ref_end": z}
-        Wmax = int(win_len.max())
-        wins = idx.text[np.minimum(
+        # bucket both the batch and window axes to bound compile shapes
+        Wmax = _round_up(int(win_len.max()), WIN_BUCKET)
+        Npad = _round_up(N, CAND_BUCKET)
+        wins = np.zeros((Npad, Wmax), np.uint8)
+        wins[:N] = idx.text[np.minimum(
             win_lo[:, None] + np.arange(Wmax)[None, :], idx.n - 1)]
-        reads = oriented[owners]
+        reads = np.full((Npad, oriented.shape[1]), 4, np.uint8)
+        reads[:N] = oriented[owners]
+        rlens = np.zeros(Npad, np.int32)
+        rlens[:N] = olens[owners]
+        wlens = np.zeros(Npad, np.int32)
+        wlens[:N] = win_len
         out = sw_score_batch(
-            jnp.asarray(reads), jnp.asarray(olens[owners]),
-            jnp.asarray(wins), jnp.asarray(win_len),
+            jnp.asarray(reads), jnp.asarray(rlens),
+            jnp.asarray(wins), jnp.asarray(wlens),
             match=self.cfg.aligner.match, mismatch=self.cfg.aligner.mismatch,
             gap_open=self.cfg.aligner.gap_open,
             gap_extend=self.cfg.aligner.gap_extend,
             clip=self.cfg.aligner.clip_penalty)
-        return {k: np.asarray(v) for k, v in out.items()}
+        return {k: np.asarray(v)[:N] for k, v in out.items()}
 
     def _rescue_windows(self, n_reads, olens, co, win_lo, sw_score, params):
         """Mate-rescue windows (reference pes = {-35, 500, 200, 100},
@@ -525,6 +552,51 @@ class Aligner:
                     0.0, 0, 0, None, rg_id, self.cfg.bx_index,
                     is_hap, bc_len))
         return lines
+
+
+HIT_BUCKET = 8192
+
+
+def _compact_seed_hits(seed_stack: np.ndarray, n_seeds: np.ndarray,
+                       max_hits: int):
+    """Dense per-seed SA intervals -> flat hit rows (host, vectorized).
+
+    seed_stack: int32 [4, B, S] of (lo, hi, qb, len).  Intervals wider than
+    ``max_hits`` are evenly sampled (BWA max_occ capping, src/align.c:185).
+    Returns (owner [H], qb [H], seed_len [H], sa_rows [H]) int64 arrays.
+    """
+    s_lo, s_hi, s_qb, s_len = (a.astype(np.int64) for a in seed_stack)
+    B, S = s_lo.shape
+    live = np.arange(S)[None, :] < n_seeds[:, None]
+    width = np.where(live, np.maximum(s_hi - s_lo, 0), 0)
+    take = np.minimum(width, max_hits)
+    b_idx, s_idx = np.nonzero(take)
+    take_f = take[b_idx, s_idx]
+    total = int(take_f.sum())
+    if total == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z, z
+    off = np.zeros(take_f.shape[0], np.int64)
+    np.cumsum(take_f[:-1], out=off[1:])
+    rep = np.repeat(np.arange(take_f.shape[0]), take_f)
+    i_loc = np.arange(total, dtype=np.int64) - off[rep]
+    w = width[b_idx, s_idx][rep]
+    t = take_f[rep]
+    rows = s_lo[b_idx, s_idx][rep] + np.where(w > t, (i_loc * w) // t, i_loc)
+    return (b_idx[rep].astype(np.int64), s_qb[b_idx, s_idx][rep],
+            s_len[b_idx, s_idx][rep], rows)
+
+
+def locate_rows_bucketed(fma, rows: np.ndarray) -> np.ndarray:
+    """Device locate over a flat row list, padded to HIT_BUCKET multiples."""
+    H = rows.shape[0]
+    if H == 0:
+        return np.zeros(0, np.int64)
+    Hp = _round_up(H, HIT_BUCKET)
+    rp = np.zeros(Hp, np.int32)
+    rp[:H] = rows
+    return np.asarray(fmindex.locate(fma, jnp.asarray(rp)))[:H].astype(
+        np.int64)
 
 
 def _cigar_ref_len(cigars: np.ndarray, n_cigar: np.ndarray) -> np.ndarray:

@@ -4,10 +4,15 @@ The reference extends every candidate with BWA's banded SW on the host
 (mem_align1_core / mem_reg2aln — src/bwabridge.c:236-237, 301-311).  Here
 *scoring* for all candidates runs on TPU as one batched wavefront: a
 ``lax.scan`` over anti-diagonals where each step updates [B, m+1] state
-vectors on the VPU — no data-dependent control flow, thousands of candidate
-(read, window) pairs in flight.  Only filter survivors take the host C++
-traceback path for CIGARs (ema_tpu.native.align_batch), exactly mirroring
-the reference's shape: cheap scoring for many, full DP for few.
+vectors on the VPU.  Only filter survivors take the host C++ traceback
+path for CIGARs (ema_tpu.native.align_batch), exactly mirroring the
+reference's shape: cheap scoring for many, full DP for few.
+
+TPU shaping: each scan step is pure elementwise math on [B, m+1] lanes —
+the anti-diagonal of the reference window is *rolled* through a carried
+vector (one dynamic_slice + shift per step) instead of gathered, and the
+best cell is tracked per read-row (elementwise max) with a single argmax
+after the scan, so no step does a gather or a cross-lane reduction.
 
 Semantics are identical to native align_one (same recurrences, clip
 penalty, N handling), so kernel scores and the C++ CIGARs agree; tests
@@ -47,11 +52,8 @@ def sw_score_batch(reads: jax.Array, read_lens: jax.Array,
     goe = gap_open + gap_extend
 
     # i indexes read rows 0..m (row 0 = virtual start row), diag d = i + j.
-    # State vectors are indexed by i.
     i_idx = jnp.arange(m + 1, dtype=jnp.int32)                   # [m+1]
 
-    # H rows at d-1 and d-2; V (gap-in-ref, vertical) at d-1; D at d-1.
-    # Start-of-alignment read position rides along every state (SH/SV/SD).
     def init_vec(fill):
         return jnp.full((B, m + 1), fill, jnp.int32)
 
@@ -61,38 +63,50 @@ def sw_score_batch(reads: jax.Array, read_lens: jax.Array,
     V1 = init_vec(NEG)
     D1 = init_vec(NEG)
     S_H1 = init_vec(0)
+    S_H2 = init_vec(0)
     S_V1 = init_vec(0)
     S_D1 = init_vec(0)
 
-    best = jnp.full((B,), NEG, jnp.int32)
-    best_i = jnp.zeros((B,), jnp.int32)
-    best_j = jnp.zeros((B,), jnp.int32)
-    best_s = jnp.zeros((B,), jnp.int32)
+    # per-row best trackers (reduced once after the scan)
+    bestv = init_vec(NEG)      # best clip-adjusted score ending at row i
+    bestd = init_vec(0)        # diagonal d of that best
+    bests = init_vec(0)        # alignment start read-pos of that best
 
     read_pad = jnp.pad(reads, ((0, 0), (1, 0)), constant_values=4)  # 1-based
-    # refs padded so the reversed diagonal gather below is always in-bounds
-    ref_pad = jnp.pad(refs, ((0, 0), (m + 1, 1)), constant_values=5)
+    # ref padded on the right so column d-1 is always in-bounds (code 5
+    # never matches)
+    ref_pad = jnp.pad(refs, ((0, 0), (0, m + 1)), constant_values=5)
+    rdiag0 = init_vec(5)       # rdiag[i] == ref[d-1-i], rolled each step
 
-    def shift_down(x, fill=NEG):
+    valid_i = (i_idx[None, :] >= 1) & (i_idx[None, :] <= read_lens[:, None])
+    end_adj = jnp.where(i_idx[None, :] == read_lens[:, None], 0, -clip)
+    # fresh start at row i begins the alignment at read pos i-1;
+    # clipping i-1 leading bases costs 0 when i == 1 else `clip`
+    fresh = jnp.where(i_idx[None, :] == 1, 0, -clip)
+    fresh_sh = i_idx[None, :] - 1
+    rl = ref_lens[:, None]
+
+    def shift_down(x, fill):
         """x[i] -> x[i-1] (value for index i comes from i-1)."""
-        return jnp.concatenate(
-            [jnp.full((B, 1), fill, jnp.int32), x[:, :-1]], axis=1)
+        return jnp.concatenate([fill, x[:, :-1]], axis=1)
 
-    # the diagonal path needs the start-tracker at d-2 too
-    S_H2 = init_vec(0)
+    negcol = jnp.full((B, 1), NEG, jnp.int32)
+    zerocol = jnp.zeros((B, 1), jnp.int32)
 
-    def step2(carry, d):
-        (H1, H2, V1, D1, S_H1, S_H2, S_V1, S_D1,
-         best, best_i, best_j, best_s) = carry
+    def step(carry, d):
+        (H1, H2, V1, D1, S_H1, S_H2, S_V1, S_D1, rdiag,
+         bestv, bestd, bests) = carry
         j_idx = d - i_idx[None, :]
-        valid = (i_idx[None, :] >= 1) & (j_idx >= 1) \
-            & (i_idx[None, :] <= read_lens[:, None]) \
-            & (j_idx <= ref_lens[:, None])
+        valid = valid_i & (j_idx >= 1) & (j_idx <= rl)
 
-        H1_up = shift_down(H1)
-        V1_up = shift_down(V1)
-        SH1_up = shift_down(S_H1, 0)
-        SV1_up = shift_down(S_V1, 0)
+        # roll the ref anti-diagonal: rdiag[i] = ref[d-1-i]
+        col = jax.lax.dynamic_slice_in_dim(ref_pad, d - 1, 1, axis=1)
+        rdiag = shift_down(rdiag, col)
+
+        H1_up = shift_down(H1, negcol)
+        V1_up = shift_down(V1, negcol)
+        SH1_up = shift_down(S_H1, zerocol)
+        SV1_up = shift_down(S_V1, zerocol)
         v_open = H1_up - goe
         v_ext = V1_up - gap_extend
         V = jnp.maximum(v_open, v_ext)
@@ -103,22 +117,13 @@ def sw_score_batch(reads: jax.Array, read_lens: jax.Array,
         D = jnp.maximum(d_open, d_ext)
         S_D = jnp.where(d_open >= d_ext, S_H1, S_D1)
 
-        H2_up = shift_down(H2)
-        SH2_up = shift_down(S_H2, 0)
+        H2_up = shift_down(H2, negcol)
+        SH2_up = shift_down(S_H2, zerocol)
 
         # substitution score at cell (i, j=d-i): read[i-1] vs ref[j-1]
-        # read_pad[:, i] = reads[:, i-1]; ref_pad left-padded by m+1 so
-        # refs[:, d-i-1] = ref_pad[:, m+d-i] (a reversed diagonal gather)
-        rb = read_pad
-        ref_idx = jnp.clip(m + d - i_idx[None, :], 0, ref_pad.shape[1] - 1)
-        cb = jnp.take_along_axis(ref_pad, jnp.broadcast_to(ref_idx, (B, m + 1)), axis=1)
-        sub = jnp.where((rb >= 4) | (cb >= 4), -1,
-                        jnp.where(rb == cb, match, -mismatch))
+        sub = jnp.where((read_pad >= 4) | (rdiag >= 4), -1,
+                        jnp.where(read_pad == rdiag, match, -mismatch))
 
-        # fresh start at row i begins the alignment at read pos i-1;
-        # clipping i-1 leading bases costs 0 when i == 1 else `clip`
-        fresh = jnp.where(i_idx[None, :] == 1, 0, -clip)
-        fresh_sh = i_idx[None, :] - 1    # start read position marker
         diag_base = jnp.maximum(H2_up, fresh)
         diag_s = jnp.where(H2_up >= fresh, SH2_up, fresh_sh)
         Hdiag = diag_base + sub
@@ -130,32 +135,34 @@ def sw_score_batch(reads: jax.Array, read_lens: jax.Array,
         V = jnp.where(valid, V, NEG)
         D = jnp.where(valid, D, NEG)
 
-        # track best with end-clip adjustment
-        end_adj = jnp.where(i_idx[None, :] == read_lens[:, None], 0, -clip)
+        # track best with end-clip adjustment (per row; reduce after scan)
         cand = jnp.where(valid, H + end_adj, NEG)
-        row_best = jnp.argmax(cand, axis=1).astype(jnp.int32)
-        row_val = jnp.take_along_axis(cand, row_best[:, None], axis=1)[:, 0]
-        improve = row_val > best
-        best = jnp.where(improve, row_val, best)
-        best_i = jnp.where(improve, row_best, best_i)
-        best_j = jnp.where(improve, d - row_best, best_j)
-        best_s = jnp.where(
-            improve,
-            jnp.take_along_axis(S_H, row_best[:, None], axis=1)[:, 0],
-            best_s)
+        improve = cand > bestv
+        bestv = jnp.where(improve, cand, bestv)
+        bestd = jnp.where(improve, d, bestd)
+        bests = jnp.where(improve, S_H, bests)
 
-        return (H, H1, V, D, S_H, S_H1, S_V, S_D,
-                best, best_i, best_j, best_s), None
+        return (H, H1, V, D, S_H, S_H1, S_V, S_D, rdiag,
+                bestv, bestd, bests), None
 
-    carry = (H1, H2, V1, D1, S_H1, S_H2, S_V1, S_D1,
-             best, best_i, best_j, best_s)
-    carry, _ = jax.lax.scan(step2, carry,
+    carry = (H1, H2, V1, D1, S_H1, S_H2, S_V1, S_D1, rdiag0,
+             bestv, bestd, bests)
+    carry, _ = jax.lax.scan(step, carry,
                             jnp.arange(1, m + n + 1, dtype=jnp.int32))
-    (_, _, _, _, _, _, _, _, best, best_i, best_j, best_s) = carry
+    bestv, bestd, bests = carry[-3:]
+
+    # final reduction: best row; ties at equal score pick the smallest
+    # diagonal then the smallest row, matching the ascending-d sweep
+    maxv = jnp.max(bestv, axis=1, keepdims=True)
+    tie = jnp.where(bestv == maxv, (m + n + 1) - bestd, -1)
+    bi = jnp.argmax(tie, axis=1).astype(jnp.int32)
+    best = jnp.take_along_axis(bestv, bi[:, None], axis=1)[:, 0]
+    bd = jnp.take_along_axis(bestd, bi[:, None], axis=1)[:, 0]
+    bs = jnp.take_along_axis(bests, bi[:, None], axis=1)[:, 0]
 
     return {
         "score": best,
-        "qb": best_s,
-        "qe": best_i,
-        "ref_end": best_j,   # 1-based window col of last aligned ref base
+        "qb": bs,
+        "qe": bi,
+        "ref_end": bd - bi,   # 1-based window col of last aligned ref base
     }

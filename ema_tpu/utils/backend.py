@@ -1,0 +1,32 @@
+"""JAX backend guard: retry flaky accelerator init, fall back to CPU.
+
+The attached-TPU tunnel admits one client at a time; back-to-back CLI
+invocations (e.g. a shell loop over buckets, the reference's own
+orchestration style — README.md:127-130) can race a predecessor's
+teardown.  ``ensure_backend`` retries briefly and then falls back to
+whatever platform initializes, so an align job never dies on a transient
+backend error.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+
+def ensure_backend(retries: int = 3, delay_s: float = 3.0):
+    """Return jax.devices(), retrying init and falling back to CPU."""
+    import jax
+
+    last = None
+    for i in range(retries):
+        try:
+            return jax.devices()
+        except RuntimeError as e:      # backend failed to initialize
+            last = e
+            if i + 1 < retries:
+                time.sleep(delay_s)
+    sys.stderr.write(f"ema_tpu: accelerator init failed ({last}); "
+                     "falling back to any available platform\n")
+    jax.config.update("jax_platforms", "")
+    return jax.devices()

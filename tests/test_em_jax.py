@@ -1,0 +1,85 @@
+"""Device EM (em_jax) vs host EM (groups.py numpy) equivalence."""
+
+import numpy as np
+import pytest
+
+from ema_tpu import config
+from ema_tpu.core import groups
+from ema_tpu.core.em_jax import normalize_log_probs_jnp
+from ema_tpu.core.records import empty_records
+from ema_tpu.utils.logprobs import normalize_log_probs_batch
+
+
+def test_normalize_log_probs_jnp_matches_numpy():
+    rng = np.random.default_rng(0)
+    p = -rng.random((20, 7)) * 30
+    mask = rng.random((20, 7)) < 0.7
+    mask[0] = False                      # empty row
+    mask[1] = False
+    mask[1, 3] = True                    # single-candidate row
+    got = np.asarray(normalize_log_probs_jnp(p, mask))
+    want = normalize_log_probs_batch(p, mask)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-300)
+
+
+def _synthetic_group(rng, n_pairs=40, profile=None):
+    """Build a RECORD_DTYPE group with clouds, mates and multimaps."""
+    profile = profile or config.get_platform_profile("10x")
+    rows = []
+    idents = []
+    base_positions = rng.integers(1, 5, 4).cumsum() * 100_000
+    for p in range(n_pairs):
+        cluster = int(rng.integers(0, len(base_positions)))
+        anchor = int(base_positions[cluster]) + int(rng.integers(0, 20_000))
+        for mate in (0, 1):
+            n_cand = int(rng.integers(1, 4))
+            for c in range(n_cand):
+                pos = anchor + (200 if mate else 0) + c * int(
+                    rng.integers(0, 2_000_000, 1)[0] if c else 0)
+                rows.append((p, mate, 0, max(pos, 1),
+                             int(rng.integers(0, 2)),
+                             -float(rng.random() * 8)))
+                idents.append(f"r{p}")
+    recs = empty_records(len(rows))
+    for i, (p, mate, chrom, pos, rev, score) in enumerate(rows):
+        recs["pair"][i] = p
+        recs["mate"][i] = mate
+        recs["chrom"][i] = chrom
+        recs["pos"][i] = pos
+        recs["rev"][i] = rev
+        recs["score"][i] = score
+        recs["bc"][i] = 42
+    return recs, np.array(idents, dtype=object), profile
+
+
+@pytest.mark.parametrize("platform", ["10x", "tru"])
+def test_device_em_matches_host(platform):
+    rng = np.random.default_rng(3)
+    profile = config.get_platform_profile(platform)
+    recs, idents, _ = _synthetic_group(rng, n_pairs=45, profile=profile)
+
+    host = groups.process_barcode_group(
+        recs.copy(), idents.copy(), profile, n_pairs_in_group=45,
+        use_device_em=False)
+    dev = groups.process_barcode_group(
+        recs.copy(), idents.copy(), profile, n_pairs_in_group=45,
+        use_device_em=True)
+
+    np.testing.assert_allclose(dev.gamma, host.gamma, rtol=1e-9, atol=1e-12)
+    assert dev.emit_pairs == host.emit_pairs
+    np.testing.assert_array_equal(dev.cloud_id, host.cloud_id)
+    np.testing.assert_array_equal(dev.records["duplicate"],
+                                  host.records["duplicate"])
+
+
+def test_device_em_small_group_skips_em():
+    rng = np.random.default_rng(9)
+    recs, idents, profile = _synthetic_group(rng, n_pairs=5)
+    host = groups.process_barcode_group(
+        recs.copy(), idents.copy(), profile, n_pairs_in_group=5,
+        use_device_em=False)
+    dev = groups.process_barcode_group(
+        recs.copy(), idents.copy(), profile, n_pairs_in_group=5,
+        use_device_em=True)
+    np.testing.assert_allclose(dev.gamma, host.gamma, rtol=1e-12)
+    assert dev.emit_pairs == host.emit_pairs
