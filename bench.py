@@ -70,18 +70,16 @@ def main() -> None:
             q2[lo:hi])
         return len(aligner.align_batch_to_sam(batch))
 
-    # warmup: trigger every compile shape
+    # warmup: one full pass triggers every compile shape
     t0 = time.time()
-    run(0, WARMUP_PAIRS)
-    log(f"warmup ({WARMUP_PAIRS} pairs incl. compiles): "
-        f"{time.time()-t0:.1f}s")
+    run(0, n_pairs)
+    log(f"warmup (full pass incl. compiles): {time.time()-t0:.1f}s")
 
     t0 = time.time()
-    n_lines = run(WARMUP_PAIRS, n_pairs)
+    n_lines = run(0, n_pairs)
     dt = time.time() - t0
-    timed_pairs = n_pairs - WARMUP_PAIRS
-    pps = timed_pairs / dt
-    log(f"aligned {timed_pairs} pairs -> {n_lines} SAM records "
+    pps = n_pairs / dt
+    log(f"aligned {n_pairs} pairs -> {n_lines} SAM records "
         f"in {dt:.1f}s = {pps:.1f} pairs/s")
 
     print(json.dumps({

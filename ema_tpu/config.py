@@ -154,4 +154,4 @@ class RunConfig:
     read_group: Optional[str] = "@RG\tID:rg1\tSM:sample1"
     bx_index: str = "1"
     seed: int = 0                       # RNG seed (reference -d uses time())
-    batch_size: int = 512               # read pairs per device batch
+    batch_size: int = 4096              # read pairs per device batch

@@ -19,8 +19,10 @@ stack in SURVEY.md §3.1):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, Iterator, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -50,6 +52,22 @@ WIN_BUCKET = 64          # SW ref-window width
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "w_max", "match", "mismatch", "gap_open", "gap_extend", "clip"))
+def _gather_score(text, oriented, olens, owners, win_lo, win_len, *,
+                  w_max, match, mismatch, gap_open, gap_extend, clip):
+    """Gather reads + ref windows on device, then batched SW scoring."""
+    n = text.shape[0]
+    reads = oriented[owners].astype(jnp.int32)
+    rlens = olens[owners]
+    cols = jnp.minimum(
+        win_lo[:, None] + jnp.arange(w_max, dtype=jnp.int32), n - 1)
+    wins = text[cols].astype(jnp.int32)
+    return sw_score_batch(reads, rlens, wins, win_len,
+                          match=match, mismatch=mismatch, gap_open=gap_open,
+                          gap_extend=gap_extend, clip=clip)
 
 
 @dataclasses.dataclass
@@ -112,6 +130,7 @@ class Aligner:
         self.index = index
         self.cfg = cfg or config.RunConfig()
         self.fma = fmindex.FMIndexArrays.from_index(index)
+        self.text_dev = jnp.asarray(index.text)   # device-resident genome
         self._cloud_id = 0
 
     # ------------------------------------------------------------------
@@ -135,15 +154,19 @@ class Aligner:
         olens = np.concatenate([lens, lens])
 
         # --- device: seed ------------------------------------------------
-        # rows padded to a bucket size so XLA reuses compiled programs
+        # rows padded to the full device-chunk shape so XLA compiles the
+        # seeding program exactly once (tail chunks reuse it)
         n_rows = oriented.shape[0]
-        rows_pad = _round_up(max(n_rows, 1), ROW_BUCKET)
+        full = 4 * self.cfg.batch_size
+        rows_pad = full if n_rows <= full else _round_up(n_rows, ROW_BUCKET)
         opad = np.full((rows_pad, L), 4, np.uint8)
         opad[:n_rows] = oriented
         lpad = np.zeros(rows_pad, np.int32)
         lpad[:n_rows] = olens
+        opad_dev = jnp.asarray(opad)
+        lpad_dev = jnp.asarray(lpad)
         s_lo, s_hi, s_qb, s_len, n_seeds = fmindex.seed_reads(
-            self.fma, jnp.asarray(opad), jnp.asarray(lpad),
+            self.fma, opad_dev, lpad_dev,
             max_seeds=16, min_seed_len=params.seed_len)
 
         # --- host: compact seed hits; device: locate only real rows ------
@@ -168,13 +191,13 @@ class Aligner:
         weight = cands.weight[co, ck]
 
         # --- device: score all candidate windows -----------------------
-        sw = self._score_windows(oriented, olens, co, win_lo, win_len)
+        sw = self._score_windows(opad_dev, lpad_dev, co, win_lo, win_len)
 
         # --- mate rescue ------------------------------------------------
         ro, rlo, rlen = self._rescue_windows(
             n_reads, olens, co, win_lo, sw["score"], params)
         if ro.shape[0]:
-            rsw = self._score_windows(oriented, olens, ro, rlo, rlen)
+            rsw = self._score_windows(opad_dev, lpad_dev, ro, rlo, rlen)
             min_rescue = params.min_seed_len * params.match
             keep_r = rsw["score"] >= min_rescue
             co = np.concatenate([co, ro[keep_r]])
@@ -190,8 +213,15 @@ class Aligner:
             batch, oriented, olens, n_reads, co, win_lo, win_len,
             seedcov, weight, sw, params)
 
-    def _score_windows(self, oriented, olens, owners, win_lo, win_len):
-        idx = self.index
+    def _score_windows(self, oriented_dev, olens_dev, owners, win_lo,
+                       win_len):
+        """Score candidate (read, window) pairs.
+
+        ``oriented_dev``/``olens_dev`` are the device-resident padded read
+        arrays from the seeding step; only the small per-candidate index
+        vectors cross the host->device boundary — reads and ref windows are
+        gathered on device (the genome lives in HBM, self.text_dev).
+        """
         N = owners.shape[0]
         if N == 0:
             z = np.zeros(0, np.int32)
@@ -199,22 +229,20 @@ class Aligner:
         # bucket both the batch and window axes to bound compile shapes
         Wmax = _round_up(int(win_len.max()), WIN_BUCKET)
         Npad = _round_up(N, CAND_BUCKET)
-        wins = np.zeros((Npad, Wmax), np.uint8)
-        wins[:N] = idx.text[np.minimum(
-            win_lo[:, None] + np.arange(Wmax)[None, :], idx.n - 1)]
-        reads = np.full((Npad, oriented.shape[1]), 4, np.uint8)
-        reads[:N] = oriented[owners]
-        rlens = np.zeros(Npad, np.int32)
-        rlens[:N] = olens[owners]
-        wlens = np.zeros(Npad, np.int32)
-        wlens[:N] = win_len
-        out = sw_score_batch(
-            jnp.asarray(reads), jnp.asarray(rlens),
-            jnp.asarray(wins), jnp.asarray(wlens),
-            match=self.cfg.aligner.match, mismatch=self.cfg.aligner.mismatch,
-            gap_open=self.cfg.aligner.gap_open,
-            gap_extend=self.cfg.aligner.gap_extend,
-            clip=self.cfg.aligner.clip_penalty)
+        own = np.zeros(Npad, np.int32)
+        own[:N] = owners
+        wlo = np.zeros(Npad, np.int32)
+        wlo[:N] = win_lo
+        wlen = np.zeros(Npad, np.int32)
+        wlen[:N] = win_len
+        p = self.cfg.aligner
+        out = _gather_score(
+            self.text_dev, oriented_dev, olens_dev,
+            jnp.asarray(own), jnp.asarray(wlo), jnp.asarray(wlen),
+            w_max=Wmax, match=p.match, mismatch=p.mismatch,
+            gap_open=p.gap_open, gap_extend=p.gap_extend,
+            clip=p.clip_penalty)
+        out = jax.device_get(out)
         return {k: np.asarray(v)[:N] for k, v in out.items()}
 
     def _rescue_windows(self, n_reads, olens, co, win_lo, sw_score, params):
@@ -310,15 +338,11 @@ class Aligner:
         if co.shape[0] == 0:
             return _empty_candidate_set()
 
-        # --- C++ traceback for survivors -------------------------------
+        # --- traceback for survivors: gapless shortcut + C++ DP ---------
         Wmax = int(win_len.max())
         wins = idx.text[np.minimum(
             win_lo[:, None] + np.arange(Wmax)[None, :], idx.n - 1)]
-        nat = native.align_batch(
-            oriented[co], olens[co], wins, win_len,
-            match=params.match, mismatch=params.mismatch,
-            gap_open=params.gap_open, gap_extend=params.gap_extend,
-            clip_penalty=params.clip_penalty, max_cigar=MAX_CIGAR_OPS)
+        nat = _traceback(oriented[co], olens[co], wins, win_len, sw, params)
 
         gpos = win_lo + nat["pos"]
         nm = nat["nm"].astype(np.int32)
@@ -499,6 +523,10 @@ class Aligner:
                 rg_id = self.cfg.read_group[at + 3:].split("\t")[0]
         is_hap = self.cfg.platform.name == "haplotag"
         bc_len = self.cfg.platform.bc_len or 16
+        from ema_tpu.utils.barcodes import decode_bc
+        bc_str = decode_bc(int(R["bc"][0]), bc_len, is_hap) if len(R) else ""
+        # 3-way-min mapq for the whole group in one vector op
+        mapqs = score_mod.final_mapq(res.gamma, R["score_mapq"], R["mapq"])
 
         def cigar_of(i):
             off = int(R["cig_off"][i])
@@ -533,7 +561,8 @@ class Aligner:
                 cigar_of(b) if b >= 0 else None,
                 float(res.gamma[a]), int(res.cloud_id[a]),
                 int(res.cloud_bad[a]), alt_of(a),
-                rg_id, self.cfg.bx_index, is_hap, bc_len))
+                rg_id, self.cfg.bx_index, is_hap, bc_len,
+                mapq=int(mapqs[a]), bc_str=bc_str))
             if rb is not None:
                 seq_b, qual_b = read_of(b)
                 lines.append(samout.format_record(
@@ -542,7 +571,8 @@ class Aligner:
                     seq_b, qual_b, cigar_of(b), cigar_of(a),
                     float(res.gamma[b]), int(res.cloud_id[b]),
                     int(res.cloud_bad[b]), alt_of(b),
-                    rg_id, self.cfg.bx_index, is_hap, bc_len))
+                    rg_id, self.cfg.bx_index, is_hap, bc_len,
+                    mapq=int(mapqs[b]), bc_str=bc_str))
             else:
                 # unmapped mate record (samrecord.c:157-174)
                 r = int(ra["pair"]) * 2 + (1 - int(ra["mate"]))
@@ -550,11 +580,84 @@ class Aligner:
                     None, ra, ident, "*", names[int(ra["chrom"])],
                     batch.seqs[r], batch.quals[r], None, cigar_of(a),
                     0.0, 0, 0, None, rg_id, self.cfg.bx_index,
-                    is_hap, bc_len))
+                    is_hap, bc_len, bc_str=bc_str))
         return lines
 
 
 HIT_BUCKET = 8192
+
+
+def _traceback(reads: np.ndarray, rlens: np.ndarray, wins: np.ndarray,
+               win_len: np.ndarray, sw: Dict[str, np.ndarray],
+               params) -> Dict[str, np.ndarray]:
+    """CIGAR/NM for scored candidates; gapless ones bypass the C++ DP.
+
+    The SW kernel already pinned each candidate's optimal cell
+    (qb, qe, ref_end).  If the gapless alignment of read[qb:qe] at that
+    cell reproduces the kernel score exactly, the full DP would pick the
+    same path (its tie-breaking prefers the diagonal), so the CIGAR is
+    just S/M/S and NM is a vectorized base compare — with indel rate
+    ~1e-4 (align.h:70) this skips the DP for ~99% of candidates.  The
+    rest (true indels) go to native.align_batch.
+    """
+    N = reads.shape[0]
+    qb, qe, ref_end = sw["qb"], sw["qe"], sw["ref_end"]
+    span = qe - qb
+    start = ref_end - span
+    ok = (span > 0) & (start >= 0) & (ref_end <= win_len)
+
+    t = np.arange(int(span.max()) if N else 1)
+    tv = t[None, :] < span[:, None]
+    r_idx = np.minimum(qb[:, None] + t[None, :], reads.shape[1] - 1)
+    w_idx = np.minimum(start[:, None] + t[None, :], wins.shape[1] - 1)
+    rb = np.take_along_axis(reads, r_idx, axis=1)
+    cb = np.take_along_axis(wins, w_idx, axis=1)
+    is_n = tv & (rb >= 4)
+    mism = tv & ~is_n & (rb != cb)
+    mtch = tv & ~is_n & (rb == cb)
+    n_n = is_n.sum(axis=1)
+    n_mis = mism.sum(axis=1)
+    n_mat = mtch.sum(axis=1)
+    score_hyp = (params.match * n_mat - params.mismatch * n_mis - n_n
+                 - params.clip_penalty * ((qb > 0).astype(np.int64)
+                                          + (qe < rlens).astype(np.int64)))
+    gapless = ok & (score_hyp == sw["score"])
+
+    out = {
+        "score": sw["score"].astype(np.int32),
+        "pos": start.astype(np.int32),
+        "qb": qb.astype(np.int32),
+        "qe": qe.astype(np.int32),
+        "nm": (n_mis + n_n).astype(np.int32),
+        "n_cigar": np.zeros(N, np.int32),
+        "cigars": np.zeros((N, MAX_CIGAR_OPS), np.uint32),
+    }
+    # assemble S/M/S cigars for the gapless set
+    g = np.nonzero(gapless)[0]
+    if g.shape[0]:
+        lead = qb[g] > 0
+        tail = qe[g] < rlens[g]
+        nc = np.zeros(g.shape[0], np.int64)
+        out["cigars"][g[lead], 0] = (qb[g[lead]].astype(np.uint32) << 4) | 4
+        nc += lead
+        out["cigars"][g, nc] = (span[g].astype(np.uint32) << 4) | 0
+        nc += 1
+        out["cigars"][g[tail], nc[tail]] = (
+            (rlens[g[tail]] - qe[g[tail]]).astype(np.uint32) << 4) | 4
+        nc += tail
+        out["n_cigar"][g] = nc
+
+    rest = np.nonzero(~gapless)[0]
+    if rest.shape[0]:
+        nat = native.align_batch(
+            reads[rest], rlens[rest], wins[rest], win_len[rest],
+            match=params.match, mismatch=params.mismatch,
+            gap_open=params.gap_open, gap_extend=params.gap_extend,
+            clip_penalty=params.clip_penalty, max_cigar=MAX_CIGAR_OPS)
+        for k in ("score", "pos", "qb", "qe", "nm", "n_cigar"):
+            out[k][rest] = nat[k]
+        out["cigars"][rest] = nat["cigars"]
+    return out
 
 
 def _compact_seed_hits(seed_stack: np.ndarray, n_seeds: np.ndarray,

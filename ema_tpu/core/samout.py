@@ -27,7 +27,7 @@ SAM_2ND_IN_PAIR = 128
 SAM_READ_IS_A_DUP = 1024
 
 _CIGAR_OPS = "MIDSS"   # op 3 (H) printed as S — samrecord.c:187
-_COMP = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+_COMP_TABLE = str.maketrans("ACGTNacgtn", "TGCANtgcan")
 
 
 def write_sam_header(chrom_names, chrom_lens, rg: Optional[str],
@@ -57,7 +57,7 @@ def _ref_len(cigar_ops: np.ndarray) -> int:
 
 
 def revcomp(seq: str) -> str:
-    return "".join(_COMP.get(c, "N") for c in reversed(seq))
+    return seq.translate(_COMP_TABLE)[::-1]
 
 
 def format_g(x: float) -> str:
@@ -73,7 +73,9 @@ def format_record(rec, mate, ident: str, chrom_name: str,
                   gamma: float, cloud_id: int, cloud_bad: int,
                   alt: Optional[dict],
                   rg_id: Optional[str], bx_index: str,
-                  is_haplotag: bool, bc_len: int) -> str:
+                  is_haplotag: bool, bc_len: int,
+                  mapq: Optional[int] = None,
+                  bc_str: Optional[str] = None) -> str:
     """Format one SAM line.
 
     ``rec``/``mate`` are RECORD_DTYPE rows or None (one side may be
@@ -83,16 +85,15 @@ def format_record(rec, mate, ident: str, chrom_name: str,
     flag = SAM_READ_PAIRED
     chrom = "*"
     pos = 0
-    mapq = 0
 
     if rec is not None:
         chrom = chrom_name
         pos = int(rec["pos"])
         bc = int(rec["bc"])
-        g_mapq_in = gamma
-        mapq = int(score_mod.final_mapq(
-            np.array([gamma]), np.array([rec["score_mapq"]]),
-            np.array([rec["mapq"]]))[0])
+        if mapq is None:
+            mapq = int(score_mod.final_mapq(
+                np.array([gamma]), np.array([rec["score_mapq"]]),
+                np.array([rec["mapq"]]))[0])
         if rec["rev"]:
             flag |= SAM_READ_REVERSED
         if rec["duplicate"]:
@@ -100,6 +101,7 @@ def format_record(rec, mate, ident: str, chrom_name: str,
         flag |= SAM_1ST_IN_PAIR if rec["mate"] == 0 else SAM_2ND_IN_PAIR
     else:
         bc = int(mate["bc"])
+        mapq = 0
         flag |= SAM_READ_UNMAPPED
         flag |= SAM_2ND_IN_PAIR if mate["mate"] == 0 else SAM_1ST_IN_PAIR
 
@@ -143,7 +145,8 @@ def format_record(rec, mate, ident: str, chrom_name: str,
     line = "\t".join(out)
 
     # tags
-    bc_str = decode_bc(bc, bc_len, is_haplotag)
+    if bc_str is None:
+        bc_str = decode_bc(bc, bc_len, is_haplotag)
     if rec is not None:
         bx = bc_str if is_haplotag else f"{bc_str}-{bx_index}"
         line += (f"\tNM:i:{int(rec['edit_dist'])}\tBX:Z:{bx}"
