@@ -113,6 +113,17 @@ def main(argv=None) -> int:
         ap.add_argument("-p", dest="platform", default="10x")
         ap.add_argument("-i", dest="bx_index", default="1")
         ap.add_argument("-t", dest="threads", type=int, default=1)
+        ap.add_argument("--shard", type=int, default=None,
+                        help="this host's shard id (0-based)")
+        ap.add_argument("--nshards", type=int, default=None,
+                        help="total hosts; buckets are hashed across them")
+        ap.add_argument("--manifest", default=None,
+                        help="JSONL progress manifest; completed buckets "
+                             "are skipped on resume (-x mode)")
+        ap.add_argument("--profile", default=None,
+                        help="write a jax.profiler trace to this dir")
+        ap.add_argument("--sort", action="store_true",
+                        help="coordinate-sort the output SAM body")
         ap.add_argument("inputs", nargs="*")
         a = ap.parse_args(rest)
 
@@ -136,37 +147,102 @@ def main(argv=None) -> int:
             sys.stderr.write(f"error: invalid platform name: '{a.platform}'\n")
             return 1
 
+        import time
+
         from ema_tpu import io as io_mod
         from ema_tpu.core.pipeline import Aligner
         from ema_tpu.core.samout import write_sam_header
         from ema_tpu.utils.backend import ensure_backend
+        from ema_tpu.utils.metrics import Metrics, device_trace
 
         ensure_backend()
-        idx = _load_or_build_index(a.ref)
+        met = Metrics()
+        with met.stage("index_load"):
+            idx = _load_or_build_index(a.ref)
         cfg = config.RunConfig(platform=profile, read_group=rg,
                                bx_index=a.bx_index,
                                apply_density_opt=a.dens)
         aligner = Aligner(idx, cfg)
-        out = open(a.out, "w") if a.out else sys.stdout
         cmd = "ema_tpu align " + " ".join(rest)
-        out.write(write_sam_header(idx.names, idx.lengths, rg,
-                                   __version__, cmd))
-
+        header = write_sam_header(idx.names, idx.lengths, rg,
+                                  __version__, cmd)
         is_hap = profile.name == "haplotag"
-        if a.fqx:
-            batches = [io_mod.read_special_fastq(
-                a.fqx, is_hap, profile.bc_len or 16)]
-        elif a.multi:
-            batches = [io_mod.read_special_fastq(
-                p, is_hap, profile.bc_len or 16) for p in a.inputs]
-        else:
-            batches = [io_mod.read_fastq_pair(a.fq1, a.fq2, profile.name)]
+        bc_len = profile.bc_len or 16
 
-        for batch in batches:
-            for line in aligner.align_batch_to_sam(batch):
-                out.write(line)
-        if a.out:
-            out.close()
+        def align_one_input(path_or_pair, out_fh):
+            with met.stage("read_input"):
+                if path_or_pair[0] == "special":
+                    batch = io_mod.read_special_fastq(
+                        path_or_pair[1], is_hap, bc_len)
+                else:
+                    batch = io_mod.read_fastq_pair(
+                        path_or_pair[1], path_or_pair[2], profile.name)
+            n = 0
+            with met.stage("align", len(batch.ids)):
+                lines = aligner.align_batch_to_sam(batch)
+            if a.sort and not a.multi:
+                from ema_tpu.parallel.distrib import sort_sam_lines
+                lines = sort_sam_lines(lines, idx.names)
+            with met.stage("write_output"):
+                for line in lines:
+                    out_fh.write(line)
+                    n += 1
+            return n
+
+        with device_trace(a.profile):
+            if a.multi:
+                # -x: many buckets; shard across hosts, track progress,
+                # write per-bucket parts, concatenate at the end
+                from ema_tpu.parallel.distrib import buckets_for_host
+                from ema_tpu.utils.manifest import RunManifest
+
+                inputs = list(a.inputs)
+                if a.nshards:
+                    inputs = buckets_for_host(
+                        inputs, a.shard or 0, a.nshards)
+                man = RunManifest(a.manifest) if a.manifest else None
+                parts_dir = (a.out or "ema_out.sam") + ".parts"
+                os.makedirs(parts_dir, exist_ok=True)
+                parts = []
+                for p in inputs:
+                    part = os.path.join(
+                        parts_dir, os.path.basename(p) + ".sam")
+                    parts.append(part)
+                    if man is not None and man.is_done(p) \
+                            and os.path.exists(part):
+                        continue
+                    t0 = time.time()
+                    with open(part + ".tmp", "w") as fh:
+                        n = align_one_input(("special", p), fh)
+                    os.replace(part + ".tmp", part)
+                    if man is not None:
+                        man.mark_done(p, part, n, time.time() - t0)
+                out = open(a.out, "w") if a.out else sys.stdout
+                out.write(header)
+                if a.sort:
+                    # shard-level coordinate sort across all buckets
+                    from ema_tpu.parallel.distrib import sort_sam_lines
+                    body = []
+                    for part in parts:
+                        body.extend(open(part).readlines())
+                    out.writelines(sort_sam_lines(body, idx.names))
+                else:
+                    for part in parts:
+                        with open(part) as fh:
+                            for line in fh:
+                                out.write(line)
+                if a.out:
+                    out.close()
+            else:
+                out = open(a.out, "w") if a.out else sys.stdout
+                out.write(header)
+                if a.fqx:
+                    align_one_input(("special", a.fqx), out)
+                else:
+                    align_one_input(("pair", a.fq1, a.fq2), out)
+                if a.out:
+                    out.close()
+        met.report()
         return 0
 
     sys.stderr.write("error: unrecognized mode\n")

@@ -1,0 +1,128 @@
+"""Multi-host orchestration pieces: bucket hashing, shard merge, manifest,
+and a two-"host" sharded -x CLI run whose merged output equals the
+single-host run (SURVEY.md §4: shard-merge == single-host result)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ema_tpu.parallel.distrib import (
+    allreduce_counts, buckets_for_host, merge_sorted_shards, shard_path,
+    sort_sam_lines)
+from ema_tpu.utils.manifest import RunManifest
+
+
+def test_buckets_partition():
+    paths = [f"bin-{i:03d}" for i in range(17)]
+    got = []
+    for h in range(4):
+        part = buckets_for_host(paths, h, 4)
+        got.extend(part)
+    assert sorted(got) == sorted(paths)
+    assert len(set(got)) == len(paths)
+
+
+def test_allreduce_counts_single_process():
+    c = np.arange(10, dtype=np.int64)
+    np.testing.assert_array_equal(allreduce_counts(c), c)
+
+
+def test_shard_path():
+    assert shard_path("/x/out.sam", 3, 8) == "/x/out.shard03of08.sam"
+
+
+def _mk_line(name, chrom, pos):
+    return (f"{name}\t0\t{chrom}\t{pos}\t60\t5M\t=\t{pos}\t0\tACGTA\tIIIII\n")
+
+
+def test_sort_and_merge(tmp_path):
+    chroms = ["chr1", "chr2"]
+    rng = np.random.default_rng(0)
+    lines = [_mk_line(f"r{i}", chroms[int(rng.integers(0, 2))],
+                      int(rng.integers(1, 10000))) for i in range(200)]
+    all_sorted = sort_sam_lines(lines, chroms)
+
+    shard_files = []
+    for k in range(3):
+        part = sort_sam_lines(lines[k::3], chroms)
+        p = tmp_path / f"s{k}.sam"
+        p.write_text("@HD\tVN:1.3\n" + "".join(part))
+        shard_files.append(str(p))
+    out = str(tmp_path / "merged.sam")
+    n = merge_sorted_shards(shard_files, out, chroms, header="@HD\tVN:1.3\n")
+    assert n == 200
+    body = [ln for ln in open(out) if not ln.startswith("@")]
+    assert body == all_sorted
+
+
+def test_manifest_roundtrip(tmp_path):
+    mpath = str(tmp_path / "run.manifest")
+    out = tmp_path / "b0.sam"
+    out.write_text("x\n")
+    m = RunManifest(mpath)
+    assert not m.is_done("b0")
+    m.mark_done("b0", str(out), 10, 1.5)
+    assert m.is_done("b0")
+    m2 = RunManifest(mpath)          # reload from disk
+    assert m2.is_done("b0")
+    os.unlink(out)                   # missing output -> not done
+    assert not RunManifest(mpath).is_done("b0")
+
+
+def test_sharded_x_mode_equals_single(tmp_path):
+    """Two-shard -x run merged == single-host -x run (record multiset)."""
+    import sys
+
+    from ema_tpu import cli
+    from tests.simulate import rand_genome, simulate_pairs, to_str
+
+    rng = np.random.default_rng(5)
+    genome = rand_genome(rng, 60_000)
+    gs = to_str(genome)
+    fa = tmp_path / "ref.fa"
+    fa.write_text(">c1\n" + "\n".join(
+        gs[i:i + 70] for i in range(0, len(gs), 70)) + "\n")
+
+    ids, bc_strs, bcs, s1, q1, s2, q2, truth = simulate_pairs(
+        rng, gs, n_barcodes=6, frags_per_bc=(1, 2), pairs_per_frag=(4, 8),
+        frag_len=10_000, read_len=80, err=0.003)
+    # four bucket files in the special EMA-FASTQ format
+    buckets = []
+    by_bucket = {}
+    for i in range(len(ids)):
+        b = hash(bc_strs[i]) % 4
+        by_bucket.setdefault(b, []).append(i)
+    for b, idxs in sorted(by_bucket.items()):
+        p = tmp_path / f"ema-bin-{b:03d}"
+        with open(p, "w") as f:
+            for i in idxs:
+                f.write(f"{bc_strs[i]} {ids[i]} {s1[i]} {q1[i]} "
+                        f"{s2[i]} {q2[i]}\n")
+        buckets.append(str(p))
+
+    def run(args):
+        rc = cli.main(args)
+        assert rc == 0
+
+    single = str(tmp_path / "single.sam")
+    run(["align", "-r", str(fa), "-x", "-o", single] + buckets)
+
+    shards = []
+    for s in range(2):
+        out = str(tmp_path / f"shard{s}.sam")
+        run(["align", "-r", str(fa), "-x", "-o", out,
+             "--shard", str(s), "--nshards", "2", "--sort"] + buckets)
+        shards.append(out)
+    merged = str(tmp_path / "merged.sam")
+    merge_sorted_shards(shards, merged, ["c1"])
+
+    def body(p):
+        # MI (cloud id) is an arbitrary sequential id: it depends on which
+        # process saw the cloud first (like the reference's static
+        # cloud_id++, align.c:19-23) — normalize it away
+        import re
+        return sorted(re.sub(r"\tMI:i:\d+", "\tMI:i:*", ln)
+                      for ln in open(p) if not ln.startswith("@"))
+
+    assert body(merged) == body(single)
