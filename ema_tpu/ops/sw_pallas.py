@@ -1,0 +1,227 @@
+"""Pallas TPU kernel for the batched Smith-Waterman wavefront.
+
+Same recurrences and outputs as ema_tpu.ops.sw.sw_score_batch (the XLA
+scan version; see its docstring for the alignment semantics and the
+reference citations).  The Pallas version keeps all DP state vectors in
+VMEM for the whole anti-diagonal sweep — one kernel launch per batch tile
+instead of m+n XLA while-loop steps — and rolls the ref anti-diagonal
+through a carried vector (pltpu.roll), so the inner loop is pure VPU
+elementwise math on [TILE_B, LANES] int32 registers.
+
+Layout: reads [B, m] -> lanes hold read rows 0..m (m+1 <= LANES, padded
+to a multiple of 128); refs [B, n] live in VMEM and are sliced one column
+per diagonal.  Outputs pack (score, qb, qe, ref_end) into an [B, 8] int32
+block.
+
+The kernel is exact-equal to the scan version (tests assert array
+equality), so either path can serve any batch; dispatch prefers Pallas on
+TPU and falls back to the scan on CPU or on any compile failure.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ema_tpu.ops import sw as sw_scan
+
+NEG = -(1 << 28)
+TILE_B = 256
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(reads_ref, rlen_ref, refs_ref, nlen_ref, out_ref, *,
+            m, n, lanes, match, mismatch, gap_open, gap_extend, clip):
+    B = reads_ref.shape[0]
+    goe = gap_open + gap_extend
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, lanes), 1)   # i index
+    rl = rlen_ref[:, 0][:, None]
+    nl = nlen_ref[:, 0][:, None]
+
+    # read_pad[i] = read[i-1] (1-based), 4 at lane 0 / beyond m
+    reads = reads_ref[:].astype(jnp.int32)                       # [B, m]
+    read_pad = jnp.concatenate(
+        [jnp.full((B, 1), 4, jnp.int32), reads,
+         jnp.full((B, lanes - m - 1), 4, jnp.int32)], axis=1)
+    # ref columns are consumed via a left-rolling buffer whose lane 0 is
+    # always ref[d-1] (Mosaic only lowers 128-aligned dynamic lane slices)
+    n_pad = _round_up(n + 1, 128)
+    ref_roll0 = jnp.concatenate(
+        [refs_ref[:].astype(jnp.int32),
+         jnp.full((B, n_pad - n), 5, jnp.int32)], axis=1)
+    rlane0 = jax.lax.broadcasted_iota(jnp.int32, (B, n_pad), 1) == 0
+
+    valid_i = (lane >= 1) & (lane <= rl)
+    end_adj = jnp.where(lane == rl, 0, -clip)
+    fresh = jnp.where(lane == 1, 0, -clip)
+    fresh_sh = lane - 1
+
+    def shift_down(x, fill):
+        r = pltpu.roll(x, shift=1, axis=1)
+        return jnp.where(lane == 0, fill, r)
+
+    # derive loop-carry inits from a real input so Mosaic assigns them the
+    # same (non-replicated) layout the loop body produces
+    zero = jnp.concatenate(
+        [reads * 0, jnp.zeros((B, lanes - m), jnp.int32)], axis=1)
+    negv = zero + NEG
+    H1 = jnp.where(lane == 0, zero, negv)
+    carry0 = (H1, negv, negv, negv, zero, zero, zero, zero,
+              zero + 5,                             # rdiag
+              ref_roll0,
+              negv, zero, zero)                     # bestv, bestd, bests
+
+    def step(d, carry):
+        (H1, H2, V1, D1, S_H1, S_H2, S_V1, S_D1, rdiag, ref_roll,
+         bestv, bestd, bests) = carry
+        j_idx = d - lane
+        valid = valid_i & (j_idx >= 1) & (j_idx <= nl)
+
+        # lane-0 extraction as a masked reduction (replicated layout)
+        col = jnp.sum(jnp.where(rlane0, ref_roll, 0), axis=1,
+                      keepdims=True, dtype=jnp.int32)
+        rdiag = shift_down(rdiag, col)
+        ref_roll = pltpu.roll(ref_roll, shift=n_pad - 1, axis=1)
+
+        H1_up = shift_down(H1, NEG)
+        V1_up = shift_down(V1, NEG)
+        SH1_up = shift_down(S_H1, 0)
+        SV1_up = shift_down(S_V1, 0)
+        v_open = H1_up - goe
+        v_ext = V1_up - gap_extend
+        V = jnp.maximum(v_open, v_ext)
+        S_V = jnp.where(v_open >= v_ext, SH1_up, SV1_up)
+
+        d_open = H1 - goe
+        d_ext = D1 - gap_extend
+        D = jnp.maximum(d_open, d_ext)
+        S_D = jnp.where(d_open >= d_ext, S_H1, S_D1)
+
+        H2_up = shift_down(H2, NEG)
+        SH2_up = shift_down(S_H2, 0)
+
+        sub = jnp.where((read_pad >= 4) | (rdiag >= 4), -1,
+                        jnp.where(read_pad == rdiag, match, -mismatch))
+        diag_base = jnp.maximum(H2_up, fresh)
+        diag_s = jnp.where(H2_up >= fresh, SH2_up, fresh_sh)
+        Hdiag = diag_base + sub
+
+        H = jnp.maximum(jnp.maximum(Hdiag, D), V)
+        S_H = jnp.where(Hdiag >= jnp.maximum(D, V), diag_s,
+                        jnp.where(D >= V, S_D, S_V))
+        H = jnp.where(valid, H, NEG)
+        V = jnp.where(valid, V, NEG)
+        D = jnp.where(valid, D, NEG)
+
+        cand = jnp.where(valid, H + end_adj, NEG)
+        improve = cand > bestv
+        bestv = jnp.where(improve, cand, bestv)
+        bestd = jnp.where(improve, d, bestd)
+        bests = jnp.where(improve, S_H, bests)
+
+        return (H, H1, V, D, S_H, S_H1, S_V, S_D, rdiag, ref_roll,
+                bestv, bestd, bests)
+
+    carry = jax.lax.fori_loop(1, m + n + 1, step, carry0)
+    bestv, bestd, bests = carry[-3:]
+
+    maxv = jnp.max(bestv, axis=1, keepdims=True)
+    tie = jnp.where(bestv == maxv, (m + n + 1) - bestd, -1)
+    tiemax = jnp.max(tie, axis=1, keepdims=True)
+    # argmax = smallest lane among maxima (int argmax unsupported on TPU
+    # pallas; a masked min-reduction is equivalent)
+    bi = jnp.min(jnp.where(tie == tiemax, lane, lanes), axis=1)
+    best = maxv[:, 0]
+    bd = jnp.sum(jnp.where(lane == bi[:, None], bestd, 0), axis=1,
+                 dtype=jnp.int32)
+    bs = jnp.sum(jnp.where(lane == bi[:, None], bests, 0), axis=1,
+                 dtype=jnp.int32)
+
+    out_ref[:, 0] = best
+    out_ref[:, 1] = bs
+    out_ref[:, 2] = bi
+    out_ref[:, 3] = bd - bi
+    out_ref[:, 4:] = jnp.zeros((B, 4), jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "match", "mismatch", "gap_open", "gap_extend", "clip", "interpret"))
+def sw_score_batch_pallas(reads, read_lens, refs, ref_lens,
+                          match: int = 1, mismatch: int = 4,
+                          gap_open: int = 6, gap_extend: int = 1,
+                          clip: int = 5, interpret: bool = False):
+    """Pallas SW scorer; drop-in for sw.sw_score_batch."""
+    B, m = reads.shape
+    _, n = refs.shape
+    lanes = _round_up(m + 1, 128)
+    Bp = _round_up(max(B, 1), TILE_B)
+    if Bp != B:
+        pad = Bp - B
+        reads = jnp.pad(reads, ((0, pad), (0, 0)), constant_values=4)
+        refs = jnp.pad(refs, ((0, pad), (0, 0)), constant_values=5)
+        read_lens = jnp.pad(read_lens, (0, pad))
+        ref_lens = jnp.pad(ref_lens, (0, pad))
+
+    kernel = functools.partial(
+        _kernel, m=m, n=n, lanes=lanes, match=match, mismatch=mismatch,
+        gap_open=gap_open, gap_extend=gap_extend, clip=clip)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Bp // TILE_B,),
+        in_specs=[
+            pl.BlockSpec((TILE_B, m), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_B, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, 8), jnp.int32),
+        interpret=interpret,
+    )(reads.astype(jnp.int32), read_lens.astype(jnp.int32)[:, None],
+      refs.astype(jnp.int32), ref_lens.astype(jnp.int32)[:, None])
+
+    return {
+        "score": out[:B, 0],
+        "qb": out[:B, 1],
+        "qe": out[:B, 2],
+        "ref_end": out[:B, 3],
+    }
+
+
+_PALLAS_OK: dict = {}
+
+
+def sw_score_batch_auto(reads, read_lens, refs, ref_lens, **kw):
+    """Pallas on TPU with a one-time probe; scan fallback elsewhere."""
+    platform = reads.devices().pop().platform if hasattr(
+        reads, "devices") else jax.default_backend()
+    use_pallas = _PALLAS_OK.get(platform)
+    if use_pallas is None:
+        if platform not in ("tpu", "axon"):
+            use_pallas = False
+        else:
+            try:
+                sw_score_batch_pallas(
+                    jnp.zeros((8, 8), jnp.int32), jnp.full(8, 8, jnp.int32),
+                    jnp.zeros((8, 16), jnp.int32),
+                    jnp.full(8, 16, jnp.int32), **kw)
+                use_pallas = True
+            except Exception:   # pragma: no cover - compile probe
+                use_pallas = False
+        _PALLAS_OK[platform] = use_pallas
+    if use_pallas:
+        return sw_score_batch_pallas(reads, read_lens, refs, ref_lens, **kw)
+    return sw_scan.sw_score_batch(reads, read_lens, refs, ref_lens, **kw)

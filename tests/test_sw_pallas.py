@@ -1,0 +1,48 @@
+"""Pallas SW kernel == scan SW kernel (interpret mode on the CPU mesh)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ema_tpu.ops.sw import sw_score_batch
+from ema_tpu.ops.sw_pallas import sw_score_batch_pallas
+
+
+@pytest.mark.parametrize("seed,B,m,W", [(0, 16, 24, 48), (1, 8, 33, 80)])
+def test_pallas_equals_scan(seed, B, m, W):
+    rng = np.random.default_rng(seed)
+    reads = rng.integers(0, 4, (B, m)).astype(np.int32)
+    reads[rng.random((B, m)) < 0.05] = 4
+    rl = rng.integers(m // 2, m + 1, B).astype(np.int32)
+    refs = rng.integers(0, 4, (B, W)).astype(np.int32)
+    wl = rng.integers(10, W + 1, B).astype(np.int32)
+    for i in range(0, B, 2):                 # plant real alignments
+        L = int(rl[i])
+        s = int(rng.integers(0, W - L)) if W > L else 0
+        refs[i, s:s + L] = reads[i, :L]
+
+    a = sw_score_batch(jnp.asarray(reads), jnp.asarray(rl),
+                       jnp.asarray(refs), jnp.asarray(wl))
+    b = sw_score_batch_pallas(jnp.asarray(reads), jnp.asarray(rl),
+                              jnp.asarray(refs), jnp.asarray(wl),
+                              interpret=True)
+    for k in ("score", "qb", "qe", "ref_end"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                      err_msg=k)
+
+
+def test_pallas_zero_and_empty_rows():
+    B, m, W = 8, 16, 32
+    reads = np.full((B, m), 4, np.int32)       # all N
+    rl = np.full(B, m, np.int32)
+    rl[0] = 0                                   # zero-length read
+    refs = np.zeros((B, W), np.int32)
+    wl = np.full(B, W, np.int32)
+    wl[1] = 0                                   # zero-length window
+    out = sw_score_batch_pallas(jnp.asarray(reads), jnp.asarray(rl),
+                                jnp.asarray(refs), jnp.asarray(wl),
+                                interpret=True)
+    ref = sw_score_batch(jnp.asarray(reads), jnp.asarray(rl),
+                         jnp.asarray(refs), jnp.asarray(wl))
+    for k in ("score", "qb", "qe", "ref_end"):
+        np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(ref[k]))
