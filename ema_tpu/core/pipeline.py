@@ -277,66 +277,59 @@ class Aligner:
         return {k: np.asarray(v)[:N] for k, v in out.items()}
 
     def _rescue_windows(self, n_reads, olens, co, win_lo, sw_score, params):
-        """Mate-rescue windows (reference pes = {-35, 500, 200, 100},
-        FR orientation only — bwabridge.c:213-231)."""
-        ros, rlos, rhis = [], [], []
+        """Mate-rescue windows, fully vectorized (reference
+        pes = {-35, 500, 200, 100}, FR orientation only —
+        bwabridge.c:213-231)."""
         if co.shape[0] == 0:
             return (np.zeros(0, np.int64),) * 3
+        olens = olens.astype(np.int64)
         # best score per oriented read
         best = np.zeros(2 * n_reads, np.int64)
         np.maximum.at(best, co, sw_score)
 
         # candidate anchor ~ window start + pad
         anchor = win_lo + WINDOW_PAD
-        good = sw_score >= best[co] - params.rescue_score_delta
+        good = np.nonzero(sw_score >= best[co] - params.rescue_score_delta)[0]
         pad2 = WINDOW_PAD
 
-        for i in np.nonzero(good)[0]:
-            r = int(co[i])                      # oriented index
-            fwd = r < n_reads
-            read = r if fwd else r - n_reads
-            pair, mate = divmod(read, 2)
-            mread = pair * 2 + (1 - mate)
-            # FR: mate aligns in the opposite orientation
-            mo = mread + (n_reads if fwd else 0)
-            g = int(anchor[i])
-            lb = int(olens[mread])
-            if fwd:
-                lo = g + params.pes_low - pad2
-                hi = g + params.pes_high + lb + pad2
-            else:
-                g_end = g + int(olens[read])
-                lo = g_end - params.pes_high - lb - pad2
-                hi = g_end - params.pes_low + pad2
-            ros.append(mo)
-            rlos.append(max(lo, 0))
-            rhis.append(min(hi, self.index.n))
-        if not ros:
-            return (np.zeros(0, np.int64),) * 3
-        ro = np.array(ros, np.int64)
-        rlo = np.array(rlos, np.int64)
-        rlen = (np.array(rhis, np.int64) - rlo).astype(np.int32)
+        r = co[good]
+        fwd = r < n_reads
+        read = np.where(fwd, r, r - n_reads)
+        pair, mate = read // 2, read % 2
+        mread = pair * 2 + (1 - mate)
+        # FR: mate aligns in the opposite orientation
+        ro = mread + np.where(fwd, n_reads, 0)
+        g = anchor[good]
+        lb = olens[mread]
+        g_end = g + olens[read]
+        lo = np.where(fwd, g + params.pes_low - pad2,
+                      g_end - params.pes_high - lb - pad2)
+        hi = np.where(fwd, g + params.pes_high + lb + pad2,
+                      g_end - params.pes_low + pad2)
+        lo = np.maximum(lo, 0)
+        hi = np.minimum(hi, self.index.n)
+        rlen = (hi - lo).astype(np.int32)
         ok = rlen > params.min_seed_len
-        ro, rlo, rlen = ro[ok], rlo[ok], rlen[ok]
+        ro, rlo, rlen = ro[ok].astype(np.int64), lo[ok], rlen[ok]
+        if ro.shape[0] == 0:
+            return (np.zeros(0, np.int64),) * 3
 
-        # dedupe: skip a rescue whose window center already has a candidate
-        # for the same oriented read (within band)
-        existing = {}
-        for i in range(co.shape[0]):
-            existing.setdefault(int(co[i]), []).append(int(win_lo[i]))
-        keep = np.ones(ro.shape[0], bool)
-        for i in range(ro.shape[0]):
-            for w in existing.get(int(ro[i]), ()):  # pragma: no branch
-                if rlo[i] - 600 <= w <= rlo[i] + int(rlen[i]):
-                    keep[i] = False
-                    break
-        # also dedupe identical rescue windows
-        seen = set()
-        for i in range(ro.shape[0]):
-            key = (int(ro[i]), int(rlo[i]) // 64)
-            if key in seen:
-                keep[i] = False
-            seen.add(key)
+        # dedupe 1: skip a rescue whose window already holds a candidate of
+        # the same oriented read (within band).  Existing windows sorted by
+        # a composite (owner, pos) key; overlap = non-empty range query.
+        span = np.int64(self.index.n) + 701
+        ekeys = np.sort(co.astype(np.int64) * span + win_lo)
+        lo_k = ro * span + (rlo - 600)
+        hi_k = ro * span + (rlo + rlen)
+        keep = np.searchsorted(ekeys, hi_k, side="right") \
+            <= np.searchsorted(ekeys, lo_k, side="left")
+
+        # dedupe 2: identical rescue windows (first occurrence wins)
+        rkey = ro * span + (rlo // 64)
+        _, first_idx = np.unique(rkey, return_index=True)
+        uniq = np.zeros(ro.shape[0], bool)
+        uniq[first_idx] = True
+        keep &= uniq
         return ro[keep], rlo[keep], rlen[keep]
 
     def _finalize_candidates(self, batch, oriented, olens, n_reads,
@@ -490,19 +483,28 @@ class Aligner:
         B = max(self.cfg.batch_size, 1)
         rec_parts, id_parts, pool_parts = [], [], []
         pool_off = 0
-        for s in range(0, P, B):
+
+        def work(s: int):
             e = min(s + B, P)
             sub = ReadBatch(
                 ids=batch.ids[s:e], bc=batch.bc[s:e],
                 seqs=batch.seqs[2 * s:2 * e], quals=batch.quals[2 * s:2 * e],
                 codes=batch.codes[2 * s:2 * e], lens=batch.lens[2 * s:2 * e])
             cs = self.generate_candidates(sub)
-            recs, idents, pool = self.candidates_to_records(sub, cs, s)
-            recs["cig_off"] += pool_off
-            pool_off += pool.shape[0]
-            rec_parts.append(recs)
-            id_parts.append(idents)
-            pool_parts.append(pool)
+            return self.candidates_to_records(sub, cs, s)
+
+        # two chunks in flight: one chunk's host phases (compaction,
+        # chaining, traceback) overlap the other's device waits — the
+        # software analog of the reference's in_lock streaming
+        # (align.c:307-341)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            for recs, idents, pool in ex.map(work, range(0, P, B)):
+                recs["cig_off"] += pool_off
+                pool_off += pool.shape[0]
+                rec_parts.append(recs)
+                id_parts.append(idents)
+                pool_parts.append(pool)
         recs = np.concatenate(rec_parts) if rec_parts else empty_records(0)
         idents = (np.concatenate(id_parts) if id_parts
                   else np.zeros(0, dtype=object))
