@@ -1,0 +1,114 @@
+"""Platform-mode CLI end-to-end: -1/-2 FASTQ input with per-platform
+barcode extraction from read IDs (reference src/techs.c:5-69), plus the
+haplotag special-bucket path and the BX tag formats."""
+
+import numpy as np
+import pytest
+
+from ema_tpu import cli
+from tests.simulate import (parse_sam_line, rand_genome, revcomp_str,
+                            simulate_pairs, to_str)
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("plat")
+    rng = np.random.default_rng(11)
+    genome = rand_genome(rng, 80_000)
+    gs = to_str(genome)
+    fa = tmp / "ref.fa"
+    fa.write_text(">c1\n" + "\n".join(
+        gs[i:i + 70] for i in range(0, len(gs), 70)) + "\n")
+    ids, bc_strs, bcs, s1, q1, s2, q2, truth = simulate_pairs(
+        rng, gs, n_barcodes=4, frags_per_bc=(1, 2), pairs_per_frag=(5, 9),
+        frag_len=15_000, read_len=80, err=0.002)
+    return tmp, fa, ids, bc_strs, s1, q1, s2, q2, truth
+
+
+def _write_pair_fastqs(tmp, name, rids, s1, q1, s2, q2):
+    f1, f2 = tmp / f"{name}_1.fq", tmp / f"{name}_2.fq"
+    with open(f1, "w") as a, open(f2, "w") as b:
+        for i in range(len(rids)):
+            a.write(f"@{rids[i]}\n{s1[i]}\n+\n{q1[i]}\n")
+            b.write(f"@{rids[i]}\n{s2[i]}\n+\n{q2[i]}\n")
+    return str(f1), str(f2)
+
+
+def _check_sam(path, truth_by_id, bc_of_id, want_bx_prefix):
+    recs = [parse_sam_line(ln) for ln in open(path)
+            if not ln.startswith("@")]
+    assert recs, "no SAM records"
+    ok = 0
+    for r in recs:
+        if r["flag"] & 4:
+            continue
+        t = truth_by_id[r["qname"]]
+        want = t["pos2"] if r["flag"] & 128 else t["pos1"]
+        if abs(r["pos"] - want) <= 5:
+            ok += 1
+        bx = r["tags"].get("BX", "")
+        assert bx.startswith(want_bx_prefix(bc_of_id[r["qname"]])), bx
+    assert ok / len(recs) > 0.9
+    return recs
+
+
+def test_align_pair_mode_10x(world):
+    tmp, fa, ids, bc_strs, s1, q1, s2, q2, truth = world
+    rids = [f"{ids[i]}:{bc_strs[i]}" for i in range(len(ids))]
+    f1, f2 = _write_pair_fastqs(tmp, "tenx", rids, s1, q1, s2, q2)
+    out = str(tmp / "tenx.sam")
+    assert cli.main(["align", "-r", str(fa), "-1", f1, "-2", f2,
+                     "-o", out, "-p", "10x"]) == 0
+    tb = {ids[i]: truth[i] for i in range(len(ids))}
+    bc = {ids[i]: bc_strs[i] for i in range(len(ids))}
+    _check_sam(out, tb, bc, lambda b: b + "-1")
+
+
+def test_align_pair_mode_tellseq(world):
+    tmp, fa, ids, bc_strs, s1, q1, s2, q2, truth = world
+    bc18 = [b + "AC" for b in bc_strs]       # tellseq: 18bp barcodes
+    rids = [f"{ids[i]} BX:Z:{bc18[i]}" for i in range(len(ids))]
+    f1, f2 = _write_pair_fastqs(tmp, "tell", rids, s1, q1, s2, q2)
+    out = str(tmp / "tell.sam")
+    assert cli.main(["align", "-r", str(fa), "-1", f1, "-2", f2,
+                     "-o", out, "-p", "tellseq"]) == 0
+    tb = {ids[i]: truth[i] for i in range(len(ids))}
+    bc = {ids[i]: bc18[i] for i in range(len(ids))}
+    _check_sam(out, tb, bc, lambda b: b + "-1")
+
+
+def test_align_special_mode_haplotag(world):
+    tmp, fa, ids, bc_strs, s1, q1, s2, q2, truth = world
+    rng = np.random.default_rng(3)
+    hts = {}
+    for b in sorted(set(bc_strs)):
+        a, c, bb, d = rng.integers(1, 97, 4)
+        hts[b] = f"A{a:02d}C{c:02d}B{bb:02d}D{d:02d}"
+    bucket = tmp / "hap-bin-000"
+    with open(bucket, "w") as f:
+        for i in range(len(ids)):
+            f.write(f"{hts[bc_strs[i]]} {ids[i]} {s1[i]} {q1[i]} "
+                    f"{s2[i]} {q2[i]}\n")
+    out = str(tmp / "hap.sam")
+    assert cli.main(["align", "-r", str(fa), "-s", str(bucket),
+                     "-o", out, "-p", "haplotag"]) == 0
+    tb = {ids[i]: truth[i] for i in range(len(ids))}
+    bc = {ids[i]: hts[bc_strs[i]] for i in range(len(ids))}
+    # haplotag BX is the raw code, no "-index" suffix (samrecord.c BX path)
+    _check_sam(out, tb, bc, lambda b: b)
+
+
+def test_align_interleaved_single_file(world):
+    tmp, fa, ids, bc_strs, s1, q1, s2, q2, truth = world
+    rids = [f"{ids[i]}:{bc_strs[i]}" for i in range(len(ids))]
+    inter = tmp / "inter.fq"
+    with open(inter, "w") as f:
+        for i in range(len(ids)):
+            f.write(f"@{rids[i]}\n{s1[i]}\n+\n{q1[i]}\n")
+            f.write(f"@{rids[i]}\n{s2[i]}\n+\n{q2[i]}\n")
+    out = str(tmp / "inter.sam")
+    assert cli.main(["align", "-r", str(fa), "-1", str(inter),
+                     "-o", out, "-p", "10x"]) == 0
+    tb = {ids[i]: truth[i] for i in range(len(ids))}
+    bc = {ids[i]: bc_strs[i] for i in range(len(ids))}
+    _check_sam(out, tb, bc, lambda b: b + "-1")
