@@ -24,15 +24,29 @@ def _index_path(ref: str) -> str:
     return ref + ".emaidx.npz"
 
 
+def _sharded_index_path(ref: str) -> str:
+    return ref + ".emaidx.d"
+
+
 def _load_or_build_index(ref: str):
-    from ema_tpu.index import ReferenceIndex, build_index
+    from ema_tpu.index import (MAX_SHARD_BASES, ReferenceIndex, ShardedIndex,
+                               build_index, build_index_sharded)
     p = _index_path(ref)
     if os.path.exists(p):
         return ReferenceIndex.load(p)
-    sys.stderr.write(f"ema_tpu: building index for {ref} "
-                     f"(cache: {p})...\n")
-    idx = build_index(ref)
-    idx.save(p)
+    pd = _sharded_index_path(ref)
+    if os.path.isdir(pd):
+        return ShardedIndex.load(pd)
+    sys.stderr.write(f"ema_tpu: building index for {ref}...\n")
+    from ema_tpu.index.build import parse_fasta
+    contigs = parse_fasta(ref)
+    total = sum(a.shape[0] for a in contigs.values())
+    if total > MAX_SHARD_BASES:      # e.g. full GRCh38 (> 2^31 bases)
+        idx = build_index_sharded(contigs)
+        idx.save(pd)
+    else:
+        idx = build_index(contigs)
+        idx.save(p)
     return idx
 
 
@@ -94,10 +108,22 @@ def main(argv=None) -> int:
         ap = argparse.ArgumentParser(prog="ema_tpu index", add_help=False)
         ap.add_argument("-r", dest="ref", required=True)
         ap.add_argument("-o", dest="out")
+        ap.add_argument("--shard-bases", type=int, default=None,
+                        help="force contig-sharded indexing with this "
+                             "shard size (auto for > 2^31-base genomes)")
         a = ap.parse_args(rest)
-        from ema_tpu.index import build_index
-        idx = build_index(a.ref)
-        idx.save(a.out or _index_path(a.ref))
+        from ema_tpu.index import (MAX_SHARD_BASES, build_index,
+                                   build_index_sharded)
+        from ema_tpu.index.build import parse_fasta
+        contigs = parse_fasta(a.ref)
+        total = sum(arr.shape[0] for arr in contigs.values())
+        if a.shard_bases or total > MAX_SHARD_BASES:
+            idx = build_index_sharded(
+                contigs, max_shard_bases=a.shard_bases or MAX_SHARD_BASES)
+            idx.save(a.out or _sharded_index_path(a.ref))
+        else:
+            idx = build_index(contigs)
+            idx.save(a.out or _index_path(a.ref))
         return 0
 
     if mode == "align":
@@ -162,7 +188,12 @@ def main(argv=None) -> int:
         cfg = config.RunConfig(platform=profile, read_group=rg,
                                bx_index=a.bx_index,
                                apply_density_opt=a.dens)
-        aligner = Aligner(idx, cfg)
+        from ema_tpu.index import ShardedIndex
+        if isinstance(idx, ShardedIndex):
+            from ema_tpu.core.pipeline import ShardedAligner
+            aligner = ShardedAligner(idx, cfg)
+        else:
+            aligner = Aligner(idx, cfg)
         cmd = "ema_tpu align " + " ".join(rest)
         header = write_sam_header(idx.names, idx.lengths, rg,
                                   __version__, cmd)

@@ -617,6 +617,76 @@ class Aligner:
         return lines
 
 
+class ShardedAligner(Aligner):
+    """Aligner over a contig-sharded index (ShardedIndex).
+
+    Runs candidate generation against every FM-index shard and merges the
+    per-shard CandidateSets with global contig numbering, re-applying the
+    cross-shard edit-distance window and uniqueness/second-best statistics
+    that the reference gets for free from its single 64-bit BWA index.
+    """
+
+    def __init__(self, index, cfg: Optional[config.RunConfig] = None):
+        self.index = index                    # ShardedIndex facade
+        self.cfg = cfg or config.RunConfig()
+        self.subs = [Aligner(sh, self.cfg) for sh in index.shards]
+        self._cloud_id = 0
+
+    def generate_candidates(self, batch: ReadBatch) -> CandidateSet:
+        css = [sub.generate_candidates(batch) for sub in self.subs]
+        return _merge_candidate_sets(css, self.index.contig_base,
+                                     2 * len(batch.ids))
+
+
+def _merge_candidate_sets(css: List[CandidateSet], contig_base: List[int],
+                          n_reads: int) -> CandidateSet:
+    """Concatenate per-shard candidates; redo global filters and stats."""
+    if not css:
+        return _empty_candidate_set()
+    parts = {}
+    for f in CandidateSet.__dataclass_fields__:
+        vals = [getattr(cs, f) for cs in css]
+        if f == "chrom":
+            vals = [v + np.int32(contig_base[i]) for i, v in enumerate(vals)]
+        parts[f] = np.concatenate(vals) if vals else vals
+    cs = CandidateSet(**parts)
+    N = cs.owner.shape[0]
+    if N == 0:
+        return cs
+
+    # global edit-distance window vs the best-scoring candidate per read
+    # (align.c:1020-1024; per-shard filtering used per-shard bests)
+    best_sw = np.zeros(n_reads, np.int64)
+    np.maximum.at(best_sw, cs.owner, cs.sw)
+    dist = cs.nm + cs.clip
+    best_dist = np.full(n_reads, np.iinfo(np.int32).max, np.int64)
+    is_best = cs.sw == best_sw[cs.owner]
+    np.minimum.at(best_dist, cs.owner[is_best], dist[is_best])
+    keep = dist - best_dist[cs.owner] <= config.EXTRA_SEARCH_DEPTH
+    cs = CandidateSet(**{
+        f: getattr(cs, f)[keep] for f in CandidateSet.__dataclass_fields__})
+    N = cs.owner.shape[0]
+
+    # global uniqueness + sub stats (mirrors _finalize_candidates)
+    n_per = np.bincount(cs.owner, minlength=n_reads)
+    cs.unique[:] = n_per[cs.owner] == 1
+    best_sw = np.zeros(n_reads, np.int64)
+    np.maximum.at(best_sw, cs.owner, cs.sw)
+    second = np.zeros(n_reads, np.int64)
+    is_best = cs.sw == best_sw[cs.owner]
+    first_best = np.zeros(N, bool)
+    seen: Dict[int, bool] = {}
+    for i in range(N):
+        o = int(cs.owner[i])
+        if is_best[i] and not seen.get(o, False):
+            seen[o] = True
+            first_best[i] = True
+    np.maximum.at(second, cs.owner[~first_best], cs.sw[~first_best])
+    cs.sub[:] = np.where(is_best, second[cs.owner], best_sw[cs.owner])
+    cs.sub_n[:] = np.maximum(n_per[cs.owner] - 2, 0)
+    return cs
+
+
 HIT_BUCKET = 8192
 
 
