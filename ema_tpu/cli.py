@@ -150,6 +150,8 @@ def main(argv=None) -> int:
                         help="write a jax.profiler trace to this dir")
         ap.add_argument("--sort", action="store_true",
                         help="coordinate-sort the output SAM body")
+        ap.add_argument("--device-em", action="store_true",
+                        help="run the cloud-EM iterations on device")
         ap.add_argument("inputs", nargs="*")
         a = ap.parse_args(rest)
 
@@ -187,7 +189,9 @@ def main(argv=None) -> int:
             idx = _load_or_build_index(a.ref)
         cfg = config.RunConfig(platform=profile, read_group=rg,
                                bx_index=a.bx_index,
-                               apply_density_opt=a.dens)
+                               apply_density_opt=a.dens,
+                               inflight_chunks=max(a.threads, 2),
+                               device_em=a.device_em)
         from ema_tpu.index import ShardedIndex
         if isinstance(idx, ShardedIndex):
             from ema_tpu.core.pipeline import ShardedAligner

@@ -155,3 +155,5 @@ class RunConfig:
     bx_index: str = "1"
     seed: int = 0                       # RNG seed (reference -d uses time())
     batch_size: int = 4096              # read pairs per device batch
+    inflight_chunks: int = 2            # device chunks in flight (CLI -t)
+    device_em: bool = False             # run EM iterations on device

@@ -493,12 +493,13 @@ class Aligner:
             cs = self.generate_candidates(sub)
             return self.candidates_to_records(sub, cs, s)
 
-        # two chunks in flight: one chunk's host phases (compaction,
+        # chunks in flight: one chunk's host phases (compaction,
         # chaining, traceback) overlap the other's device waits — the
         # software analog of the reference's in_lock streaming
         # (align.c:307-341)
         from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=2) as ex:
+        workers = max(self.cfg.inflight_chunks, 1)
+        with ThreadPoolExecutor(max_workers=workers) as ex:
             for recs, idents, pool in ex.map(work, range(0, P, B)):
                 recs["cig_off"] += pool_off
                 pool_off += pool.shape[0]
@@ -543,7 +544,8 @@ class Aligner:
             group, gid.astype(str), self.cfg.platform,
             cloud_id_start=self._cloud_id,
             apply_opt=self.cfg.apply_density_opt, rng=rng,
-            n_pairs_in_group=n_pairs)
+            n_pairs_in_group=n_pairs,
+            use_device_em=self.cfg.device_em)
         R = res.records
         RI = res.idents
         self._cloud_id += res.n_clouds

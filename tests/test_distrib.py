@@ -70,6 +70,56 @@ def test_manifest_roundtrip(tmp_path):
     assert not RunManifest(mpath).is_done("b0")
 
 
+def test_x_mode_manifest_resume(tmp_path):
+    """A rerun with a manifest skips completed buckets (restartability,
+    SURVEY.md §5.3-5.4)."""
+    import time
+
+    from ema_tpu import cli
+    from tests.simulate import rand_genome, simulate_pairs, to_str
+
+    rng = np.random.default_rng(9)
+    genome = rand_genome(rng, 50_000)
+    gs = to_str(genome)
+    fa = tmp_path / "ref.fa"
+    fa.write_text(">c1\n" + "\n".join(
+        gs[i:i + 70] for i in range(0, len(gs), 70)) + "\n")
+    ids, bc_strs, bcs, s1, q1, s2, q2, _ = simulate_pairs(
+        rng, gs, n_barcodes=4, frags_per_bc=(1, 2), pairs_per_frag=(3, 6),
+        frag_len=8_000, read_len=70, err=0.002)
+    buckets = []
+    for b in range(2):
+        p = tmp_path / f"ema-bin-{b:03d}"
+        with open(p, "w") as f:
+            for i in range(b, len(ids), 2):
+                f.write(f"{bc_strs[i]} {ids[i]} {s1[i]} {q1[i]} "
+                        f"{s2[i]} {q2[i]}\n")
+        buckets.append(str(p))
+
+    out = str(tmp_path / "out.sam")
+    man = str(tmp_path / "run.jsonl")
+    assert cli.main(["align", "-r", str(fa), "-x", "-o", out,
+                     "--manifest", man] + buckets) == 0
+    first = open(out).read()
+    parts_dir = out + ".parts"
+    part0 = os.path.join(parts_dir, "ema-bin-000.sam")
+    mtimes = {p: os.path.getmtime(os.path.join(parts_dir, p))
+              for p in os.listdir(parts_dir)}
+    time.sleep(0.05)
+    # rerun: all buckets recorded done -> parts untouched, output identical
+    assert cli.main(["align", "-r", str(fa), "-x", "-o", out,
+                     "--manifest", man] + buckets) == 0
+    for p, t in mtimes.items():
+        assert os.path.getmtime(os.path.join(parts_dir, p)) == t
+    assert open(out).read() == first
+    # losing a part forces exactly that bucket to realign
+    os.unlink(part0)
+    assert cli.main(["align", "-r", str(fa), "-x", "-o", out,
+                     "--manifest", man] + buckets) == 0
+    assert os.path.exists(part0)
+    assert open(out).read() == first
+
+
 def test_sharded_x_mode_equals_single(tmp_path):
     """Two-shard -x run merged == single-host -x run (record multiset)."""
     import sys
