@@ -152,6 +152,10 @@ def main(argv=None) -> int:
                         help="coordinate-sort the output SAM body")
         ap.add_argument("--device-em", action="store_true",
                         help="run the cloud-EM iterations on device")
+        ap.add_argument("--nobc", action="store_true",
+                        help="no-barcode mode: plain paired alignment, no "
+                             "linked-read tags (replaces `bwa mem` on the "
+                             "preproc ema-nobc output)")
         ap.add_argument("inputs", nargs="*")
         a = ap.parse_args(rest)
 
@@ -191,7 +195,7 @@ def main(argv=None) -> int:
                                bx_index=a.bx_index,
                                apply_density_opt=a.dens,
                                inflight_chunks=max(a.threads, 2),
-                               device_em=a.device_em)
+                               device_em=a.device_em, nobc=a.nobc)
         from ema_tpu.index import ShardedIndex
         if isinstance(idx, ShardedIndex):
             from ema_tpu.core.pipeline import ShardedAligner
@@ -211,7 +215,8 @@ def main(argv=None) -> int:
                         path_or_pair[1], is_hap, bc_len)
                 else:
                     batch = io_mod.read_fastq_pair(
-                        path_or_pair[1], path_or_pair[2], profile.name)
+                        path_or_pair[1], path_or_pair[2],
+                        "none" if a.nobc else profile.name)
             n = 0
             with met.stage("align", len(batch.ids)):
                 lines = aligner.align_batch_to_sam(batch)

@@ -157,3 +157,7 @@ class RunConfig:
     batch_size: int = 4096              # read pairs per device batch
     inflight_chunks: int = 2            # device chunks in flight (CLI -t)
     device_em: bool = False             # run EM iterations on device
+    nobc: bool = False                  # no-barcode mode: each pair is its
+                                        # own group, no linked-read tags
+                                        # (replaces `bwa mem` on ema-nobc,
+                                        # reference README.md:132-137)

@@ -558,8 +558,12 @@ class Aligner:
                 rg_id = self.cfg.read_group[at + 3:].split("\t")[0]
         is_hap = self.cfg.platform.name == "haplotag"
         bc_len = self.cfg.platform.bc_len or 16
-        from ema_tpu.utils.barcodes import decode_bc
-        bc_str = decode_bc(int(R["bc"][0]), bc_len, is_hap) if len(R) else ""
+        lr_tags = not self.cfg.nobc
+        if lr_tags and len(R):
+            from ema_tpu.utils.barcodes import decode_bc
+            bc_str = decode_bc(int(R["bc"][0]), bc_len, is_hap)
+        else:
+            bc_str = ""
         # 3-way-min mapq for the whole group in one vector op
         mapqs = score_mod.final_mapq(res.gamma, R["score_mapq"], R["mapq"])
 
@@ -597,7 +601,7 @@ class Aligner:
                 float(res.gamma[a]), int(res.cloud_id[a]),
                 int(res.cloud_bad[a]), alt_of(a),
                 rg_id, self.cfg.bx_index, is_hap, bc_len,
-                mapq=int(mapqs[a]), bc_str=bc_str))
+                mapq=int(mapqs[a]), bc_str=bc_str, lr_tags=lr_tags))
             if rb is not None:
                 seq_b, qual_b = read_of(b)
                 lines.append(samout.format_record(
@@ -607,7 +611,7 @@ class Aligner:
                     float(res.gamma[b]), int(res.cloud_id[b]),
                     int(res.cloud_bad[b]), alt_of(b),
                     rg_id, self.cfg.bx_index, is_hap, bc_len,
-                    mapq=int(mapqs[b]), bc_str=bc_str))
+                    mapq=int(mapqs[b]), bc_str=bc_str, lr_tags=lr_tags))
             else:
                 # unmapped mate record (samrecord.c:157-174)
                 r = int(ra["pair"]) * 2 + (1 - int(ra["mate"]))
@@ -615,7 +619,7 @@ class Aligner:
                     None, ra, ident, "*", names[int(ra["chrom"])],
                     batch.seqs[r], batch.quals[r], None, cigar_of(a),
                     0.0, 0, 0, None, rg_id, self.cfg.bx_index,
-                    is_hap, bc_len, bc_str=bc_str))
+                    is_hap, bc_len, bc_str=bc_str, lr_tags=lr_tags))
         return lines
 
 

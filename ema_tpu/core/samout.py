@@ -75,7 +75,8 @@ def format_record(rec, mate, ident: str, chrom_name: str,
                   rg_id: Optional[str], bx_index: str,
                   is_haplotag: bool, bc_len: int,
                   mapq: Optional[int] = None,
-                  bc_str: Optional[str] = None) -> str:
+                  bc_str: Optional[str] = None,
+                  lr_tags: bool = True) -> str:
     """Format one SAM line.
 
     ``rec``/``mate`` are RECORD_DTYPE rows or None (one side may be
@@ -145,13 +146,20 @@ def format_record(rec, mate, ident: str, chrom_name: str,
     line = "\t".join(out)
 
     # tags
-    if bc_str is None:
-        bc_str = decode_bc(bc, bc_len, is_haplotag)
-    if rec is not None:
+    if not lr_tags:
+        # no-barcode mode: plain SAM, like the reference's `bwa mem` path
+        # for ema-nobc reads (README.md:132-137)
+        if rec is not None:
+            line += f"\tNM:i:{int(rec['edit_dist'])}"
+    elif rec is not None:
+        if bc_str is None:
+            bc_str = decode_bc(bc, bc_len, is_haplotag)
         bx = bc_str if is_haplotag else f"{bc_str}-{bx_index}"
         line += (f"\tNM:i:{int(rec['edit_dist'])}\tBX:Z:{bx}"
                  f"\tXG:f:{format_g(gamma)}\tMI:i:{cloud_id}\tXF:i:{cloud_bad}")
     else:
+        if bc_str is None:
+            bc_str = decode_bc(bc, bc_len, is_haplotag)
         bx = bc_str if is_haplotag else f"{bc_str}-1"
         line += f"\tBX:Z:{bx}"
 

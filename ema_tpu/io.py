@@ -56,7 +56,12 @@ def _read_fastq_records(path: str):
 
 def read_fastq_pair(fq1_path: str, fq2_path: str | None,
                     platform: str) -> ReadBatch:
-    """Standard path: two barcode-sorted FASTQs (or one interleaved)."""
+    """Standard path: two barcode-sorted FASTQs (or one interleaved).
+
+    ``platform == "none"``: no-barcode mode — every pair gets a unique
+    synthetic barcode so each forms its own group (the align path for the
+    reference's ema-nobc reads, README.md:132-137).
+    """
     ids, bcs, s1, q1, s2, q2 = [], [], [], [], [], []
     if fq2_path is None or fq2_path == fq1_path:
         it = _read_fastq_records(fq1_path)
@@ -66,8 +71,12 @@ def read_fastq_pair(fq1_path: str, fq2_path: str | None,
         r1s = list(_read_fastq_records(fq1_path))
         r2s = list(_read_fastq_records(fq2_path))
     assert len(r1s) == len(r2s), "unpaired FASTQ inputs"
-    for (id1, sa, qa), (_, sb, qb) in zip(r1s, r2s):
-        ident, bc = extract_bc_from_id(id1, platform)
+    for i, ((id1, sa, qa), (_, sb, qb)) in enumerate(zip(r1s, r2s)):
+        if platform == "none":
+            rid = id1[1:] if id1.startswith("@") else id1
+            ident, bc = rid.split(" ")[0], i
+        else:
+            ident, bc = extract_bc_from_id(id1, platform)
         ids.append(ident)
         bcs.append(bc)
         s1.append(sa)

@@ -98,6 +98,31 @@ def test_align_special_mode_haplotag(world):
     _check_sam(out, tb, bc, lambda b: b)
 
 
+def test_align_nobc_mode(world):
+    """--nobc: plain paired alignment, no linked-read tags (the in-house
+    replacement for `bwa mem` on preproc's ema-nobc output)."""
+    tmp, fa, ids, bc_strs, s1, q1, s2, q2, truth = world
+    f1, f2 = _write_pair_fastqs(tmp, "nobc", ids, s1, q1, s2, q2)
+    out = str(tmp / "nobc.sam")
+    assert cli.main(["align", "-r", str(fa), "-1", f1, "-2", f2,
+                     "-o", out, "--nobc"]) == 0
+    tb = {ids[i]: truth[i] for i in range(len(ids))}
+    recs = [parse_sam_line(ln) for ln in open(out)
+            if not ln.startswith("@")]
+    assert recs
+    ok = 0
+    for r in recs:
+        assert "BX" not in r["tags"] and "MI" not in r["tags"] \
+            and "XG" not in r["tags"], r["tags"]
+        if r["flag"] & 4:
+            continue
+        assert "NM" in r["tags"]
+        t = tb[r["qname"]]
+        want = t["pos2"] if r["flag"] & 128 else t["pos1"]
+        ok += abs(r["pos"] - want) <= 5
+    assert ok / len(recs) > 0.9
+
+
 def test_align_interleaved_single_file(world):
     tmp, fa, ids, bc_strs, s1, q1, s2, q2, truth = world
     rids = [f"{ids[i]}:{bc_strs[i]}" for i in range(len(ids))]
