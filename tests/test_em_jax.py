@@ -72,6 +72,40 @@ def test_device_em_matches_host(platform):
                                   host.records["duplicate"])
 
 
+def test_em_run_batched_groups_match_single():
+    """em_run over a [G, E, C] batch == per-group runs (padding safety)."""
+    import jax.numpy as jnp
+
+    from ema_tpu.core import em_jax
+
+    rng = np.random.default_rng(4)
+    G, E, C, NC = 3, 10, 4, 12
+    sh = (G, E, C)
+    mate = (np.arange(E)[None, :] ^ 1).astype(np.int32) \
+        * np.ones((G, 1), np.int32)
+    kw = dict(
+        score=-rng.random(sh) * 12,
+        cmask=rng.random(sh) < 0.7,
+        active=np.ones(sh, bool),
+        cand_cloud=rng.integers(0, NC, sh).astype(np.int32),
+        rec_chrom=rng.integers(0, 2, sh).astype(np.int32),
+        rec_pos=rng.integers(1, 5_000, sh).astype(np.int32),
+        rec_rev=rng.integers(0, 2, sh).astype(np.int32),
+        mate_entry=mate,
+        emask=np.ones((G, E), bool),
+        comp=np.broadcast_to(np.arange(NC, dtype=np.int32), (G, NC)).copy(),
+        run_em=np.ones(G, bool),
+    )
+    kw["cmask"][:, :, 0] = True          # every entry has >=1 candidate
+    batched = em_jax.em_run(
+        em_jax.EMInputs(**{k: jnp.asarray(v) for k, v in kw.items()}))
+    for g in range(G):
+        single = em_jax.em_run(em_jax.EMInputs(
+            **{k: jnp.asarray(np.asarray(v)[g:g + 1]) for k, v in kw.items()}))
+        np.testing.assert_allclose(np.asarray(batched[0])[g],
+                                   np.asarray(single[0])[0], rtol=1e-12)
+
+
 def test_device_em_small_group_skips_em():
     rng = np.random.default_rng(9)
     recs, idents, profile = _synthetic_group(rng, n_pairs=5)
