@@ -89,6 +89,9 @@ def main(argv=None) -> int:
         ap.add_argument("-p", dest="haplotag", action="store_true")
         ap.add_argument("inputs", nargs="*")
         a = ap.parse_args(rest)
+        if not a.wl and not a.haplotag:
+            sys.stderr.write("error: specify barcode whitelist with -w\n")
+            return 1
         if not a.inputs:
             sys.stderr.write("warning: no input files specified; "
                              "nothing to do\n")
@@ -138,7 +141,8 @@ def main(argv=None) -> int:
         ap.add_argument("-d", dest="dens", action="store_true")
         ap.add_argument("-p", dest="platform", default="10x")
         ap.add_argument("-i", dest="bx_index", default="1")
-        ap.add_argument("-t", dest="threads", type=int, default=1)
+        ap.add_argument("-t", dest="threads", type=int, default=2,
+                        help="in-flight device chunks (1 disables overlap)")
         ap.add_argument("--shard", type=int, default=None,
                         help="this host's shard id (0-based)")
         ap.add_argument("--nshards", type=int, default=None,
@@ -194,7 +198,7 @@ def main(argv=None) -> int:
         cfg = config.RunConfig(platform=profile, read_group=rg,
                                bx_index=a.bx_index,
                                apply_density_opt=a.dens,
-                               inflight_chunks=max(a.threads, 2),
+                               inflight_chunks=max(a.threads, 1),
                                device_em=a.device_em, nobc=a.nobc)
         from ema_tpu.index import ShardedIndex
         if isinstance(idx, ShardedIndex):

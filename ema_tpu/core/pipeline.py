@@ -372,14 +372,11 @@ class Aligner:
         nm = nat["nm"].astype(np.int32)
         dist = nm + clip
 
-        # edit-distance window filter relative to the first candidate
-        # (align.c:1020-1024)
-        first = np.ones(co.shape[0], bool)
-        first[1:] = co[1:] != co[:-1]
-        first_idx = np.maximum.accumulate(
-            np.where(first, np.arange(co.shape[0]), 0))
-        best_dist = dist[first_idx]
-        ok = first | (dist - best_dist <= config.EXTRA_SEARCH_DEPTH)
+        # edit-distance window filter vs the physical read's best-scoring
+        # candidate across both strands (align.c:1020-1024: regs.a[0] of
+        # the score-sorted region list, which spans strands)
+        phys = np.where(co >= n_reads, co - n_reads, co)
+        ok = _dist_window_keep(phys, sw["score"], dist, n_reads)
         # contig containment: alignment must not cross a contig boundary
         chrom = idx.contig_of(gpos).astype(np.int32)
         ref_len = _cigar_ref_len(nat["cigars"], nat["n_cigar"])
@@ -400,21 +397,7 @@ class Aligner:
         phys = np.where(co >= n_reads, co - n_reads, co)
         n_per = np.bincount(phys, minlength=n_reads)
         unique = n_per[phys] == 1
-        best_read = np.zeros(n_reads, np.int64)
-        np.maximum.at(best_read, phys, sw["score"])
-        # second-best per physical read: max of scores strictly below the
-        # best slot (mask out one occurrence of the max)
-        second_read = np.zeros(n_reads, np.int64)
-        is_best = sw["score"] == best_read[phys]
-        first_best = np.zeros(N, bool)
-        seen: Dict[int, bool] = {}
-        for i in range(N):
-            if is_best[i] and not seen.get(int(phys[i]), False):
-                seen[int(phys[i])] = True
-                first_best[i] = True
-        np.maximum.at(second_read, phys[~first_best], sw["score"][~first_best])
-        sub = np.where(sw["score"] == best_read[phys],
-                       second_read[phys], best_read[phys])
+        _, sub = _best_and_sub(phys, sw["score"], n_reads)
         sub_n = np.maximum(n_per[phys] - 2, 0)
 
         rev = (co >= n_reads).astype(np.int8)
@@ -662,13 +645,7 @@ def _merge_candidate_sets(css: List[CandidateSet], contig_base: List[int],
 
     # global edit-distance window vs the best-scoring candidate per read
     # (align.c:1020-1024; per-shard filtering used per-shard bests)
-    best_sw = np.zeros(n_reads, np.int64)
-    np.maximum.at(best_sw, cs.owner, cs.sw)
-    dist = cs.nm + cs.clip
-    best_dist = np.full(n_reads, np.iinfo(np.int32).max, np.int64)
-    is_best = cs.sw == best_sw[cs.owner]
-    np.minimum.at(best_dist, cs.owner[is_best], dist[is_best])
-    keep = dist - best_dist[cs.owner] <= config.EXTRA_SEARCH_DEPTH
+    keep = _dist_window_keep(cs.owner, cs.sw, cs.nm + cs.clip, n_reads)
     cs = CandidateSet(**{
         f: getattr(cs, f)[keep] for f in CandidateSet.__dataclass_fields__})
     N = cs.owner.shape[0]
@@ -676,21 +653,60 @@ def _merge_candidate_sets(css: List[CandidateSet], contig_base: List[int],
     # global uniqueness + sub stats (mirrors _finalize_candidates)
     n_per = np.bincount(cs.owner, minlength=n_reads)
     cs.unique[:] = n_per[cs.owner] == 1
-    best_sw = np.zeros(n_reads, np.int64)
-    np.maximum.at(best_sw, cs.owner, cs.sw)
-    second = np.zeros(n_reads, np.int64)
-    is_best = cs.sw == best_sw[cs.owner]
-    first_best = np.zeros(N, bool)
-    seen: Dict[int, bool] = {}
-    for i in range(N):
-        o = int(cs.owner[i])
-        if is_best[i] and not seen.get(o, False):
-            seen[o] = True
-            first_best[i] = True
-    np.maximum.at(second, cs.owner[~first_best], cs.sw[~first_best])
-    cs.sub[:] = np.where(is_best, second[cs.owner], best_sw[cs.owner])
+    _, sub = _best_and_sub(cs.owner, cs.sw, n_reads)
+    cs.sub[:] = sub
     cs.sub_n[:] = np.maximum(n_per[cs.owner] - 2, 0)
     return cs
+
+
+def _dist_window_keep(owner: np.ndarray, scores: np.ndarray,
+                      dist: np.ndarray, n_owners: int) -> np.ndarray:
+    """Keep candidates within EXTRA_SEARCH_DEPTH of the owner's leader.
+
+    Leader = the owner's highest-scoring candidate (first in array order
+    on ties), whose clip+edit distance anchors the window — the
+    reference's regs.a[0] (align.c:1020-1024).
+    """
+    N = owner.shape[0]
+    if N == 0:
+        return np.zeros(0, bool)
+    order = np.lexsort((np.arange(N), -scores.astype(np.int64), owner))
+    o_sorted = owner[order]
+    lead = np.ones(N, bool)
+    lead[1:] = o_sorted[1:] != o_sorted[:-1]
+    li = order[lead]
+    leader_of = np.zeros(n_owners, np.int64)
+    leader_of[owner[li]] = li
+    best_dist = dist[leader_of[owner]]
+    is_leader = np.zeros(N, bool)
+    is_leader[li] = True
+    return is_leader | (dist - best_dist <= config.EXTRA_SEARCH_DEPTH)
+
+
+def _best_and_sub(owner: np.ndarray, scores: np.ndarray, n_owners: int):
+    """Per-candidate (best, second-best-as-sub) over owner groups.
+
+    ``sub`` for a best-scoring candidate is the max among the owner's
+    *other* candidates (one occurrence of the max masked out, first in
+    array order); for a non-best candidate it is the owner's best.
+    """
+    N = owner.shape[0]
+    best = np.zeros(n_owners, np.int64)
+    np.maximum.at(best, owner, scores)
+    is_best = scores == best[owner]
+    first_best = np.zeros(N, bool)
+    if N:
+        # sort each owner's best entries first (stably by index): the
+        # group leader is that owner's first best candidate in array order
+        order = np.lexsort((np.arange(N), ~is_best, owner))
+        o_sorted = owner[order]
+        lead = np.ones(N, bool)
+        lead[1:] = o_sorted[1:] != o_sorted[:-1]
+        first_best[order[lead]] = True
+    second = np.zeros(n_owners, np.int64)
+    np.maximum.at(second, owner[~first_best], scores[~first_best])
+    sub = np.where(is_best, second[owner], best[owner])
+    return best, sub
 
 
 HIT_BUCKET = 8192

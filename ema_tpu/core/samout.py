@@ -175,8 +175,6 @@ def format_record(rec, mate, ident: str, chrom_name: str,
 
 def _is_pair(r1, r2) -> bool:
     """Proper-pair predicate (align.c:27-40)."""
-    if r1["rev"] == r2["rev"] or r1["chrom"] != r2["chrom"]:
-        return False
-    a, b = (r2, r1) if r2["rev"] else (r1, r2)
-    d = int(a["pos"]) - int(b["pos"])
-    return config.INSERT_MIN <= d <= config.INSERT_MAX
+    from ema_tpu.core.pairing import is_proper_pair
+    return is_proper_pair(r1["chrom"], r1["pos"], r1["rev"],
+                          r2["chrom"], r2["pos"], r2["rev"])

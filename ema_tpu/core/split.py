@@ -122,12 +122,11 @@ def mark_optimal_alignments_in_cloud(R: np.ndarray, RI: np.ndarray,
     for mm in mmaps:
         bins[bin_of(R["pos"][clean[mm["start"] + mm["active"]]])] += 1
 
+    from ema_tpu.core.pairing import is_proper_pair
+
     def is_pair(k1, k2) -> bool:
-        if R["rev"][k1] == R["rev"][k2] or R["chrom"][k1] != R["chrom"][k2]:
-            return False
-        a, b = (k2, k1) if R["rev"][k2] else (k1, k2)
-        d = int(R["pos"][a]) - int(R["pos"][b])
-        return config.INSERT_MIN <= d <= config.INSERT_MAX
+        return is_proper_pair(R["chrom"][k1], R["pos"][k1], R["rev"][k1],
+                              R["chrom"][k2], R["pos"][k2], R["rev"][k2])
 
     ldp = lambda dens: _log_density_prob(int(dens), log_probs)
 

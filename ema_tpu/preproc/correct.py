@@ -29,8 +29,8 @@ import numpy as np
 from ema_tpu import config
 from ema_tpu.preproc.count import (
     BC_LEN, QUAL_BASE, HASH_DNA, decode_bc_preproc_str,
-    iter_fastq_pairs, load_whitelist_preproc, read_ncnt, read_fcnt_blocks,
-    fused_keys_and_barcodes)
+    iter_fastq_pairs, load_whitelist_preproc, lookup_sorted, read_ncnt,
+    read_fcnt_blocks, fused_keys_and_barcodes)
 
 QO = config.ILLUMINA_QUAL_OFFSET
 
@@ -61,10 +61,7 @@ class Corrector:
         self.stats = {"nochange": 0, "h1": 0, "h2": 0, "nobucket": 0}
 
     def _lookup(self, bcs: np.ndarray):
-        idx = np.searchsorted(self.wl, bcs)
-        idxc = np.clip(idx, 0, self.wl.shape[0] - 1)
-        found = (idx < self.wl.shape[0]) & (self.wl[idxc] == bcs)
-        return idxc, found
+        return lookup_sorted(self.wl, bcs)
 
     def correct_block(self, keys: np.ndarray, counts: np.ndarray):
         """Returns per-key corrected barcode (0 = uncorrectable) and type."""
@@ -212,6 +209,11 @@ def correct(whitelist_path: str, input_prefixes: List[str], output_dir: str,
             is_haplotag: bool = False) -> dict:
     """Run the full preproc stage; returns stats."""
     os.makedirs(output_dir, exist_ok=True)
+    if is_haplotag:
+        # haplotag: no whitelist / no correction — barcodes come from
+        # BX:Z: header tags (correct.cc:291, 321-342, 437-451)
+        return _correct_haplotag(input_prefixes, output_dir, stream,
+                                 do_bx_format, n_buckets)
 
     # 1. whitelist + priors
     wl = load_whitelist_preproc(whitelist_path)
@@ -219,9 +221,7 @@ def correct(whitelist_path: str, input_prefixes: List[str], output_dir: str,
     for prefix in input_prefixes:
         bcs, cnts = read_ncnt(prefix if prefix.endswith(".ema-ncnt")
                               else prefix + ".ema-ncnt")
-        idx = np.searchsorted(wl, bcs)
-        idxc = np.clip(idx, 0, wl.shape[0] - 1)
-        hit = (idx < wl.shape[0]) & (wl[idxc] == bcs)
+        idxc, hit = lookup_sorted(wl, bcs)
         np.add.at(prior_counts, idxc[hit], cnts[hit])
     total_counts = (prior_counts + 1.0).sum()
     priors = (prior_counts + 1.0) / total_counts
@@ -277,9 +277,9 @@ def correct(whitelist_path: str, input_prefixes: List[str], output_dir: str,
             has_n[0] = False
         fidx = 0
         if not has_n[0]:
-            idx = int(np.searchsorted(wl, np.uint32(bc)))
-            if idx < wl.shape[0] and wl[idx] == bc:
-                fidx = int(bucket_of[idx])
+            idxc, hit = lookup_sorted(wl, np.uint32(bc))
+            if hit:
+                fidx = int(bucket_of[int(idxc)])
         if fidx == 0:
             bc = 0
 
@@ -305,4 +305,81 @@ def correct(whitelist_path: str, input_prefixes: List[str], output_dir: str,
         f.close()
     stats = dict(corrector.stats)
     stats["routed_pairs"] = n_routed
+    return stats
+
+
+def _correct_haplotag(input_prefixes: List[str], output_dir: str, stream,
+                      do_bx_format: bool, n_buckets: int) -> dict:
+    """Haplotag preproc: bucket by the BX:Z:AxxCxxBxxDxx header code.
+
+    No correction phase (the reference skips phase 2 for haplotag,
+    correct.cc:342); reads without a BX tag go to ema-nobc; read 1 is NOT
+    barcode-trimmed (correct.cc:543-551); bucket lines carry the 12-char
+    haplotag code (correct.cc:500-503).
+    """
+    from ema_tpu.utils.barcodes import decode_bc_haplotag, encode_bc_haplotag
+
+    # 1. merge observed counts from all .ema-ncnt inputs
+    merged: Dict[int, int] = {}
+    for prefix in input_prefixes:
+        bcs, cnts = read_ncnt(prefix if prefix.endswith(".ema-ncnt")
+                              else prefix + ".ema-ncnt")
+        for b, c in zip(bcs, cnts):
+            merged[int(b)] = merged.get(int(b), 0) + int(c)
+
+    # 2. greedy min-heap bucket assignment over observed barcodes;
+    # unseen-but-valid codes hash round-robin (the reference pre-generates
+    # every possible code with count 0 instead)
+    heap = [(0, i + 1) for i in range(n_buckets)]
+    heapq.heapify(heap)
+    bucket_of: Dict[int, int] = {}
+    for bc in sorted(merged, key=lambda b: -merged[b]):
+        size, fidx = heapq.heappop(heap)
+        bucket_of[bc] = fidx
+        heapq.heappush(heap, (size + merged[bc], fidx))
+
+    files = [open(os.path.join(output_dir, "ema-nobc"), "wb")]
+    for i in range(n_buckets):
+        files.append(open(os.path.join(output_dir, f"ema-bin-{i:03d}"), "wb"))
+
+    stats = {"nochange": 0, "h1": 0, "h2": 0, "nobucket": 0,
+             "routed_pairs": 0}
+    for pair in iter_fastq_pairs(stream):
+        name1, r1, q1 = pair[0], pair[1], pair[3]
+        name2, r2, q2 = pair[4], pair[5], pair[7]
+        if len(r1) < config.MIN_READ_SIZE:
+            continue
+        name_s = name1.decode()
+        bx = name_s.find("BX:Z:")
+        bc_str = None
+        if bx >= 0 and bx + 17 <= len(name_s):
+            bc_str = name_s[bx + 5:bx + 17]
+            bc = encode_bc_haplotag(bc_str)
+            fidx = bucket_of.get(bc)
+            if fidx is None:
+                fidx = (bc % n_buckets) + 1
+        else:
+            fidx = 0
+        short1 = name1.split()[0]
+        short2 = name2.split()[0]
+        f = files[fidx]
+        if fidx and not do_bx_format:
+            f.write(bc_str.encode() + b" " + short1 + b" " + r1 + b" "
+                    + q1 + b" " + r2 + b" " + q2 + b"\n")
+            stats["nochange"] += 1
+        elif fidx and do_bx_format:
+            # haplotag BX has no "-1" suffix (correct.cc:527-536)
+            f.write(short1 + b" BX:Z:" + bc_str.encode() + b"\n" + r1
+                    + b"\n+\n" + q1 + b"\n")
+            f.write(short2 + b" BX:Z:" + bc_str.encode() + b"\n" + r2
+                    + b"\n+\n" + q2 + b"\n")
+            stats["nochange"] += 1
+        else:
+            f.write(short1 + b"\n" + r1 + b"\n+\n" + q1 + b"\n")
+            f.write(short2 + b"\n" + r2 + b"\n+\n" + q2 + b"\n")
+            stats["nobucket"] += 1
+        stats["routed_pairs"] += 1
+
+    for f in files:
+        f.close()
     return stats

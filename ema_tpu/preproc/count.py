@@ -49,6 +49,15 @@ def decode_bc_preproc_str(bc: int) -> str:
     return "".join(out)
 
 
+def lookup_sorted(wl: np.ndarray, keys: np.ndarray):
+    """(indices, found) of keys in a sorted whitelist array."""
+    idx = np.searchsorted(wl, keys)
+    idxc = np.clip(idx, 0, max(wl.shape[0] - 1, 0))
+    found = (idx < wl.shape[0]) & (wl[idxc] == keys) if wl.shape[0] \
+        else np.zeros(np.shape(keys), bool)
+    return idxc, found
+
+
 def load_whitelist_preproc(path: str) -> np.ndarray:
     """Whitelist barcodes in preproc encoding, sorted uint32."""
     bcs = []

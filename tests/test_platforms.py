@@ -123,6 +123,60 @@ def test_align_nobc_mode(world):
     assert ok / len(recs) > 0.9
 
 
+def test_haplotag_preproc_chain(world, tmp_path):
+    """count -p -> preproc -p -> align -p haplotag end-to-end (the
+    reference's haplotag flow: BX:Z: header codes, no correction, no
+    read-1 trim — correct.cc:291, 437-451, 543-551)."""
+    tmp, fa, ids, bc_strs, s1, q1, s2, q2, truth = world
+    rng = np.random.default_rng(8)
+    hts = {}
+    for b in sorted(set(bc_strs)):
+        a, c, bb, d = rng.integers(1, 97, 4)
+        hts[b] = f"A{a:02d}C{c:02d}B{bb:02d}D{d:02d}"
+    inter = tmp_path / "hap.fq"
+    with open(inter, "w") as f:
+        for i in range(len(ids)):
+            hdr = f"@{ids[i]} BX:Z:{hts[bc_strs[i]]}"
+            f.write(f"{hdr}\n{s1[i]}\n+\n{q1[i]}\n")
+            f.write(f"{hdr}\n{s2[i]}\n+\n{q2[i]}\n")
+
+    import contextlib
+    import io as io_std
+
+    from ema_tpu.preproc.count import count
+    from ema_tpu.preproc.correct import correct
+
+    with open(inter, "rb") as f:
+        st = count(None, str(tmp_path / "hc"), f, is_haplotag=True)
+    assert st["nice"] == len(ids)
+    with open(inter, "rb") as f:
+        st = correct(None, [str(tmp_path / "hc.ema-ncnt")],
+                     str(tmp_path / "hout"), f, n_buckets=2,
+                     is_haplotag=True)
+    assert st["routed_pairs"] == len(ids)
+    assert st["nobucket"] == 0
+
+    # buckets must not trim read 1 and must carry 12-char haplotag codes
+    n_lines = 0
+    tb = {ids[i]: truth[i] for i in range(len(ids))}
+    for b in range(2):
+        bucket = tmp_path / "hout" / f"ema-bin-{b:03d}"
+        lines = [ln for ln in open(bucket).read().splitlines() if ln]
+        n_lines += len(lines)
+        for ln in lines[:3]:
+            fields = ln.split(" ")
+            assert len(fields[0]) == 12 and fields[0][0] == "A"
+            assert len(fields[2]) == len(s1[0])      # untrimmed
+        out = str(tmp_path / f"hap{b}.sam")
+        assert cli.main(["align", "-r", str(fa), "-s", str(bucket),
+                         "-o", out, "-p", "haplotag"]) == 0
+        recs = [parse_sam_line(x) for x in open(out)
+                if not x.startswith("@")]
+        for r in recs[:20]:
+            assert r["tags"].get("BX", "").startswith("A")
+    assert n_lines == len(ids)
+
+
 def test_align_interleaved_single_file(world):
     tmp, fa, ids, bc_strs, s1, q1, s2, q2, truth = world
     rids = [f"{ids[i]}:{bc_strs[i]}" for i in range(len(ids))]
