@@ -459,13 +459,21 @@ class Aligner:
         """Full pipeline for one ReadBatch whose barcodes are complete.
 
         Candidate generation runs in device-sized chunks
-        (cfg.batch_size pairs); group processing then runs over the
-        merged records.  Returns SAM lines.
+        (cfg.batch_size pairs) with several chunks in flight; barcode
+        groups are processed *incrementally* as soon as all their chunks
+        have landed, so the host-side EM/selection/SAM phase of early
+        barcodes overlaps later chunks' device time — the software analog
+        of the reference's in_lock/out_lock streaming (align.c:307-341).
+        Returns SAM lines.
         """
         P = len(batch.ids)
         B = max(self.cfg.batch_size, 1)
-        rec_parts, id_parts, pool_parts = [], [], []
-        pool_off = 0
+
+        # pre-sort pairs by barcode so chunk records are bc-monotone and
+        # every barcode is contiguous across at most adjacent chunks
+        order = np.argsort(batch.bc, kind="stable")
+        if not np.array_equal(order, np.arange(P)):
+            batch = _reorder_batch(batch, order)
 
         def work(s: int):
             e = min(s + B, P)
@@ -474,51 +482,57 @@ class Aligner:
                 seqs=batch.seqs[2 * s:2 * e], quals=batch.quals[2 * s:2 * e],
                 codes=batch.codes[2 * s:2 * e], lens=batch.lens[2 * s:2 * e])
             cs = self.generate_candidates(sub)
-            return self.candidates_to_records(sub, cs, s)
+            recs, idents, part_pool = self.candidates_to_records(sub, cs, s)
+            # bc-sort within the chunk (candidate order interleaves the
+            # forward and reverse orientations); stable, so within one
+            # barcode the chunk-position order is preserved
+            o = np.argsort(recs["bc"], kind="stable")
+            return recs[o], idents[o], part_pool
 
-        # chunks in flight: one chunk's host phases (compaction,
-        # chaining, traceback) overlap the other's device waits — the
-        # software analog of the reference's in_lock streaming
-        # (align.c:307-341)
+        pair_bc: Dict[int, int] = {}
+        for b in batch.bc:
+            pair_bc[int(b)] = pair_bc.get(int(b), 0) + 1
+
+        lines: List[str] = []
+        rng = np.random.default_rng(self.cfg.seed)
+        chunk_starts = list(range(0, P, B))
+        pend_recs = empty_records(0)
+        pend_ids = np.zeros(0, dtype=object)
+        pool = np.zeros(0, np.uint32)
+
+        def emit_groups(recs, idents, up_to_bc) -> int:
+            """Process complete barcode groups (bc < up_to_bc); returns
+            the index where incomplete records start."""
+            bcs = recs["bc"]
+            if up_to_bc is None:
+                end = recs.shape[0]
+            else:
+                end = int(np.searchsorted(bcs, up_to_bc, side="left"))
+            starts = np.concatenate(
+                [[0], np.nonzero(np.diff(bcs[:end]))[0] + 1, [end]])
+            for s, e in zip(starts[:-1], starts[1:]):
+                if e <= s:
+                    continue
+                n_pairs = pair_bc.get(int(bcs[s]), 0)
+                lines.extend(self._process_group(
+                    batch, recs[s:e], idents[s:e], pool, n_pairs, rng))
+            return end
+
         from concurrent.futures import ThreadPoolExecutor
         workers = max(self.cfg.inflight_chunks, 1)
         with ThreadPoolExecutor(max_workers=workers) as ex:
-            for recs, idents, pool in ex.map(work, range(0, P, B)):
-                recs["cig_off"] += pool_off
-                pool_off += pool.shape[0]
-                rec_parts.append(recs)
-                id_parts.append(idents)
-                pool_parts.append(pool)
-        recs = np.concatenate(rec_parts) if rec_parts else empty_records(0)
-        idents = (np.concatenate(id_parts) if id_parts
-                  else np.zeros(0, dtype=object))
-        pool = (np.concatenate(pool_parts) if pool_parts
-                else np.zeros(0, np.uint32))
-        lines: List[str] = []
-
-        rng = np.random.default_rng(self.cfg.seed)
-        # group by barcode, in batch order
-        order = np.argsort(recs["bc"], kind="stable")
-        recs = recs[order]
-        idents = idents[order]
-        # remap cigar offsets after reorder (pool unchanged)
-        bcs = recs["bc"]
-        boundaries = np.nonzero(np.diff(bcs))[0] + 1
-        starts = np.concatenate([[0], boundaries, [recs.shape[0]]])
-
-        pair_bc: Dict[int, int] = {}
-        for i, b in enumerate(batch.bc):
-            pair_bc.setdefault(int(b), 0)
-            pair_bc[int(b)] += 1
-
-        for s, e in zip(starts[:-1], starts[1:]):
-            if e <= s:
-                continue
-            group = recs[s:e]
-            gid = idents[s:e]
-            n_pairs = pair_bc.get(int(group["bc"][0]), 0)
-            lines.extend(self._process_group(batch, group, gid, pool,
-                                             n_pairs, rng))
+            for k, (recs, idents, part_pool) in enumerate(
+                    ex.map(work, chunk_starts)):
+                recs["cig_off"] += pool.shape[0]
+                pool = np.concatenate([pool, part_pool]) \
+                    if pool.shape[0] else part_pool
+                pend_recs = np.concatenate([pend_recs, recs])
+                pend_ids = np.concatenate([pend_ids, idents])
+                last = k + 1 >= len(chunk_starts)
+                limit = None if last else int(batch.bc[chunk_starts[k + 1]])
+                done = emit_groups(pend_recs, pend_ids, limit)
+                pend_recs = pend_recs[done:]
+                pend_ids = pend_ids[done:]
         return lines
 
     def _process_group(self, batch: ReadBatch, group, gid, pool,
@@ -825,6 +839,18 @@ def locate_rows_bucketed(fma, rows: np.ndarray) -> np.ndarray:
     rp[:H] = rows
     return np.asarray(fmindex.locate(fma, jnp.asarray(rp)))[:H].astype(
         np.int64)
+
+
+def _reorder_batch(batch: ReadBatch, order: np.ndarray) -> ReadBatch:
+    """Reorder a ReadBatch's pairs by ``order``."""
+    rows = np.stack([2 * order, 2 * order + 1], axis=1).reshape(-1)
+    return ReadBatch(
+        ids=[batch.ids[i] for i in order],
+        bc=batch.bc[order],
+        seqs=[batch.seqs[r] for r in rows],
+        quals=[batch.quals[r] for r in rows],
+        codes=batch.codes[rows],
+        lens=batch.lens[rows])
 
 
 def _cigar_ref_len(cigars: np.ndarray, n_cigar: np.ndarray) -> np.ndarray:

@@ -14,6 +14,7 @@ import numpy as np
 
 from ema_tpu import config
 from ema_tpu.core import score as score_mod
+from ema_tpu.core.pairing import is_proper_pair
 from ema_tpu.utils.barcodes import decode_bc
 
 SAM_READ_PAIRED = 1
@@ -175,6 +176,5 @@ def format_record(rec, mate, ident: str, chrom_name: str,
 
 def _is_pair(r1, r2) -> bool:
     """Proper-pair predicate (align.c:27-40)."""
-    from ema_tpu.core.pairing import is_proper_pair
     return is_proper_pair(r1["chrom"], r1["pos"], r1["rev"],
                           r2["chrom"], r2["pos"], r2["rev"])
