@@ -23,10 +23,9 @@ import time
 
 import numpy as np
 
-GENOME = 2_000_000
-N_PAIRS = 10_000
+GENOME = 3_000_000
+N_PAIRS = 20_000
 READ_LEN = 100
-WARMUP_PAIRS = 1_024
 BASELINE_PAIRS_PER_SEC = 1000.0
 
 

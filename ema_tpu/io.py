@@ -12,17 +12,27 @@ Three input modes, as in the reference:
 
 from __future__ import annotations
 
+import gzip
 from typing import Iterator, List, Tuple
 
 from ema_tpu.core.pipeline import ReadBatch
 from ema_tpu.utils.barcodes import encode_bc, extract_bc_from_id
 
 
+def _open_text(path: str):
+    """Open a (possibly gzipped) text input.  The reference delegates
+    decompression to pigz in its shell pipeline (README.md:96-122); here
+    .gz inputs decompress transparently."""
+    if path.endswith(".gz"):
+        return gzip.open(path, "rt")
+    return open(path, "r")
+
+
 def read_special_fastq(path: str, is_haplotag: bool = False,
                        bc_len: int = 16) -> ReadBatch:
     """Read a bucket file into one barcode-sorted ReadBatch."""
     rows: List[Tuple[str, ...]] = []
-    with open(path, "r") as f:
+    with _open_text(path) as f:
         for line in f:
             line = line.rstrip("\n")
             if not line:
@@ -43,7 +53,7 @@ def read_special_fastq(path: str, is_haplotag: bool = False,
 
 
 def _read_fastq_records(path: str):
-    with open(path, "r") as f:
+    with _open_text(path) as f:
         while True:
             rid = f.readline()
             if not rid:

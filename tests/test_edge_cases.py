@@ -1,0 +1,78 @@
+"""Edge-case robustness: empty/tiny inputs, N-heavy reads, gzip input."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from ema_tpu import cli, config, io as io_mod
+from ema_tpu.core.pipeline import Aligner, ReadBatch
+from ema_tpu.index import build_index
+from tests.simulate import rand_genome, to_str
+
+
+@pytest.fixture(scope="module")
+def idx():
+    rng = np.random.default_rng(2)
+    return build_index({"c1": rand_genome(rng, 40_000)})
+
+
+def test_empty_batch(idx):
+    al = Aligner(idx, config.RunConfig(batch_size=64))
+    batch = ReadBatch.from_pairs([], [], [], [], [], [])
+    assert al.align_batch_to_sam(batch) == []
+
+
+def test_all_n_pair_unmapped(idx):
+    al = Aligner(idx, config.RunConfig(batch_size=64))
+    batch = ReadBatch.from_pairs(
+        ["x"], [5], ["N" * 60], ["I" * 60], ["N" * 60], ["I" * 60])
+    # wholly unalignable pair emits nothing (the reference's
+    # append_alignments yields no records for it)
+    assert al.align_batch_to_sam(batch) == []
+
+
+def test_single_pair(idx):
+    gs = to_str(idx.text)
+    al = Aligner(idx, config.RunConfig(batch_size=64))
+    from tests.simulate import revcomp_str
+    r1 = gs[1000:1080]
+    r2 = revcomp_str(gs[1200:1280])
+    batch = ReadBatch.from_pairs(
+        ["p"], [9], [r1], ["I" * 80], [r2], ["I" * 80])
+    lines = al.align_batch_to_sam(batch)
+    assert len(lines) == 2
+    assert "\t1001\t" in lines[0] or "\t1001\t" in lines[1]
+
+
+def test_empty_bucket_file(idx, tmp_path):
+    p = tmp_path / "ema-bin-000"
+    p.write_text("")
+    batch = io_mod.read_special_fastq(str(p))
+    assert len(batch.ids) == 0
+    al = Aligner(idx, config.RunConfig(batch_size=64))
+    assert al.align_batch_to_sam(batch) == []
+
+
+def test_gzip_special_input(idx, tmp_path):
+    gs = to_str(idx.text)
+    from tests.simulate import revcomp_str
+    bc = "ACGTACGTACGTACGT"
+    line = (f"{bc} rd {gs[500:580]} {'I' * 80} "
+            f"{revcomp_str(gs[700:780])} {'I' * 80}\n")
+    p = tmp_path / "bin.gz"
+    with gzip.open(p, "wt") as f:
+        f.write(line)
+    batch = io_mod.read_special_fastq(str(p))
+    assert len(batch.ids) == 1
+    al = Aligner(idx, config.RunConfig(batch_size=64))
+    lines = al.align_batch_to_sam(batch)
+    assert len(lines) == 2 and "BX:Z:" + bc in lines[0]
+
+
+def test_reads_shorter_than_seed(idx):
+    al = Aligner(idx, config.RunConfig(batch_size=64))
+    batch = ReadBatch.from_pairs(
+        ["s"], [3], ["ACGTACGT"], ["I" * 8], ["TTTTAAAA"], ["I" * 8])
+    # shorter than min_seed_len: no seeds, no crash, no output
+    assert al.align_batch_to_sam(batch) == []
