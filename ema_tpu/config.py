@@ -157,6 +157,8 @@ class RunConfig:
     batch_size: int = 4096              # read pairs per device batch
     inflight_chunks: int = 2            # device chunks in flight (CLI -t)
     device_em: bool = False             # run EM iterations on device
+    data_parallel_chips: bool = True    # shard device calls over all local
+                                        # chips (auto-off with one device)
     nobc: bool = False                  # no-barcode mode: each pair is its
                                         # own group, no linked-read tags
                                         # (replaces `bwa mem` on ema-nobc,

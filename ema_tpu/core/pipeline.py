@@ -140,6 +140,36 @@ class Aligner:
         self.text_dev = jnp.asarray(index.text)   # device-resident genome
         self._cloud_id = 0
         self._use_pallas = self._probe_pallas()
+        self._init_mesh()
+
+    def _init_mesh(self) -> None:
+        """Multi-chip: shard batched device calls over a data mesh.
+
+        With N>1 local devices, read rows / candidate pairs shard along a
+        'data' axis (the index is replicated, as the reference replicates
+        its BWA index per process) and XLA partitions the jitted seeding/
+        scoring programs; all shape buckets are multiples of common device
+        counts.  Single chip: plain single-device dispatch.
+        """
+        self._data_sharding = None
+        devs = jax.devices()
+        if len(devs) <= 1 or not self.cfg.data_parallel_chips:
+            return
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ema_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(len(devs), 1, devs)
+        self._data_sharding = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        self.text_dev = jax.device_put(self.text_dev, repl)
+        self.fma = jax.device_put(self.fma, repl)
+
+    def _shard_rows(self, x: np.ndarray):
+        """Device-put a batch array, sharded along axis 0 when meshed."""
+        if self._data_sharding is not None \
+                and x.shape[0] % self._data_sharding.mesh.size == 0:
+            return jax.device_put(x, self._data_sharding)
+        return jnp.asarray(x)
 
     @staticmethod
     def _probe_pallas() -> bool:
@@ -194,8 +224,8 @@ class Aligner:
         opad[:n_rows] = oriented
         lpad = np.zeros(rows_pad, np.int32)
         lpad[:n_rows] = olens
-        opad_dev = jnp.asarray(opad)
-        lpad_dev = jnp.asarray(lpad)
+        opad_dev = self._shard_rows(opad)
+        lpad_dev = self._shard_rows(lpad)
         s_lo, s_hi, s_qb, s_len, n_seeds = fmindex.seed_reads(
             self.fma, opad_dev, lpad_dev,
             max_seeds=16, min_seed_len=params.seed_len)
@@ -208,7 +238,7 @@ class Aligner:
         nsd = np.asarray(n_seeds)[:n_rows]
         owner, qb, slen, rows_flat = _compact_seed_hits(
             seed_stack, nsd, params.max_hits_per_seed)
-        hp = locate_rows_bucketed(self.fma, rows_flat)
+        hp = locate_rows_bucketed(self.fma, rows_flat, self._shard_rows)
         read_lens2 = olens.astype(np.int64)
         cands = chaining.chain_hits(
             owner, qb, slen, hp, 2 * n_reads, read_lens2, idx.n,
@@ -269,7 +299,8 @@ class Aligner:
         p = self.cfg.aligner
         out = _gather_score(
             self.text_dev, oriented_dev, olens_dev,
-            jnp.asarray(own), jnp.asarray(wlo), jnp.asarray(wlen),
+            self._shard_rows(own), self._shard_rows(wlo),
+            self._shard_rows(wlen),
             w_max=Wmax, match=p.match, mismatch=p.mismatch,
             gap_open=p.gap_open, gap_extend=p.gap_extend,
             clip=p.clip_penalty, use_pallas=self._use_pallas)
@@ -829,7 +860,7 @@ def _compact_seed_hits(seed_stack: np.ndarray, n_seeds: np.ndarray,
             s_len[b_idx, s_idx][rep], rows)
 
 
-def locate_rows_bucketed(fma, rows: np.ndarray) -> np.ndarray:
+def locate_rows_bucketed(fma, rows: np.ndarray, put=jnp.asarray) -> np.ndarray:
     """Device locate over a flat row list, padded to HIT_BUCKET multiples."""
     H = rows.shape[0]
     if H == 0:
@@ -837,8 +868,7 @@ def locate_rows_bucketed(fma, rows: np.ndarray) -> np.ndarray:
     Hp = _round_up(H, HIT_BUCKET)
     rp = np.zeros(Hp, np.int32)
     rp[:H] = rows
-    return np.asarray(fmindex.locate(fma, jnp.asarray(rp)))[:H].astype(
-        np.int64)
+    return np.asarray(fmindex.locate(fma, put(rp)))[:H].astype(np.int64)
 
 
 def _reorder_batch(batch: ReadBatch, order: np.ndarray) -> ReadBatch:
