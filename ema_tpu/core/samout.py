@@ -42,19 +42,39 @@ def write_sam_header(chrom_names, chrom_lens, rg: Optional[str],
     return "\n".join(lines) + "\n"
 
 
+_CIGAR_CACHE: dict = {}
+
+
 def cigar_string(cigar_ops: np.ndarray) -> str:
-    return "".join(f"{int(op) >> 4}{_CIGAR_OPS[int(op) & 0xF]}"
-                   for op in cigar_ops)
+    """BAM-encoded ops -> CIGAR text; cached (most reads share e.g. 100M)."""
+    key = cigar_ops.tobytes()
+    s = _CIGAR_CACHE.get(key)
+    if s is None:
+        s = "".join(f"{int(op) >> 4}{_CIGAR_OPS[int(op) & 0xF]}"
+                    for op in cigar_ops)
+        if len(_CIGAR_CACHE) > 100_000:
+            _CIGAR_CACHE.clear()
+        _CIGAR_CACHE[key] = s
+    return s
+
+
+_REFLEN_CACHE: dict = {}
 
 
 def _ref_len(cigar_ops: np.ndarray) -> int:
     """Reference-consumed length of a CIGAR (samrecord.c:75-84)."""
-    total = 0
-    for op in cigar_ops:
-        o = int(op) & 0xF
-        if o == 0 or o == 2:
-            total += int(op) >> 4
-    return total
+    key = cigar_ops.tobytes()
+    t = _REFLEN_CACHE.get(key)
+    if t is None:
+        t = 0
+        for op in cigar_ops:
+            o = int(op) & 0xF
+            if o == 0 or o == 2:
+                t += int(op) >> 4
+        if len(_REFLEN_CACHE) > 100_000:
+            _REFLEN_CACHE.clear()
+        _REFLEN_CACHE[key] = t
+    return t
 
 
 def revcomp(seq: str) -> str:

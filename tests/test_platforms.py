@@ -177,6 +177,60 @@ def test_haplotag_preproc_chain(world, tmp_path):
     assert n_lines == len(ids)
 
 
+def test_align_pair_mode_tru_many_clouds(world):
+    """-p tru: integer read-ID barcodes, many_clouds weight normalization."""
+    tmp, fa, ids, bc_strs, s1, q1, s2, q2, truth = world
+    bc_num = {b: 1000 + i for i, b in enumerate(sorted(set(bc_strs)))}
+    rids = [f"{bc_num[bc_strs[i]]}-{ids[i]}" for i in range(len(ids))]
+    f1, f2 = _write_pair_fastqs(tmp, "tru", rids, s1, q1, s2, q2)
+    out = str(tmp / "tru.sam")
+    assert cli.main(["align", "-r", str(fa), "-1", f1, "-2", f2,
+                     "-o", out, "-p", "tru"]) == 0
+    recs = [parse_sam_line(ln) for ln in open(out)
+            if not ln.startswith("@")]
+    assert recs
+    tb = {rids[i]: truth[i] for i in range(len(ids))}
+    ok = 0
+    for r in recs:
+        if r["flag"] & 4:
+            continue
+        t = tb[r["qname"]]
+        want = t["pos2"] if r["flag"] & 128 else t["pos1"]
+        ok += abs(r["pos"] - want) <= 5
+        assert "MI" in r["tags"]
+    assert ok / len(recs) > 0.9
+
+
+def test_xa_alt_emitted_for_ambiguous_read():
+    """A read mapping equally to a duplicated segment gets XA + low mapq."""
+    from ema_tpu.core.pipeline import Aligner, ReadBatch
+    from ema_tpu.index import build_index
+    from tests.simulate import rand_genome, revcomp_str, to_str
+
+    rng = np.random.default_rng(17)
+    g = rand_genome(rng, 40_000)
+    g[30_000:31_000] = g[5_000:6_000]        # exact duplicated kb
+    idx = build_index({"c1": g})
+    gs = to_str(g)
+    from ema_tpu import config as cfg_mod
+    al = Aligner(idx, cfg_mod.RunConfig(batch_size=64))
+    # read inside the duplicated segment; mate in unique flank, too far
+    # for pairing to disambiguate (so both copies stay equally likely)
+    r1 = gs[5_200:5_280]
+    r2 = revcomp_str(gs[20_000:20_080])
+    batch = ReadBatch.from_pairs(["amb"], [3], [r1], ["I" * 80],
+                                 [r2], ["I" * 80])
+    lines = al.align_batch_to_sam(batch)
+    rec1 = [parse_sam_line(ln) for ln in lines
+            if not int(parse_sam_line(ln)["flag"]) & 128]
+    assert rec1
+    r = rec1[0]
+    assert r["mapq"] <= 3                     # ambiguous
+    assert "XA" in r["tags"], r["tags"]
+    alt_pos = int(r["tags"]["XA"].split(",")[1].lstrip("+-"))
+    assert {r["pos"], alt_pos} == {5201, 30201}
+
+
 def test_align_interleaved_single_file(world):
     tmp, fa, ids, bc_strs, s1, q1, s2, q2, truth = world
     rids = [f"{ids[i]}:{bc_strs[i]}" for i in range(len(ids))]
