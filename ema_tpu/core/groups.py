@@ -73,21 +73,39 @@ class _UnionFind:
             self.parent[rb] = ra
 
 
-def process_barcode_group(records: np.ndarray, idents: np.ndarray,
-                          profile: config.PlatformProfile,
-                          cloud_id_start: int = 0,
-                          apply_opt: bool = False,
-                          rng: Optional[np.random.Generator] = None,
-                          n_pairs_in_group: Optional[int] = None,
-                          use_device_em: bool = False) -> GroupResult:
-    """Run clouds+EM+selection for all records of one barcode.
+@dataclasses.dataclass
+class GroupState:
+    """Intermediate state between the cloud sweep and the selection phase.
 
-    records: RECORD_DTYPE array (all same bc); idents: per-record read-name
-    strings (np.ndarray of str) used for ordering and entry identity.
-    ``n_pairs_in_group``: total read pairs in the barcode group including
-    unaligned ones — gates EM like the reference's n_fq1_recs >= 30
-    (align.c:345); defaults to the number of pairs holding records.
+    Produced by ``sweep_group``; EM (host or device, possibly batched
+    across many groups) updates ``gammas``/``weights`` in place;
+    ``finish_group`` turns it into a GroupResult.
     """
+
+    R: np.ndarray
+    RI: np.ndarray
+    order: np.ndarray
+    n: int
+    n_entries: int
+    n_clouds: int
+    cand_rec: np.ndarray        # int64 [E, C]
+    cand_cloud: np.ndarray      # int64 [E, C]
+    cmask: np.ndarray           # bool [E, C]
+    mate_entry: np.ndarray      # int64 [E]
+    comp: np.ndarray            # int64 [NC]
+    cloud_bad: List[int]
+    many: bool
+    gammas: np.ndarray          # f64 [E, C]
+    weights: np.ndarray         # f64 [NC]
+    needs_em: bool
+
+
+def sweep_group(records: np.ndarray, idents: np.ndarray,
+                profile: config.PlatformProfile,
+                apply_opt: bool = False,
+                rng: Optional[np.random.Generator] = None,
+                n_pairs_in_group: Optional[int] = None) -> GroupState:
+    """Cloud sweep + entry construction + gamma init for one barcode."""
     n = records.shape[0]
     many = profile.many_clouds
 
@@ -196,40 +214,128 @@ def process_barcode_group(records: np.ndarray, idents: np.ndarray,
     if not many and n_clouds:
         weights = _normalize_chains(weights, comp)
 
-    # --- EM iterations (align.c:431-543) ---------------------------------
     n_pairs = (n_pairs_in_group if n_pairs_in_group is not None
                else len({int(p) for p, _ in entry_keys}))
-    if n_pairs >= config.MIN_PAIRS_FOR_EM:
-        active = R["active"][cand_rec] & ~R["duplicate"][cand_rec] & cmask
-        rec_chrom = R["chrom"][cand_rec]
-        rec_pos = R["pos"][cand_rec]
-        rec_rev = R["rev"][cand_rec]
-        raw_score = R["score"][cand_rec]
+    needs_em = n_pairs >= config.MIN_PAIRS_FOR_EM and n_entries > 0
 
-        if use_device_em and n_entries:
-            gammas = _run_em_device(
-                raw_score, cmask, active, cand_cloud, rec_chrom, rec_pos,
-                rec_rev, mate_entry, comp, n_clouds, many)
-        else:
-            # phase split: later-inserted mate-pair member updates first
-            e_idx = np.arange(n_entries)
-            phase_b = (mate_entry >= 0) & (e_idx < mate_entry)
-            phase_a = ~phase_b
-            for _ in range(config.EM_ITERS):
-                for phase in (phase_a, phase_b):
-                    if not phase.any():
-                        continue
-                    sel = np.nonzero(phase)[0]
-                    gammas[sel] = _recompute_gammas(
-                        sel, gammas, weights, mate_entry, cand_cloud, cmask,
-                        rec_chrom, rec_pos, rec_rev, raw_score, many)
-                exp_cov[:] = 0.0
-                np.add.at(exp_cov, cand_cloud[active], gammas[active])
-                weights = exp_cov.copy()
-                if not many and n_clouds:
-                    weights = _normalize_chains(weights, comp)
+    return GroupState(
+        R=R, RI=RI, order=order, n=n, n_entries=n_entries,
+        n_clouds=n_clouds, cand_rec=cand_rec, cand_cloud=cand_cloud,
+        cmask=cmask, mate_entry=mate_entry, comp=comp, cloud_bad=cloud_bad,
+        many=many, gammas=gammas, weights=weights, needs_em=needs_em)
 
-    # --- selection (align.c:545-572, samdict.c:166-243) ------------------
+
+def _em_fields(st: GroupState):
+    R, cand_rec = st.R, st.cand_rec
+    active = R["active"][cand_rec] & ~R["duplicate"][cand_rec] & st.cmask
+    return (active, R["chrom"][cand_rec], R["pos"][cand_rec],
+            R["rev"][cand_rec], R["score"][cand_rec])
+
+
+def run_em_host(st: GroupState) -> None:
+    """The reference EM loop (align.c:431-543), float64 numpy."""
+    active, rec_chrom, rec_pos, rec_rev, raw_score = _em_fields(st)
+    gammas, weights = st.gammas, st.weights
+    exp_cov = np.zeros(st.n_clouds, np.float64)
+    # phase split: later-inserted mate-pair member updates first
+    e_idx = np.arange(st.n_entries)
+    phase_b = (st.mate_entry >= 0) & (e_idx < st.mate_entry)
+    phase_a = ~phase_b
+    for _ in range(config.EM_ITERS):
+        for phase in (phase_a, phase_b):
+            if not phase.any():
+                continue
+            sel = np.nonzero(phase)[0]
+            gammas[sel] = _recompute_gammas(
+                sel, gammas, weights, st.mate_entry, st.cand_cloud,
+                st.cmask, rec_chrom, rec_pos, rec_rev, raw_score, st.many)
+        exp_cov[:] = 0.0
+        np.add.at(exp_cov, st.cand_cloud[active], gammas[active])
+        weights = exp_cov.copy()
+        if not st.many and st.n_clouds:
+            weights = _normalize_chains(weights, st.comp)
+    st.gammas, st.weights = gammas, weights
+
+
+def _round_up_pow2(x: int, lo: int = 8) -> int:
+    v = lo
+    while v < x:
+        v *= 2
+    return v
+
+
+def run_em_device_batch(states: List[GroupState]) -> None:
+    """One padded [G, E, C] device EM call for many groups.
+
+    Groups must share ``many``.  Shapes bucket to powers of two so XLA
+    compiles a handful of programs.  Updates each state's gammas.
+    """
+    import jax.numpy as jnp
+
+    from ema_tpu.core import em_jax
+
+    states = [st for st in states if st.needs_em]
+    if not states:
+        return
+    many = states[0].many
+    assert all(st.many == many for st in states)
+    G = len(states)
+    E = _round_up_pow2(max(st.n_entries for st in states))
+    C = _round_up_pow2(max(st.cmask.shape[1] for st in states), 2)
+    NC = _round_up_pow2(max(max(st.n_clouds, 1) for st in states))
+
+    def pad2(x, fill, dtype):
+        out = np.full((G, E, C), fill, dtype)
+        for g, st in enumerate(states):
+            e, c = st.cmask.shape
+            out[g, :e, :c] = x(st)
+        return out
+
+    # ship scores at the precision the device will compute in (f32 on TPU
+    # without x64) — halves the largest transfer
+    import jax
+
+    f_dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
+    score = pad2(lambda st: np.where(st.cmask, st.R["score"][st.cand_rec],
+                                     0.0), 0.0, f_dtype)
+    cmask = pad2(lambda st: st.cmask, False, bool)
+    active = pad2(lambda st: st.R["active"][st.cand_rec]
+                  & ~st.R["duplicate"][st.cand_rec] & st.cmask, False, bool)
+    cand_cloud = pad2(lambda st: st.cand_cloud, 0, np.int32)
+    rec_chrom = pad2(lambda st: st.R["chrom"][st.cand_rec], 0, np.int32)
+    rec_pos = pad2(lambda st: st.R["pos"][st.cand_rec], 0, np.int32)
+    rec_rev = pad2(lambda st: st.R["rev"][st.cand_rec], 0, np.int32)
+
+    mate_entry = np.full((G, E), -1, np.int32)
+    emask = np.zeros((G, E), bool)
+    comp = np.broadcast_to(np.arange(NC, dtype=np.int32), (G, NC)).copy()
+    for g, st in enumerate(states):
+        mate_entry[g, :st.n_entries] = st.mate_entry
+        emask[g, :st.n_entries] = True
+        if not many and st.n_clouds:
+            comp[g, :st.n_clouds] = st.comp
+
+    inp = em_jax.EMInputs(
+        score=jnp.asarray(score), cmask=jnp.asarray(cmask),
+        active=jnp.asarray(active), cand_cloud=jnp.asarray(cand_cloud),
+        rec_chrom=jnp.asarray(rec_chrom), rec_pos=jnp.asarray(rec_pos),
+        rec_rev=jnp.asarray(rec_rev), mate_entry=jnp.asarray(mate_entry),
+        emask=jnp.asarray(emask), comp=jnp.asarray(comp),
+        run_em=jnp.asarray(np.ones(G, bool)))
+    gammas, _ = em_jax.em_run(inp, many=many)
+    gh = np.asarray(gammas, dtype=np.float64)
+    for g, st in enumerate(states):
+        e, c = st.cmask.shape
+        st.gammas = gh[g, :e, :c]
+
+
+def finish_group(st: GroupState, cloud_id_start: int = 0) -> GroupResult:
+    """Selection + duplicate marking (align.c:545-585, samdict.c:166-243)."""
+    R, RI = st.R, st.RI
+    n, n_entries, n_clouds = st.n, st.n_entries, st.n_clouds
+    cand_rec, cand_cloud, cmask = st.cand_rec, st.cand_cloud, st.cmask
+    mate_entry, gammas = st.mate_entry, st.gammas
+
     gamma_out = np.zeros(n, np.float64)
     cloud_out = np.zeros(n, np.int64)
     alt_out = np.full(n, -1, np.int64)
@@ -277,7 +383,7 @@ def process_barcode_group(records: np.ndarray, idents: np.ndarray,
             visited_entry[m] = True
 
     # --- duplicate marking (align.c:574-585) -----------------------------
-    if not many and emit_pairs:
+    if not st.many and emit_pairs:
         finals: List[int] = []
         for a, b in emit_pairs:
             finals.append(a)
@@ -302,11 +408,11 @@ def process_barcode_group(records: np.ndarray, idents: np.ndarray,
     return GroupResult(
         records=R,
         idents=RI,
-        order=order,
+        order=st.order,
         emit_pairs=emit_pairs,
         gamma=gamma_out,
         cloud_id=cloud_out + cloud_id_start,
-        cloud_bad=np.array(cloud_bad, np.int8)[
+        cloud_bad=np.array(st.cloud_bad, np.int8)[
             np.clip(cloud_out, 0, max(n_clouds - 1, 0))] if n_clouds
         else np.zeros(n, np.int8),
         alt_idx=alt_out,
@@ -315,34 +421,29 @@ def process_barcode_group(records: np.ndarray, idents: np.ndarray,
     )
 
 
-def _run_em_device(raw_score, cmask, active, cand_cloud, rec_chrom, rec_pos,
-                   rec_rev, mate_entry, comp, n_clouds, many) -> np.ndarray:
-    """Run the EM iterations on device (ema_tpu.core.em_jax), G=1 batch."""
-    import jax.numpy as jnp
+def process_barcode_group(records: np.ndarray, idents: np.ndarray,
+                          profile: config.PlatformProfile,
+                          cloud_id_start: int = 0,
+                          apply_opt: bool = False,
+                          rng: Optional[np.random.Generator] = None,
+                          n_pairs_in_group: Optional[int] = None,
+                          use_device_em: bool = False) -> GroupResult:
+    """Run clouds+EM+selection for all records of one barcode.
 
-    from ema_tpu.core import em_jax
-
-    nc = max(int(n_clouds), 1)
-    comp_full = np.arange(nc, dtype=np.int32) if many else np.asarray(
-        comp, np.int64).astype(np.int32)
-    if comp_full.shape[0] < nc:
-        comp_full = np.concatenate(
-            [comp_full, np.arange(comp_full.shape[0], nc, dtype=np.int32)])
-    inp = em_jax.EMInputs(
-        score=jnp.asarray(np.where(cmask, raw_score, 0.0)[None]),
-        cmask=jnp.asarray(cmask[None]),
-        active=jnp.asarray(active[None]),
-        cand_cloud=jnp.asarray(cand_cloud[None].astype(np.int32)),
-        rec_chrom=jnp.asarray(rec_chrom[None].astype(np.int32)),
-        rec_pos=jnp.asarray(rec_pos[None].astype(np.int32)),
-        rec_rev=jnp.asarray(rec_rev[None].astype(np.int32)),
-        mate_entry=jnp.asarray(mate_entry[None].astype(np.int32)),
-        emask=jnp.asarray(np.ones((1, cmask.shape[0]), bool)),
-        comp=jnp.asarray(comp_full[None]),
-        run_em=jnp.asarray(np.ones(1, bool)),
-    )
-    gammas, _ = em_jax.em_run(inp, many=many)
-    return np.asarray(gammas[0], dtype=np.float64)
+    records: RECORD_DTYPE array (all same bc); idents: per-record read-name
+    strings (np.ndarray of str) used for ordering and entry identity.
+    ``n_pairs_in_group``: total read pairs in the barcode group including
+    unaligned ones — gates EM like the reference's n_fq1_recs >= 30
+    (align.c:345); defaults to the number of pairs holding records.
+    """
+    st = sweep_group(records, idents, profile, apply_opt, rng,
+                     n_pairs_in_group)
+    if st.needs_em:
+        if use_device_em:
+            run_em_device_batch([st])
+        else:
+            run_em_host(st)
+    return finish_group(st, cloud_id_start)
 
 
 def _normalize_chains(weights: np.ndarray, comp: np.ndarray) -> np.ndarray:

@@ -541,12 +541,24 @@ class Aligner:
                 end = int(np.searchsorted(bcs, up_to_bc, side="left"))
             starts = np.concatenate(
                 [[0], np.nonzero(np.diff(bcs[:end]))[0] + 1, [end]])
+            states = []
             for s, e in zip(starts[:-1], starts[1:]):
                 if e <= s:
                     continue
                 n_pairs = pair_bc.get(int(bcs[s]), 0)
-                lines.extend(self._process_group(
-                    batch, recs[s:e], idents[s:e], pool, n_pairs, rng))
+                states.append(groups_mod.sweep_group(
+                    recs[s:e], idents[s:e].astype(str), self.cfg.platform,
+                    apply_opt=self.cfg.apply_density_opt, rng=rng,
+                    n_pairs_in_group=n_pairs))
+            if self.cfg.device_em:
+                # one padded device call for all EM-gated groups
+                groups_mod.run_em_device_batch(states)
+            for st in states:
+                if st.needs_em and not self.cfg.device_em:
+                    groups_mod.run_em_host(st)
+                res = groups_mod.finish_group(st, self._cloud_id)
+                self._cloud_id += res.n_clouds
+                lines.extend(self._emit_group(batch, res, pool))
             return end
 
         from concurrent.futures import ThreadPoolExecutor
@@ -566,17 +578,10 @@ class Aligner:
                 pend_ids = pend_ids[done:]
         return lines
 
-    def _process_group(self, batch: ReadBatch, group, gid, pool,
-                       n_pairs: int, rng) -> List[str]:
-        res = groups_mod.process_barcode_group(
-            group, gid.astype(str), self.cfg.platform,
-            cloud_id_start=self._cloud_id,
-            apply_opt=self.cfg.apply_density_opt, rng=rng,
-            n_pairs_in_group=n_pairs,
-            use_device_em=self.cfg.device_em)
+    def _emit_group(self, batch: ReadBatch, res, pool) -> List[str]:
+        """SAM lines for one processed barcode group (GroupResult)."""
         R = res.records
         RI = res.idents
-        self._cloud_id += res.n_clouds
 
         names = self.index.names
         rg_id = None
