@@ -134,6 +134,8 @@ class Aligner:
     """Holds the index on device and runs batched alignment."""
 
     def __init__(self, index, cfg: Optional[config.RunConfig] = None):
+        from ema_tpu.utils.backend import ensure_backend
+        ensure_backend()
         self.index = index
         self.cfg = cfg or config.RunConfig()
         self.fma = fmindex.FMIndexArrays.from_index(index)
@@ -205,12 +207,14 @@ class Aligner:
         n_reads, L = codes.shape
 
         # orient: rows [0, n_reads) forward, [n_reads, 2n) reverse-complement
-        rc = np.full_like(codes, 4)
         pos = lens[:, None] - 1 - np.arange(L)[None, :]
         valid = pos >= 0
         src = np.take_along_axis(codes, np.maximum(pos, 0), axis=1)
         rc_vals = np.where(src < 4, 3 - np.minimum(src, 3), 4).astype(np.uint8)
-        np.putmask(rc, valid, rc_vals[valid])
+        # NB: not np.putmask — its values are indexed by flat position
+        # modulo len(values), which scrambles rows when reads have
+        # different lengths (partial masks)
+        rc = np.where(valid, rc_vals, np.uint8(4))
         oriented = np.concatenate([codes, rc], axis=0)
         olens = np.concatenate([lens, lens])
 

@@ -70,6 +70,42 @@ def test_gzip_special_input(idx, tmp_path):
     assert len(lines) == 2 and "BX:Z:" + bc in lines[0]
 
 
+def test_mixed_read_lengths_batch(idx):
+    """Variable-length reads in one batch map each to their true locus.
+
+    Regression: the reverse-complement rows were built with np.putmask,
+    whose values are indexed by flat position modulo len(values) — with
+    partial masks (variable lengths) that scrambled reads across rows and
+    produced confidently wrong alignments."""
+    from tests.simulate import revcomp_str, parse_sam_line
+
+    rng = np.random.default_rng(13)
+    gs = to_str(idx.text)
+    ids, bcs, s1, q1, s2, q2, want = [], [], [], [], [], [], []
+    for i in range(60):
+        L1 = int(rng.integers(40, 121))
+        L2 = int(rng.integers(40, 121))
+        p = int(rng.integers(0, len(gs) - 600))
+        q = p + int(rng.integers(L1 + 20, 400))
+        ids.append(f"v{i}")
+        bcs.append(i // 10)
+        s1.append(gs[p:p + L1])
+        q1.append("I" * L1)
+        s2.append(revcomp_str(gs[q:q + L2]))
+        q2.append("I" * L2)
+        want.append((p + 1, q + 1))
+    al = Aligner(idx, config.RunConfig(batch_size=16))
+    batch = ReadBatch.from_pairs(ids, bcs, s1, q1, s2, q2)
+    lines = al.align_batch_to_sam(batch)
+    assert len(lines) == 120
+    for ln in lines:
+        r = parse_sam_line(ln)
+        assert not r["flag"] & 4
+        i = int(r["qname"][1:])
+        w = want[i][1] if r["flag"] & 128 else want[i][0]
+        assert abs(r["pos"] - w) <= 5, (r["qname"], r["pos"], w)
+
+
 def test_reads_shorter_than_seed(idx):
     al = Aligner(idx, config.RunConfig(batch_size=64))
     batch = ReadBatch.from_pairs(
