@@ -106,6 +106,73 @@ def test_mixed_read_lengths_batch(idx):
         assert abs(r["pos"] - w) <= 5, (r["qname"], r["pos"], w)
 
 
+def test_indel_reads_get_indel_cigars(idx):
+    """Reads with planted indels take the C++ DP path and come out with
+    I/D CIGARs at the true positions (the gapless shortcut must not
+    swallow them)."""
+    from tests.simulate import parse_sam_line, revcomp_str
+
+    rng = np.random.default_rng(5)
+    gs = to_str(idx.text)
+    ids, bcs, s1, q1, s2, q2, want, kinds = [], [], [], [], [], [], [], []
+    for i in range(45):
+        p = int(rng.integers(0, len(gs) - 600))
+        q = p + int(rng.integers(150, 400))
+        r1 = gs[p:p + 100]
+        kind = ["del", "ins", "none"][i % 3]
+        if kind == "del":
+            r1 = gs[p:p + 40] + gs[p + 42:p + 102]
+        elif kind == "ins":
+            r1 = gs[p:p + 40] + "AC" + gs[p + 40:p + 98]
+        ids.append(f"i{i}")
+        bcs.append(i // 9)
+        s1.append(r1)
+        q1.append("I" * len(r1))
+        s2.append(revcomp_str(gs[q:q + 100]))
+        q2.append("I" * 100)
+        want.append((p + 1, q + 1))
+        kinds.append(kind)
+    al = Aligner(idx, config.RunConfig(batch_size=16))
+    batch = ReadBatch.from_pairs(ids, bcs, s1, q1, s2, q2)
+    lines = al.align_batch_to_sam(batch)
+    cig_ok = 0
+    for ln in lines:
+        r = parse_sam_line(ln)
+        assert not r["flag"] & 4
+        i = int(r["qname"][1:])
+        w = want[i][1] if r["flag"] & 128 else want[i][0]
+        assert abs(r["pos"] - w) <= 3
+        if not r["flag"] & 128:
+            k = kinds[i]
+            cig_ok += (("D" in r["cigar"]) if k == "del" else
+                       ("I" in r["cigar"]) if k == "ins" else
+                       (r["cigar"] == "100M"))
+    assert cig_ok == 45
+
+
+def test_pcr_duplicates_marked(idx):
+    """Identical pairs in one barcode: all but one flagged 0x400
+    (Lariat-definition dup key, align.c:574-585)."""
+    from tests.simulate import parse_sam_line, revcomp_str
+
+    gs = to_str(idx.text)
+    r1 = gs[2000:2100]
+    r2 = revcomp_str(gs[2200:2300])
+    ids = [f"d{i}" for i in range(4)]
+    al = Aligner(idx, config.RunConfig(batch_size=16))
+    batch = ReadBatch.from_pairs(
+        ids, [7] * 4, [r1] * 4, ["I" * 100] * 4, [r2] * 4, ["I" * 100] * 4)
+    lines = al.align_batch_to_sam(batch)
+    assert len(lines) == 8
+    dup_flags = {}
+    for ln in lines:
+        r = parse_sam_line(ln)
+        dup_flags.setdefault(r["qname"], True)
+        dup_flags[r["qname"]] &= bool(r["flag"] & 1024)
+    n_dup_pairs = sum(dup_flags.values())
+    assert n_dup_pairs == 3, dup_flags        # one original, three dups
+
+
 def test_reads_shorter_than_seed(idx):
     al = Aligner(idx, config.RunConfig(batch_size=64))
     batch = ReadBatch.from_pairs(
