@@ -173,6 +173,40 @@ def test_pcr_duplicates_marked(idx):
     assert n_dup_pairs == 3, dup_flags        # one original, three dups
 
 
+def test_contig_boundaries_and_overhangs():
+    """Reads at contig starts/ends, overhanging a contig end (soft-clip),
+    and a reverse-strand read 1 all land at their true loci."""
+    from tests.simulate import parse_sam_line, revcomp_str
+
+    rng = np.random.default_rng(6)
+    c1, c2 = rand_genome(rng, 50_000), rand_genome(rng, 50_000)
+    midx = build_index({"cA": c1, "cB": c2})
+    g1, g2 = to_str(c1), to_str(c2)
+    over = g2[-60:] + to_str(rng.integers(0, 4, 40))
+    cases = [
+        ("startB", g2[:100], "cB", 1, "100M"),
+        ("endA", g1[-100:], "cA", 49901, "100M"),
+        ("overB", over, "cB", 49941, "60M40S"),
+        ("revread", revcomp_str(g1[10000:10100]), "cA", 10001, "100M"),
+    ]
+    ids = [c[0] for c in cases]
+    s1 = [c[1] for c in cases]
+    s2 = [revcomp_str(g1[20000 + i * 500:20100 + i * 500])
+          for i in range(len(cases))]
+    al = Aligner(midx, config.RunConfig(batch_size=16))
+    batch = ReadBatch.from_pairs(ids, list(range(len(ids))), s1,
+                                 ["I" * len(x) for x in s1],
+                                 s2, ["I" * 100] * len(s2))
+    got = {}
+    for ln in al.align_batch_to_sam(batch):
+        r = parse_sam_line(ln)
+        if not r["flag"] & 128 and not r["flag"] & 4:
+            got[r["qname"]] = (r["rname"], r["pos"], r["cigar"])
+    for name, _, chrom, pos, cigar in cases:
+        assert got[name] == (chrom, pos, cigar), (name, got.get(name))
+    assert got["revread"][0] == "cA"
+
+
 def test_reads_shorter_than_seed(idx):
     al = Aligner(idx, config.RunConfig(batch_size=64))
     batch = ReadBatch.from_pairs(
