@@ -67,7 +67,6 @@ def mark_optimal_alignments_in_cloud(R: np.ndarray, RI: np.ndarray,
     mmaps: list = []       # dict(start, n, mate_umap, mate_mmap, active)
     lo, hi = np.iinfo(np.int64).max, 0
     i = 0
-    log_config = 0.0
     while i < n:
         j = i + 1
         while (j < n and RI[clean[j]] == RI[clean[i]]
@@ -94,7 +93,6 @@ def mark_optimal_alignments_in_cloud(R: np.ndarray, RI: np.ndarray,
                         break
             mmaps.append(dict(start=i, n=len(run), mate_umap=mate_umap,
                               mate_mmap=mate_mmap, active=best))
-            log_config += float(R["score"][run[best]]) / config.SCORE_SCALE
         else:
             for mi, mm in enumerate(mmaps):
                 k0 = clean[mm["start"]]
@@ -103,7 +101,6 @@ def mark_optimal_alignments_in_cloud(R: np.ndarray, RI: np.ndarray,
                     mm["mate_umap"] = len(umaps)
                     break
             umaps.append(run[0])
-            log_config += float(R["score"][run[0]]) / config.SCORE_SCALE
         i = j
 
     n_bins = (hi - lo) // config.BIN_SIZE + 1

@@ -69,6 +69,7 @@ def chain_hits(owner: np.ndarray, qb: np.ndarray, seed_len: np.ndarray,
     c_owner = owner[starts]
     c_weight = np.add.reduceat(seed_len, starts)
     c_diag_min = np.minimum.reduceat(diag, starts)
+    c_diag_max = np.maximum.reduceat(diag, starts)
     c_qb_min = np.minimum.reduceat(qb, starts)
     c_qe_max = np.maximum.reduceat(qb + seed_len, starts)
     c_nseeds = np.diff(np.append(starts, owner.shape[0]))
@@ -82,6 +83,7 @@ def chain_hits(owner: np.ndarray, qb: np.ndarray, seed_len: np.ndarray,
     c_owner = c_owner[order2]
     c_weight = c_weight[order2]
     c_diag_min = c_diag_min[order2]
+    c_diag_max = c_diag_max[order2]
     c_seedcov = c_seedcov[order2]
     c_nseeds = c_nseeds[order2]
 
@@ -96,8 +98,12 @@ def chain_hits(owner: np.ndarray, qb: np.ndarray, seed_len: np.ndarray,
     o = c_owner[keep].astype(np.int64)
     r = rank_in_read[keep]
     rl = read_lens[o]
+    # window spans the chain's full diagonal range: diag_min covers
+    # insertions, diag_max covers deletions (a chain may legally span up
+    # to band_width of diagonal drift — without diag_max, any deletion
+    # wider than `pad` was silently truncated out of the window)
     lo = np.maximum(c_diag_min[keep] - pad, 0)
-    hi = np.minimum(c_diag_min[keep] + rl + pad, text_len)
+    hi = np.minimum(c_diag_max[keep] + rl + pad, text_len)
 
     out.win_lo[o, r] = lo
     out.win_len[o, r] = (hi - lo).astype(np.int32)

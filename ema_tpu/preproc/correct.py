@@ -253,58 +253,96 @@ def correct(whitelist_path: str, input_prefixes: List[str], output_dir: str,
         bucket_of[wi] = fidx
         heapq.heappush(heap, (size + int(n_reads_per_bc[wi]), fidx))
 
-    # 4. re-stream FASTQ into buckets
+    # 4. re-stream FASTQ into buckets, vectorized in chunks: barcode
+    # extraction / corrected-key lookup / whitelist routing run as batch
+    # array ops; only the final byte-assembly per pair stays scalar
     files = [open(os.path.join(output_dir, "ema-nobc"), "wb")]
     for i in range(n_buckets):
         files.append(open(os.path.join(output_dir, f"ema-bin-{i:03d}"), "wb"))
 
+    # corrected keys as a sorted composite-u64 table for batched lookup
+    key_dt = np.dtype([("a", "<u8"), ("b", "<u8")])
+    if corrected:
+        ck = np.frombuffer(b"".join(corrected.keys()),
+                           np.uint8).reshape(-1, 16).copy()
+        ckv = ck.view(key_dt).ravel()
+        cvals = np.fromiter(corrected.values(), np.uint32, len(corrected))
+        corder = np.argsort(ckv)
+        ckv, cvals = ckv[corder], cvals[corder]
+    else:
+        ckv = np.zeros(0, key_dt)
+        cvals = np.zeros(0, np.uint32)
+
     trim = BC_LEN + config.MATE1_TRIM
     n_routed = 0
-    for pair in iter_fastq_pairs(stream):
-        name1, r1, q1 = pair[0], pair[1], pair[3]
-        name2, r2, q2 = pair[4], pair[5], pair[7]
-        if len(r1) < config.MIN_READ_SIZE:
-            continue
-        seqs = np.frombuffer(r1[:BC_LEN], np.uint8)[None, :]
-        quals = np.frombuffer(q1[:BC_LEN], np.uint8)[None, :]
-        ok, has_n, bc_arr, key = fused_keys_and_barcodes(seqs, quals)
-        if not ok[0]:
-            continue
-        bc = int(bc_arr[0])
-        kb = key[0].tobytes()
-        if kb in corrected:
-            bc = corrected[kb]
-            has_n[0] = False
-        fidx = 0
-        if not has_n[0]:
-            idxc, hit = lookup_sorted(wl, np.uint32(bc))
-            if hit:
-                fidx = int(bucket_of[int(idxc)])
-        if fidx == 0:
-            bc = 0
+    n_dropped = 0
+    CHUNK = 8192
 
-        f = files[fidx]
-        short1 = name1.split()[0]
-        short2 = name2.split()[0]
-        if fidx and not do_bx_format:
-            bcs = decode_bc_preproc_str(bc).encode()
-            f.write(bcs + b" " + short1 + b" " + r1[trim:] + b" "
-                    + q1[trim:] + b" " + r2 + b" " + q2 + b"\n")
-        elif fidx and do_bx_format:
-            bcs = decode_bc_preproc_str(bc).encode()
-            f.write(short1 + b" BX:Z:" + bcs + b"-1\n" + r1[trim:]
-                    + b"\n+\n" + q1[trim:] + b"\n")
-            f.write(short2 + b" BX:Z:" + bcs + b"-1\n" + r2
-                    + b"\n+\n" + q2 + b"\n")
-        else:
-            f.write(short1 + b"\n" + r1[trim:] + b"\n+\n" + q1[trim:] + b"\n")
-            f.write(short2 + b"\n" + r2 + b"\n+\n" + q2 + b"\n")
-        n_routed += 1
+    def flush(pairs):
+        nonlocal n_routed, n_dropped
+        usable = [p for p in pairs if len(p[1]) >= config.MIN_READ_SIZE]
+        n_dropped += len(pairs) - len(usable)
+        if not usable:
+            return
+        seqs = np.frombuffer(b"".join(p[1][:BC_LEN] for p in usable),
+                             np.uint8).reshape(-1, BC_LEN)
+        quals = np.frombuffer(b"".join(p[3][:BC_LEN] for p in usable),
+                              np.uint8).reshape(-1, BC_LEN)
+        ok, has_n, bc, key = fused_keys_and_barcodes(seqs, quals)
+        kv = np.ascontiguousarray(key).view(key_dt).ravel()
+        if ckv.shape[0]:
+            ci = np.searchsorted(ckv, kv)
+            cic = np.clip(ci, 0, ckv.shape[0] - 1)
+            chit = (ci < ckv.shape[0]) & (ckv[cic] == kv)
+            bc = np.where(chit, cvals[cic], bc)
+            has_n = has_n & ~chit
+        # NB: exact-whitelist keys that the corrector REJECTED (H2 share
+        # <= 0.975, counted as nobucket) still route to the raw barcode's
+        # bucket here — this matches the reference, whose phase 4 looks the
+        # raw barcode up in known_counts regardless of the phase-2 verdict
+        # (correct.cc:486-492: only H1/H2 *changes* enter corrected_counts)
+        idxc, hit = lookup_sorted(wl, bc.astype(np.uint32))
+        fidx = np.where(ok & ~has_n & hit, bucket_of[idxc], 0)
+        n_dropped += int((~ok).sum())
+
+        for k, p in enumerate(usable):
+            if not ok[k]:
+                continue   # sub-'!' barcode quals: dropped (correct.cc:473)
+            name1, r1, q1 = p[0], p[1], p[3]
+            name2, r2, q2 = p[4], p[5], p[7]
+            fi = int(fidx[k])
+            f = files[fi]
+            short1 = name1.split()[0]
+            short2 = name2.split()[0]
+            if fi and not do_bx_format:
+                bcs = decode_bc_preproc_str(int(bc[k])).encode()
+                f.write(bcs + b" " + short1 + b" " + r1[trim:] + b" "
+                        + q1[trim:] + b" " + r2 + b" " + q2 + b"\n")
+            elif fi and do_bx_format:
+                bcs = decode_bc_preproc_str(int(bc[k])).encode()
+                f.write(short1 + b" BX:Z:" + bcs + b"-1\n" + r1[trim:]
+                        + b"\n+\n" + q1[trim:] + b"\n")
+                f.write(short2 + b" BX:Z:" + bcs + b"-1\n" + r2
+                        + b"\n+\n" + q2 + b"\n")
+            else:
+                f.write(short1 + b"\n" + r1[trim:] + b"\n+\n"
+                        + q1[trim:] + b"\n")
+                f.write(short2 + b"\n" + r2 + b"\n+\n" + q2 + b"\n")
+            n_routed += 1
+
+    pend: List[List[bytes]] = []
+    for pair in iter_fastq_pairs(stream):
+        pend.append(pair)
+        if len(pend) >= CHUNK:
+            flush(pend)
+            pend = []
+    flush(pend)
 
     for f in files:
         f.close()
     stats = dict(corrector.stats)
     stats["routed_pairs"] = n_routed
+    stats["dropped_pairs"] = n_dropped
     return stats
 
 

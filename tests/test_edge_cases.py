@@ -150,6 +150,34 @@ def test_indel_reads_get_indel_cigars(idx):
     assert cig_ok == 45
 
 
+def test_wide_deletion_spanning_reads(idx):
+    """Reads spanning 30-50bp deletions get full M-D-M CIGARs.
+
+    Regression: the chain window's upper bound used diag_min instead of
+    diag_max, truncating any deletion wider than the window pad (24bp)."""
+    from tests.simulate import parse_sam_line, revcomp_str
+
+    gs = to_str(idx.text)
+    ids, s1, s2, want = [], [], [], {}
+    for i, D in enumerate([30, 50]):
+        p = 5_000 + i * 3_000
+        ids.append(f"del{D}")
+        s1.append(gs[p:p + 60] + gs[p + 60 + D:p + 60 + D + 90])
+        s2.append(revcomp_str(gs[p + 400:p + 500]))
+        want[f"del{D}"] = (p + 1, f"{D}D")
+    al = Aligner(idx, config.RunConfig(batch_size=16))
+    batch = ReadBatch.from_pairs(ids, [1, 2], s1, ["I" * 150] * 2,
+                                 s2, ["I" * 100] * 2)
+    got = {}
+    for ln in al.align_batch_to_sam(batch):
+        r = parse_sam_line(ln)
+        if not r["flag"] & 128 and not r["flag"] & 4:
+            got[r["qname"]] = (r["pos"], r["cigar"])
+    for name, (pos, dop) in want.items():
+        assert got[name][0] == pos, (name, got[name])
+        assert dop in got[name][1], (name, got[name])
+
+
 def test_pcr_duplicates_marked(idx):
     """Identical pairs in one barcode: all but one flagged 0x400
     (Lariat-definition dup key, align.c:574-585)."""
