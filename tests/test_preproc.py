@@ -119,6 +119,39 @@ class TestCorrect:
         stats = self._run(tmp_path, pairs, do_h2=True)
         assert stats["nochange"] == 10
 
+    def test_h2_fires_on_low_quality_exact_hit(self, tmp_path):
+        # observed bc A is an exact whitelist hit, but a Hamming-2 neighbor
+        # B has a vastly higher prior AND the read's two differing barcode
+        # bases are low quality -> posterior share of B clears 0.975 and
+        # the key is H2-corrected to B (correct.cc:107-132, weight
+        # phred(max(3, q-1)))
+        A = list(BCS[0])
+        A[3] = "C" if A[3] != "C" else "G"
+        A[7] = "C" if A[7] != "C" else "G"
+        A = "".join(A)                        # 2 subs from BCS[0]
+        wl = tmp_path / "wl2.txt"
+        wl.write_text("".join(b + "\n" for b in BCS + [A]))
+
+        anchor = pairs_with_bc(BCS[0], 400)   # makes BCS[0]'s prior dominate
+        q1 = list("I" * 83)
+        q1[3] = q1[7] = "$"                   # low quality at the two subs
+        rare = [("rh2", A + "ACCGGTT" + TAIL[:60], "".join(q1),
+                 TAIL[:80], "I" * 80)]
+        pairs = anchor + rare
+        count_mod.count(str(wl), str(tmp_path / "c2"), make_fastq(pairs))
+        stats = correct_mod.correct(
+            str(wl), [str(tmp_path / "c2.ema-ncnt")],
+            str(tmp_path / "buckets2"), make_fastq(pairs), do_h2=True,
+            n_buckets=2)
+        assert stats["h2"] == 1, stats
+        assert stats["nochange"] == 400
+        # the corrected pair carries BCS[0] in its bucket line
+        joined = b"".join(
+            (tmp_path / "buckets2" / f"ema-bin-{i:03d}").read_bytes()
+            for i in range(2)).decode()
+        h2_lines = [ln for ln in joined.splitlines() if " @rh2 " in ln]
+        assert len(h2_lines) == 1 and h2_lines[0].startswith(BCS[0])
+
     def test_bucket_files_roundtrip(self, tmp_path):
         pairs = pairs_with_bc(BCS[0], 4) + pairs_with_bc(BCS[1], 4)
         self._run(tmp_path, pairs, n_buckets=2)
