@@ -345,26 +345,29 @@ def finish_group(st: GroupState, cloud_id_start: int = 0) -> GroupResult:
 
     masked_g = np.where(cmask & R["active"][cand_rec], gammas, -np.inf)
 
+    # vectorized per-entry argmax/second (the emit loop below only sets
+    # outputs in reverse-insertion order; the choices are independent)
+    if n_entries:
+        e_arange = np.arange(n_entries)
+        b_idx = np.argmax(masked_g, axis=1)          # first max wins
+        b_gam = masked_g[e_arange, b_idx]
+        dead = ~np.isfinite(b_gam)
+        b_idx = np.where(dead, 0, b_idx)
+        b_gam = np.where(dead, -1.0, b_gam)
+        mg2 = masked_g.copy()
+        mg2[e_arange, np.argmax(masked_g, axis=1)] = -np.inf
+        s_idx = np.argmax(mg2, axis=1)
+        s_val = mg2[e_arange, s_idx]
+
     def find_best(e: int) -> int:
-        g = masked_g[e]
-        if np.isinf(g).all():
-            best = 0
-            best_gamma = -1.0
-        else:
-            best = int(np.argmax(g))        # first max wins
-            best_gamma = float(g[best])
-            if best_gamma == -np.inf:
-                best, best_gamma = 0, -1.0
+        best = int(b_idx[e])
+        best_gamma = float(b_gam[e])
         ridx = int(cand_rec[e, best])
         gamma_out[ridx] = best_gamma if best_gamma > -1.0 else -1.0
         cloud_out[ridx] = cand_cloud[e, best]
-        if best_gamma <= config.SECONDARY_ALIGN_THRESH:
-            g2 = g.copy()
-            g2[best] = -np.inf
-            if not np.isinf(g2).all():
-                second = int(np.argmax(g2))
-                if g2[second] > 0:
-                    alt_out[ridx] = int(cand_rec[e, second])
+        if best_gamma <= config.SECONDARY_ALIGN_THRESH \
+                and s_val[e] > 0:
+            alt_out[ridx] = int(cand_rec[e, int(s_idx[e])])
         return ridx
 
     # head order = reverse insertion order

@@ -135,36 +135,31 @@ def format_record(rec, mate, ident: str, chrom_name: str,
     else:
         flag |= SAM_MATE_UNMAPPED
 
-    out = [ident, str(flag), chrom, str(pos), str(mapq)]
-
-    # cigar
-    out.append(cigar_string(rec_cigar) if rec is not None else "*")
+    cig = cigar_string(rec_cigar) if rec is not None else "*"
 
     # mate fields + TLEN (samrecord.c:194-211)
     if mate is not None:
         same = rec is not None and rec["chrom"] == mate["chrom"]
-        out.append("=" if same else mate_chrom_name)
-        out.append(str(int(mate["pos"])))
+        rnext = "=" if same else mate_chrom_name
+        pnext = int(mate["pos"])
         if same and rec_cigar is not None and mate_cigar is not None \
                 and len(rec_cigar) and len(mate_cigar):
             p0 = int(rec["aln_pos0"]) + (_ref_len(rec_cigar) - 1 if rec["rev"] else 0)
             p1 = int(mate["aln_pos0"]) + (_ref_len(mate_cigar) - 1 if mate["rev"] else 0)
             sign = 1 if p0 > p1 else (-1 if p0 < p1 else 0)
-            out.append(str(-(p0 - p1 + sign)))
+            tlen = -(p0 - p1 + sign)
         else:
-            out.append("0")
+            tlen = 0
     else:
-        out.extend(["*", "0", "0"])
+        rnext, pnext, tlen = "*", 0, 0
 
     # seq/qual
     if rec is not None and rec["rev"]:
-        out.append(revcomp(seq))
-        out.append(qual[::-1])
-    else:
-        out.append(seq)
-        out.append(qual)
+        seq = revcomp(seq)
+        qual = qual[::-1]
 
-    line = "\t".join(out)
+    line = (f"{ident}\t{flag}\t{chrom}\t{pos}\t{mapq}\t{cig}\t"
+            f"{rnext}\t{pnext}\t{tlen}\t{seq}\t{qual}")
 
     # tags
     if not lr_tags:
