@@ -125,3 +125,39 @@ class TestSeeding:
         assert valid.all()
         r = np.asarray(rows)[0]
         assert r[0] == 10 and (np.diff(r) > 0).all() and r[-1] < 500
+
+
+class TestSeedingCompleteness:
+    """Property: every error-free read drawn from the text produces at
+    least one seed hit at its true position (across random lengths,
+    positions, and strand via caller-side revcomp)."""
+
+    def test_random_substring_always_seeded(self):
+        import jax.numpy as jnp
+
+        from ema_tpu.index import build_index
+        from ema_tpu.index import fmindex as fm_mod
+
+        rng = np.random.default_rng(123)
+        text = rng.integers(0, 4, 30_000).astype(np.uint8)
+        idx = build_index({"c": text})
+        fma = fm_mod.FMIndexArrays.from_index(idx)
+
+        B = 64
+        lens = rng.integers(19, 140, B).astype(np.int32)
+        starts = np.array([rng.integers(0, idx.n - L) for L in lens])
+        L = int(lens.max())
+        reads = np.full((B, L), 4, np.uint8)
+        for i in range(B):
+            reads[i, :lens[i]] = idx.text[starts[i]:starts[i] + lens[i]]
+
+        s_lo, s_hi, s_qb, s_len, n_seeds = fm_mod.seed_reads(
+            fma, jnp.asarray(reads.astype(np.int32)), jnp.asarray(lens),
+            max_seeds=16, min_seed_len=19)
+        rows, valid = fm_mod.expand_seed_hits(s_lo, s_hi, 32)
+        pos = np.asarray(fm_mod.locate(fma, rows))
+        valid = np.asarray(valid)
+        qb = np.asarray(s_qb)
+        for i in range(B):
+            hit_starts = (pos[i] - qb[i][:, None])[valid[i]]
+            assert starts[i] in hit_starts, (i, starts[i], lens[i])
