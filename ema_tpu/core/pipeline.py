@@ -141,6 +141,7 @@ class Aligner:
         self.fma = fmindex.FMIndexArrays.from_index(index)
         self.text_dev = jnp.asarray(index.text)   # device-resident genome
         self._cloud_id = 0
+        self._contig_blob = None
         self._use_pallas = self._probe_pallas()
         self._init_mesh()
 
@@ -604,6 +605,20 @@ class Aligner:
         # 3-way-min mapq for the whole group in one vector op
         mapqs = score_mod.final_mapq(res.gamma, R["score_mapq"], R["mapq"])
 
+        # fast path: vectorized prep + C++ string assembly.  The scalar
+        # path below remains for bx_index != "1" (the unmapped-mate BX
+        # suffix is hardwired to -1, samout.format_record else-branch).
+        if self.cfg.bx_index == "1":
+            if self._contig_blob is None:
+                self._contig_blob = samout.make_contig_blob(names)
+            blob, coff = self._contig_blob
+            bx_full = bc_str if is_hap else (f"{bc_str}-1" if bc_str else "")
+            rg_tag = rg_id.split()[0] if rg_id else None
+            return samout.emit_group_lines(
+                res, pool, MAX_CIGAR_OPS, batch.seqs, batch.quals, names,
+                blob, coff, rg_tag, bx_full, self.cfg.bx_index,
+                self.cfg.nobc, mapqs)
+
         def cigar_of(i):
             off = int(R["cig_off"][i])
             return pool[off:off + int(R["cig_len"][i])]
@@ -674,6 +689,7 @@ class ShardedAligner(Aligner):
         self.cfg = cfg or config.RunConfig()
         self.subs = [Aligner(sh, self.cfg) for sh in index.shards]
         self._cloud_id = 0
+        self._contig_blob = None
 
     def generate_candidates(self, batch: ReadBatch) -> CandidateSet:
         css = [sub.generate_candidates(batch) for sub in self.subs]

@@ -193,3 +193,155 @@ def _is_pair(r1, r2) -> bool:
     """Proper-pair predicate (align.c:27-40)."""
     return is_proper_pair(r1["chrom"], r1["pos"], r1["rev"],
                           r2["chrom"], r2["pos"], r2["rev"])
+
+
+# ---------------------------------------------------------------------------
+# Batched group emission (numeric prep vectorized here; string assembly in
+# C++ native.format_sam_batch — the reference's print_sam_record in C)
+# ---------------------------------------------------------------------------
+
+def make_contig_blob(names) -> tuple:
+    blob = "".join(names).encode()
+    off = np.zeros(len(names) + 1, np.int64)
+    np.cumsum([len(n) for n in names], out=off[1:])
+    return blob, off
+
+
+def _ref_len_vec(pool: np.ndarray, off: np.ndarray, ln: np.ndarray,
+                 max_ops: int) -> np.ndarray:
+    """Reference-consumed length per CIGAR (vectorized over records)."""
+    if off.shape[0] == 0:
+        return np.zeros(0, np.int64)
+    idx = off[:, None] + np.arange(max_ops)[None, :]
+    ops = pool[np.minimum(idx, pool.shape[0] - 1)]
+    live = np.arange(max_ops)[None, :] < ln[:, None]
+    use = live & (((ops & 0xF) == 0) | ((ops & 0xF) == 2))
+    return np.where(use, ops >> 4, 0).sum(axis=1).astype(np.int64)
+
+
+def emit_group_lines(res, pool, max_cigar_ops, seqs, quals, names,
+                     contig_blob, contig_off, rg_id, bx_str: str,
+                     bx_index: str, nobc: bool, mapqs) -> List[str]:
+    """All SAM lines for one processed barcode group (GroupResult).
+
+    Exactly reproduces the per-record format_record output; numeric field
+    prep is vectorized and string assembly runs in C++.  Falls back to the
+    caller's scalar path when bx_index != "1" (the mapped/unmapped BX
+    suffixes diverge there).
+    """
+    from ema_tpu import native
+
+    R = res.records
+    RI = res.idents
+    P = len(res.emit_pairs)
+    if P == 0:
+        return []
+
+    a_arr = np.fromiter((a for a, b in res.emit_pairs), np.int64, P)
+    b_arr = np.fromiter((b for a, b in res.emit_pairs), np.int64, P)
+    # rows interleaved: [rec_a, rec_b-or-unmapped] per pair
+    rec = np.stack([a_arr, b_arr], axis=1).ravel()
+    mate = np.stack([b_arr, a_arr], axis=1).ravel()
+    M = rec.shape[0]
+    mapped = rec >= 0
+    has_mate = mate >= 0
+    ri = np.maximum(rec, 0)
+    mi_ = np.maximum(mate, 0)
+
+    # reference-consumed lengths for TLEN (aln_pos0 + reflen - 1 for rev)
+    reflen = _ref_len_vec(pool, R["cig_off"], R["cig_len"], max_cigar_ops)
+
+    flag = np.full(M, SAM_READ_PAIRED, np.int32)
+    flag |= np.where(mapped & (R["rev"][ri] != 0), SAM_READ_REVERSED, 0)
+    flag |= np.where(mapped & R["duplicate"][ri], SAM_READ_IS_A_DUP, 0)
+    flag |= np.where(mapped,
+                     np.where(R["mate"][ri] == 0, SAM_1ST_IN_PAIR,
+                              SAM_2ND_IN_PAIR),
+                     np.where(R["mate"][mi_] == 0, SAM_2ND_IN_PAIR,
+                              SAM_1ST_IN_PAIR))
+    flag |= np.where(mapped, 0, SAM_READ_UNMAPPED)
+    # proper pair (both mapped, FR, insert window — align.c:27-40)
+    both = mapped & has_mate
+    d = np.where(R["rev"][mi_] != 0,
+                 R["pos"][mi_] - R["pos"][ri],
+                 R["pos"][ri] - R["pos"][mi_])
+    proper = both & (R["rev"][ri] != R["rev"][mi_]) \
+        & (R["chrom"][ri] == R["chrom"][mi_]) \
+        & (d >= config.INSERT_MIN) & (d <= config.INSERT_MAX)
+    flag |= np.where(proper, SAM_READ_PROPER, 0)
+    flag |= np.where(has_mate & (R["rev"][mi_] != 0), SAM_MATE_REVERSED, 0)
+    flag |= np.where(has_mate, 0, SAM_MATE_UNMAPPED)
+
+    chrom_idx = np.where(mapped, R["chrom"][ri], -2).astype(np.int32)
+    pos = np.where(mapped, R["pos"][ri], 0)
+    mapq = np.where(mapped, mapqs[ri], 0).astype(np.int32)
+
+    same = both & (R["chrom"][ri] == R["chrom"][mi_])
+    # '=' only when same-chrom AND this record mapped; otherwise mate chrom
+    rnext = np.where(~has_mate, -2,
+                     np.where(same, -1, R["chrom"][mi_])).astype(np.int32)
+    pnext = np.where(has_mate, R["pos"][mi_], 0)
+    tl_ok = same & (R["cig_len"][ri] > 0) & (R["cig_len"][mi_] > 0)
+    p0 = R["aln_pos0"][ri] + np.where(R["rev"][ri] != 0, reflen[ri] - 1, 0)
+    p1 = R["aln_pos0"][mi_] + np.where(R["rev"][mi_] != 0,
+                                       reflen[mi_] - 1, 0)
+    sign = np.sign(p0 - p1)
+    tlen = np.where(tl_ok, -(p0 - p1 + sign), 0)
+
+    cig_off = np.where(mapped, R["cig_off"][ri], 0)
+    cig_len = np.where(mapped, R["cig_len"][ri], -1).astype(np.int32)
+    rev = np.where(mapped, R["rev"][ri], 0).astype(np.int32)
+    nm = np.where(mapped, R["edit_dist"][ri], 0).astype(np.int32)
+    gamma = np.where(mapped, res.gamma[ri], 0.0)
+    mi_tag = np.where(mapped, res.cloud_id[ri], 0)
+    xf = np.where(mapped, res.cloud_bad[ri], 0).astype(np.int32)
+
+    alt = np.where(mapped, res.alt_idx[ri], -1)
+    has_alt = alt >= 0
+    ai = np.maximum(alt, 0)
+    alt_chrom = np.where(has_alt, R["chrom"][ai], 0).astype(np.int32)
+    alt_pos = np.where(has_alt, R["pos"][ai], 0)
+    alt_rev = np.where(has_alt, R["rev"][ai], 0).astype(np.int32)
+    alt_cig_off = np.where(has_alt, R["cig_off"][ai], 0)
+    alt_cig_len = np.where(has_alt, R["cig_len"][ai], -1).astype(np.int32)
+    alt_nm = np.where(has_alt, R["edit_dist"][ai], 0).astype(np.int32)
+
+    if nobc:
+        lr = np.where(mapped, 3, 0).astype(np.int32)
+    else:
+        lr = np.where(mapped, 1, 2).astype(np.int32)
+
+    # string blobs: names per row; seq/qual row = pair*2 + mate#
+    name_list = []
+    seq_list = []
+    qual_list = []
+    for k in range(M):
+        if rec[k] >= 0:
+            src = int(rec[k])
+            row = int(R["pair"][src]) * 2 + int(R["mate"][src])
+        else:
+            src = int(mate[k])
+            row = int(R["pair"][src]) * 2 + (1 - int(R["mate"][src]))
+        name_list.append(str(RI[src]))
+        seq_list.append(seqs[row])
+        qual_list.append(quals[row])
+    names_blob = "".join(name_list).encode()
+    seqs_blob = "".join(seq_list).encode()
+    quals_blob = "".join(qual_list).encode()
+
+    def offs(lst):
+        o = np.zeros(len(lst) + 1, np.int64)
+        np.cumsum([len(x) for x in lst], out=o[1:])
+        return o
+
+    bx_bytes = bx_str.encode()
+    rg_bytes = (rg_id or "").encode()
+
+    out = native.format_sam_batch(
+        names_blob, offs(name_list), seqs_blob, offs(seq_list),
+        quals_blob, offs(qual_list), contig_blob, contig_off,
+        flag, chrom_idx, pos, mapq, rnext, pnext, tlen, rev,
+        cig_off, cig_len, pool, nm, gamma, mi_tag, xf,
+        alt_chrom, alt_pos, alt_rev, alt_cig_off, alt_cig_len, alt_nm,
+        lr, bx_bytes, rg_bytes)
+    return out.decode().splitlines(keepends=True)

@@ -49,6 +49,31 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int64, ctypes.c_int64,
         ]
 
+        lib.format_sam_batch.restype = ctypes.c_int64
+        lib.format_sam_batch.argtypes = [
+            ctypes.c_int64,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_char_p, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_char), ctypes.c_int64,
+        ]
+
         lib.align_batch.restype = None
         lib.align_batch.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
@@ -80,6 +105,81 @@ def suffix_array(text: np.ndarray, alphabet_size: int) -> np.ndarray:
     get_lib().sais_u8(_ptr(text, ctypes.c_uint8), _ptr(sa, ctypes.c_int64),
                       ctypes.c_int64(n), ctypes.c_int64(alphabet_size))
     return sa
+
+
+def format_sam_batch(names_blob: bytes, name_off: np.ndarray,
+                     seqs_blob: bytes, seq_off: np.ndarray,
+                     quals_blob: bytes, qual_off: np.ndarray,
+                     chroms_blob: bytes, chrom_off: np.ndarray,
+                     flag, chrom_idx, pos, mapq, rnext_idx, pnext, tlen,
+                     rev, cig_off, cig_len, cig_pool, nm, gamma, mi, xf,
+                     alt_chrom, alt_pos, alt_rev, alt_cig_off, alt_cig_len,
+                     alt_nm, lr, bx: bytes, rg: bytes) -> bytes:
+    """Batched SAM line assembly (reference print_sam_record,
+    samrecord.c:104-284).  Returns the concatenated lines as bytes."""
+    M = int(flag.shape[0])
+    lib = get_lib()
+    # materialize every array up front and keep references alive for the
+    # duration of the call (ctypes pointers do not own their numpy arrays)
+    keep = [
+        np.ascontiguousarray(name_off, np.int64),
+        np.ascontiguousarray(seq_off, np.int64),
+        np.ascontiguousarray(qual_off, np.int64),
+        np.ascontiguousarray(chrom_off, np.int64),
+        np.ascontiguousarray(flag, np.int32),
+        np.ascontiguousarray(chrom_idx, np.int32),
+        np.ascontiguousarray(pos, np.int64),
+        np.ascontiguousarray(mapq, np.int32),
+        np.ascontiguousarray(rnext_idx, np.int32),
+        np.ascontiguousarray(pnext, np.int64),
+        np.ascontiguousarray(tlen, np.int64),
+        np.ascontiguousarray(rev, np.int32),
+        np.ascontiguousarray(cig_off, np.int64),
+        np.ascontiguousarray(cig_len, np.int32),
+        np.ascontiguousarray(cig_pool, np.uint32),
+        np.ascontiguousarray(nm, np.int32),
+        np.ascontiguousarray(gamma, np.float64),
+        np.ascontiguousarray(mi, np.int64),
+        np.ascontiguousarray(xf, np.int32),
+        np.ascontiguousarray(alt_chrom, np.int32),
+        np.ascontiguousarray(alt_pos, np.int64),
+        np.ascontiguousarray(alt_rev, np.int32),
+        np.ascontiguousarray(alt_cig_off, np.int64),
+        np.ascontiguousarray(alt_cig_len, np.int32),
+        np.ascontiguousarray(alt_nm, np.int32),
+        np.ascontiguousarray(lr, np.int32),
+    ]
+    (name_off, seq_off, qual_off, chrom_off, flag, chrom_idx, pos, mapq,
+     rnext_idx, pnext, tlen, rev, cig_off, cig_len, cig_pool, nm, gamma,
+     mi, xf, alt_chrom, alt_pos, alt_rev, alt_cig_off, alt_cig_len,
+     alt_nm, lr) = keep
+    cap = (len(names_blob) + 2 * len(seqs_blob) + 512 * M + 4096)
+    while True:
+        buf = ctypes.create_string_buffer(cap)
+        n = lib.format_sam_batch(
+            ctypes.c_int64(M),
+            names_blob, _ptr(name_off, ctypes.c_int64),
+            seqs_blob, _ptr(seq_off, ctypes.c_int64),
+            quals_blob, _ptr(qual_off, ctypes.c_int64),
+            chroms_blob, _ptr(chrom_off, ctypes.c_int64),
+            ctypes.c_int32(chrom_off.shape[0] - 1),
+            _ptr(flag, ctypes.c_int32), _ptr(chrom_idx, ctypes.c_int32),
+            _ptr(pos, ctypes.c_int64), _ptr(mapq, ctypes.c_int32),
+            _ptr(rnext_idx, ctypes.c_int32), _ptr(pnext, ctypes.c_int64),
+            _ptr(tlen, ctypes.c_int64), _ptr(rev, ctypes.c_int32),
+            _ptr(cig_off, ctypes.c_int64), _ptr(cig_len, ctypes.c_int32),
+            _ptr(cig_pool, ctypes.c_uint32),
+            _ptr(nm, ctypes.c_int32), _ptr(gamma, ctypes.c_double),
+            _ptr(mi, ctypes.c_int64), _ptr(xf, ctypes.c_int32),
+            _ptr(alt_chrom, ctypes.c_int32), _ptr(alt_pos, ctypes.c_int64),
+            _ptr(alt_rev, ctypes.c_int32),
+            _ptr(alt_cig_off, ctypes.c_int64),
+            _ptr(alt_cig_len, ctypes.c_int32), _ptr(alt_nm, ctypes.c_int32),
+            _ptr(lr, ctypes.c_int32), bx, ctypes.c_int32(len(bx)), rg,
+            ctypes.c_int32(len(rg)), buf, ctypes.c_int64(cap))
+        if n >= 0:
+            return buf.raw[:n]
+        cap *= 2
 
 
 def align_batch(reads: np.ndarray, read_lens: np.ndarray,

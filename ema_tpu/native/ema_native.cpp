@@ -16,6 +16,7 @@
 // Build: g++ -O3 -shared -fPIC (see build.py).  Exposed via ctypes.
 
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <cstdlib>
 #include <vector>
@@ -303,4 +304,163 @@ extern "C" void align_batch(const uint8_t *reads, const int32_t *m_len, int32_t 
                   cigars + (int64_t)b * max_cigar, n_cigar + b, max_cigar,
                   tb.data());
     }
+}
+
+// ---------------------------------------------------------------------------
+// Batched SAM line formatting
+// ---------------------------------------------------------------------------
+// The reference emits SAM records in C (print_sam_record,
+// samrecord.c:104-284).  Here the Python pipeline computes the per-record
+// numeric fields (flags, mapq, TLEN) vectorized and this routine does the
+// string assembly: CIGAR rendering from the BAM-encoded pool, seq/qual
+// reverse-complement for reverse-strand records, and tag concatenation.
+//
+// Layout: per-record variable-length strings (names, seq, qual) arrive as
+// one concatenated blob plus int64 offset arrays (offs[i]..offs[i+1]).
+// rnext_idx: contig index, -1 => '=', -2 => '*'.  nm < 0 suppresses the
+// linked-read tags (unmapped or --nobc records still get BX when bx_len>0
+// and lr=2).  alt_cig_len < 0 => no XA.
+
+namespace {
+
+static inline char *put_i64(char *p, int64_t v) {
+    if (v < 0) { *p++ = '-'; v = -v; }
+    char tmp[24]; int k = 0;
+    do { tmp[k++] = '0' + (v % 10); v /= 10; } while (v);
+    while (k) *p++ = tmp[--k];
+    return p;
+}
+
+static const char CIG_OPS[] = "MIDSS";  // op 3 (H) printed as S
+static const char COMP[] = "TGCA";      // ACGT -> TGCA
+
+static inline char *put_cigar(char *p, const uint32_t *cig, int32_t n) {
+    for (int32_t i = 0; i < n; i++) {
+        p = put_i64(p, cig[i] >> 4);
+        uint32_t op = cig[i] & 0xF;
+        *p++ = (op < 5) ? CIG_OPS[op] : '?';
+    }
+    return p;
+}
+
+static inline char comp_base(char c) {
+    switch (c) {
+        case 'A': return 'T'; case 'C': return 'G';
+        case 'G': return 'C'; case 'T': return 'A';
+        case 'a': return 't'; case 'c': return 'g';
+        case 'g': return 'c'; case 't': return 'a';
+        default: return 'N';
+    }
+}
+
+}  // namespace
+
+extern "C" int64_t format_sam_batch(
+    int64_t M,
+    // string blobs + offsets [M+1]
+    const char *names, const int64_t *name_off,
+    const char *seqs, const int64_t *seq_off,
+    const char *quals, const int64_t *qual_off,
+    // contig name table
+    const char *chroms, const int64_t *chrom_off, int32_t n_chroms,
+    // numeric per-record fields
+    const int32_t *flag, const int32_t *chrom_idx, const int64_t *pos,
+    const int32_t *mapq, const int32_t *rnext_idx, const int64_t *pnext,
+    const int64_t *tlen, const int32_t *rev,
+    const int64_t *cig_off, const int32_t *cig_len, const uint32_t *cig_pool,
+    const int32_t *nm, const double *gamma, const int64_t *mi,
+    const int32_t *xf,
+    // XA alt (alt_cig_len < 0 => none)
+    const int32_t *alt_chrom, const int64_t *alt_pos, const int32_t *alt_rev,
+    const int64_t *alt_cig_off, const int32_t *alt_cig_len,
+    const int32_t *alt_nm,
+    // group-constant tags: lr per record (0 none, 1 full, 2 bx-only)
+    const int32_t *lr,
+    const char *bx, int32_t bx_len,
+    const char *rg, int32_t rg_len,
+    char *out, int64_t out_cap) {
+    char *p = out;
+    char *lim = out + out_cap - 64;
+    for (int64_t i = 0; i < M; i++) {
+        int64_t need = (name_off[i + 1] - name_off[i])
+            + 2 * (seq_off[i + 1] - seq_off[i]) + 16 * (cig_len[i] > 0 ? cig_len[i] : 1)
+            + (alt_cig_len[i] > 0 ? 16 * alt_cig_len[i] + 64 : 0)
+            + bx_len + rg_len + 256;
+        if (p + need > lim) return -1;          // caller grows the buffer
+
+        // QNAME FLAG RNAME POS MAPQ
+        int64_t nl = name_off[i + 1] - name_off[i];
+        memcpy(p, names + name_off[i], nl); p += nl;
+        *p++ = '\t'; p = put_i64(p, flag[i]);
+        *p++ = '\t';
+        if (chrom_idx[i] < 0) { *p++ = '*'; }
+        else {
+            int64_t cl = chrom_off[chrom_idx[i] + 1] - chrom_off[chrom_idx[i]];
+            memcpy(p, chroms + chrom_off[chrom_idx[i]], cl); p += cl;
+        }
+        *p++ = '\t'; p = put_i64(p, pos[i]);
+        *p++ = '\t'; p = put_i64(p, mapq[i]);
+
+        // CIGAR
+        *p++ = '\t';
+        if (cig_len[i] <= 0) *p++ = '*';
+        else p = put_cigar(p, cig_pool + cig_off[i], cig_len[i]);
+
+        // RNEXT PNEXT TLEN
+        *p++ = '\t';
+        if (rnext_idx[i] == -1) *p++ = '=';
+        else if (rnext_idx[i] < 0) *p++ = '*';
+        else {
+            int64_t cl = chrom_off[rnext_idx[i] + 1] - chrom_off[rnext_idx[i]];
+            memcpy(p, chroms + chrom_off[rnext_idx[i]], cl); p += cl;
+        }
+        *p++ = '\t'; p = put_i64(p, pnext[i]);
+        *p++ = '\t'; p = put_i64(p, tlen[i]);
+
+        // SEQ QUAL (revcomp / reverse for reverse-strand records)
+        int64_t sl = seq_off[i + 1] - seq_off[i];
+        const char *sq = seqs + seq_off[i];
+        const char *qu = quals + qual_off[i];
+        *p++ = '\t';
+        if (rev[i]) for (int64_t j = sl - 1; j >= 0; j--) *p++ = comp_base(sq[j]);
+        else { memcpy(p, sq, sl); p += sl; }
+        *p++ = '\t';
+        if (rev[i]) for (int64_t j = sl - 1; j >= 0; j--) *p++ = qu[j];
+        else { memcpy(p, qu, sl); p += sl; }
+
+        // tags
+        if (lr[i] == 1) {
+            memcpy(p, "\tNM:i:", 6); p += 6; p = put_i64(p, nm[i]);
+            memcpy(p, "\tBX:Z:", 6); p += 6;
+            memcpy(p, bx, bx_len); p += bx_len;
+            memcpy(p, "\tXG:f:", 6); p += 6;
+            p += snprintf(p, 32, "%.5g", gamma[i]);
+            memcpy(p, "\tMI:i:", 6); p += 6; p = put_i64(p, mi[i]);
+            memcpy(p, "\tXF:i:", 6); p += 6; p = put_i64(p, xf[i]);
+        } else if (lr[i] == 2) {
+            memcpy(p, "\tBX:Z:", 6); p += 6;
+            memcpy(p, bx, bx_len); p += bx_len;
+        } else if (lr[i] == 3) {   // --nobc: NM only
+            memcpy(p, "\tNM:i:", 6); p += 6; p = put_i64(p, nm[i]);
+        }
+        if (rg_len > 0) {
+            memcpy(p, "\tRG:Z:", 6); p += 6;
+            memcpy(p, rg, rg_len); p += rg_len;
+        }
+        if (alt_cig_len[i] >= 0) {
+            memcpy(p, "\tXA:Z:", 6); p += 6;
+            int64_t cl = chrom_off[alt_chrom[i] + 1] - chrom_off[alt_chrom[i]];
+            memcpy(p, chroms + chrom_off[alt_chrom[i]], cl); p += cl;
+            *p++ = ',';
+            *p++ = alt_rev[i] ? '-' : '+';
+            p = put_i64(p, alt_pos[i]);
+            *p++ = ',';
+            p = put_cigar(p, cig_pool + alt_cig_off[i], alt_cig_len[i]);
+            *p++ = ',';
+            p = put_i64(p, alt_nm[i]);
+            *p++ = ';';
+        }
+        *p++ = '\n';
+    }
+    return p - out;
 }
