@@ -257,6 +257,148 @@ def run_em_host(st: GroupState) -> None:
     st.gammas, st.weights = gammas, weights
 
 
+def _pack_states(states: List[GroupState], f_dtype=np.float64):
+    """Pad a batch of GroupStates to common [G, E, C] arrays."""
+    G = len(states)
+    E = _round_up_pow2(max(st.n_entries for st in states))
+    C = _round_up_pow2(max(st.cmask.shape[1] for st in states), 2)
+    NC = _round_up_pow2(max(max(st.n_clouds, 1) for st in states))
+
+    def pad2(x, fill, dtype):
+        out = np.full((G, E, C), fill, dtype)
+        for g, st in enumerate(states):
+            e, c = st.cmask.shape
+            out[g, :e, :c] = x(st)
+        return out
+
+    d = dict(
+        score=pad2(lambda st: np.where(st.cmask, st.R["score"][st.cand_rec],
+                                       0.0), 0.0, f_dtype),
+        cmask=pad2(lambda st: st.cmask, False, bool),
+        active=pad2(lambda st: st.R["active"][st.cand_rec]
+                    & ~st.R["duplicate"][st.cand_rec] & st.cmask,
+                    False, bool),
+        cand_cloud=pad2(lambda st: st.cand_cloud, 0, np.int32),
+        rec_chrom=pad2(lambda st: st.R["chrom"][st.cand_rec], 0, np.int32),
+        rec_pos=pad2(lambda st: st.R["pos"][st.cand_rec], 0, np.int32),
+        rec_rev=pad2(lambda st: st.R["rev"][st.cand_rec], 0, np.int32),
+    )
+    mate_entry = np.full((G, E), -1, np.int32)
+    emask = np.zeros((G, E), bool)
+    comp = np.broadcast_to(np.arange(NC, dtype=np.int32), (G, NC)).copy()
+    many = states[0].many
+    for g, st in enumerate(states):
+        mate_entry[g, :st.n_entries] = st.mate_entry
+        emask[g, :st.n_entries] = True
+        if not many and st.n_clouds:
+            comp[g, :st.n_clouds] = st.comp
+    d.update(mate_entry=mate_entry, emask=emask, comp=comp)
+    return d, (G, E, C, NC)
+
+
+def run_em_host_batch(states: List[GroupState]) -> None:
+    """One padded numpy EM pass over many groups (same math as
+    run_em_host per group; batching amortizes the numpy dispatch
+    overhead of small [E, C] arrays)."""
+    states = [st for st in states if st.needs_em]
+    if not states:
+        return
+    # large groups pay more for the all-entries-per-phase recompute and
+    # pow2 padding than they save in dispatch overhead — keep those on the
+    # per-group path (which updates only each phase's rows)
+    big = [st for st in states if st.n_entries > 256]
+    for st in big:
+        run_em_host(st)
+    states = [st for st in states if st.n_entries <= 256]
+    if not states:
+        return
+    if len(states) == 1:
+        run_em_host(states[0])
+        return
+    many = states[0].many
+    assert all(st.many == many for st in states)
+    d, (G, E, C, NC) = _pack_states(states)
+    score, cmask, active = d["score"], d["cmask"], d["active"]
+    cand_cloud, mate_entry, emask = d["cand_cloud"], d["mate_entry"], d["emask"]
+    comp = d["comp"]
+    rec_chrom, rec_pos, rec_rev = d["rec_chrom"], d["rec_pos"], d["rec_rev"]
+
+    gammas = normalize_log_probs_batch(
+        score.reshape(G * E, C), cmask.reshape(G * E, C)).reshape(G, E, C)
+    g_idx = np.arange(G)[:, None, None]
+    gi = np.arange(G)[:, None]
+
+    def cloud_weights(weight_mask):
+        exp_cov = np.zeros((G, NC), np.float64)
+        np.add.at(exp_cov, (g_idx, cand_cloud),
+                  np.where(weight_mask, gammas, 0.0))
+        if many:
+            return exp_cov
+        totals = np.zeros((G, NC), np.float64)
+        np.add.at(totals, (gi, comp), exp_cov)
+        t = np.take_along_axis(totals, comp, axis=1)
+        return np.where(t > 0, exp_cov / np.where(t > 0, t, 1.0), exp_cov)
+
+    weights = cloud_weights(cmask)
+
+    e_idx = np.arange(E)[None, :]
+    phase_b = (mate_entry >= 0) & (e_idx < mate_entry) & emask
+    phase_a = emask & ~phase_b
+    me = np.maximum(mate_entry, 0)[:, :, None]
+    has_mate = (mate_entry >= 0)[:, :, None]
+
+    def mg(arr):
+        return np.take_along_axis(
+            arr, np.broadcast_to(me, (G, E, arr.shape[2])), axis=1)
+
+    m_chrom = mg(rec_chrom)[:, :, None, :]
+    m_pos = mg(rec_pos)[:, :, None, :]
+    m_rev = mg(rec_rev)[:, :, None, :]
+    m_cloud = mg(cand_cloud)[:, :, None, :]
+    m_cmask = mg(cmask)[:, :, None, :] & has_mate[..., None]
+    i_chrom = rec_chrom[..., None]
+    i_pos = rec_pos[..., None]
+    i_rev = rec_rev[..., None]
+    i_cloud = cand_cloud[..., None]
+    ok_static = (m_cmask & (m_chrom == i_chrom) & (m_rev != i_rev)
+                 & (m_cloud == i_cloud))
+    dd = np.where(i_rev == 1, i_pos - m_pos, m_pos - i_pos)
+    pen = np.where((dd >= config.INSERT_MIN) & (dd <= config.INSERT_MAX),
+                   0.0, config.UNPAIRED_PENALTY)
+
+    def recompute():
+        cloud_w = np.take_along_axis(
+            weights[:, None, :],
+            np.broadcast_to(cand_cloud, (G, E, C)), axis=2)
+        if many:
+            tot = np.where(cmask, cloud_w, 0.0).sum(axis=-1, keepdims=True)
+            cloud_w = np.where(tot > 0,
+                               cloud_w / np.where(tot > 0, tot, 1.0), 0.0)
+        with np.errstate(divide="ignore"):
+            log_w = np.log(np.where(cloud_w > 0, cloud_w, 1e-300))
+        m_gamma = mg(gammas)[:, :, None, :]
+        ok = ok_static & (m_gamma != 0.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ms = pen + np.log(np.where(ok & (m_gamma > 0), m_gamma, 1.0))
+        ms = np.where(ok, ms, -np.inf)
+        best_mate = np.maximum(ms.max(axis=-1), config.UNPAIRED_PENALTY)
+        best_mate = np.where(has_mate, best_mate, config.UNPAIRED_PENALTY)
+        new = score + log_w + best_mate
+        return normalize_log_probs_batch(
+            np.where(cmask, new, 0.0).reshape(G * E, C),
+            cmask.reshape(G * E, C)).reshape(G, E, C)
+
+    for _ in range(config.EM_ITERS):
+        for phase in (phase_a, phase_b):
+            new = recompute()
+            gammas = np.where(phase[..., None] & cmask, new, gammas)
+        weights = cloud_weights(active)
+
+    for g, st in enumerate(states):
+        e, c = st.cmask.shape
+        st.gammas = gammas[g, :e, :c]
+
+
 def _round_up_pow2(x: int, lo: int = 8) -> int:
     v = lo
     while v < x:
@@ -270,6 +412,7 @@ def run_em_device_batch(states: List[GroupState]) -> None:
     Groups must share ``many``.  Shapes bucket to powers of two so XLA
     compiles a handful of programs.  Updates each state's gammas.
     """
+    import jax
     import jax.numpy as jnp
 
     from ema_tpu.core import em_jax
@@ -279,48 +422,19 @@ def run_em_device_batch(states: List[GroupState]) -> None:
         return
     many = states[0].many
     assert all(st.many == many for st in states)
-    G = len(states)
-    E = _round_up_pow2(max(st.n_entries for st in states))
-    C = _round_up_pow2(max(st.cmask.shape[1] for st in states), 2)
-    NC = _round_up_pow2(max(max(st.n_clouds, 1) for st in states))
-
-    def pad2(x, fill, dtype):
-        out = np.full((G, E, C), fill, dtype)
-        for g, st in enumerate(states):
-            e, c = st.cmask.shape
-            out[g, :e, :c] = x(st)
-        return out
-
-    # ship scores at the precision the device will compute in (f32 on TPU
+    # ship scores at the precision the device computes in (f32 on TPU
     # without x64) — halves the largest transfer
-    import jax
-
     f_dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
-    score = pad2(lambda st: np.where(st.cmask, st.R["score"][st.cand_rec],
-                                     0.0), 0.0, f_dtype)
-    cmask = pad2(lambda st: st.cmask, False, bool)
-    active = pad2(lambda st: st.R["active"][st.cand_rec]
-                  & ~st.R["duplicate"][st.cand_rec] & st.cmask, False, bool)
-    cand_cloud = pad2(lambda st: st.cand_cloud, 0, np.int32)
-    rec_chrom = pad2(lambda st: st.R["chrom"][st.cand_rec], 0, np.int32)
-    rec_pos = pad2(lambda st: st.R["pos"][st.cand_rec], 0, np.int32)
-    rec_rev = pad2(lambda st: st.R["rev"][st.cand_rec], 0, np.int32)
-
-    mate_entry = np.full((G, E), -1, np.int32)
-    emask = np.zeros((G, E), bool)
-    comp = np.broadcast_to(np.arange(NC, dtype=np.int32), (G, NC)).copy()
-    for g, st in enumerate(states):
-        mate_entry[g, :st.n_entries] = st.mate_entry
-        emask[g, :st.n_entries] = True
-        if not many and st.n_clouds:
-            comp[g, :st.n_clouds] = st.comp
-
+    d, (G, E, C, NC) = _pack_states(states, f_dtype)
     inp = em_jax.EMInputs(
-        score=jnp.asarray(score), cmask=jnp.asarray(cmask),
-        active=jnp.asarray(active), cand_cloud=jnp.asarray(cand_cloud),
-        rec_chrom=jnp.asarray(rec_chrom), rec_pos=jnp.asarray(rec_pos),
-        rec_rev=jnp.asarray(rec_rev), mate_entry=jnp.asarray(mate_entry),
-        emask=jnp.asarray(emask), comp=jnp.asarray(comp),
+        score=jnp.asarray(d["score"]), cmask=jnp.asarray(d["cmask"]),
+        active=jnp.asarray(d["active"]),
+        cand_cloud=jnp.asarray(d["cand_cloud"]),
+        rec_chrom=jnp.asarray(d["rec_chrom"]),
+        rec_pos=jnp.asarray(d["rec_pos"]),
+        rec_rev=jnp.asarray(d["rec_rev"]),
+        mate_entry=jnp.asarray(d["mate_entry"]),
+        emask=jnp.asarray(d["emask"]), comp=jnp.asarray(d["comp"]),
         run_em=jnp.asarray(np.ones(G, bool)))
     gammas, _ = em_jax.em_run(inp, many=many)
     gh = np.asarray(gammas, dtype=np.float64)

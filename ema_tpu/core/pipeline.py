@@ -558,9 +558,10 @@ class Aligner:
             if self.cfg.device_em:
                 # one padded device call for all EM-gated groups
                 groups_mod.run_em_device_batch(states)
+            else:
+                # one padded numpy pass for all EM-gated groups
+                groups_mod.run_em_host_batch(states)
             for st in states:
-                if st.needs_em and not self.cfg.device_em:
-                    groups_mod.run_em_host(st)
                 res = groups_mod.finish_group(st, self._cloud_id)
                 self._cloud_id += res.n_clouds
                 lines.extend(self._emit_group(batch, res, pool))
