@@ -534,7 +534,20 @@ class Aligner:
         chunk_starts = list(range(0, P, B))
         pend_recs = empty_records(0)
         pend_ids = np.zeros(0, dtype=object)
-        pool = np.zeros(0, np.uint32)
+        # geometric-growth CIGAR pool (appending a chunk is amortized O(1);
+        # a per-chunk concatenate would be O(chunks^2))
+        pool = np.zeros(1 << 16, np.uint32)
+        pool_len = 0
+
+        def pool_append(part: np.ndarray) -> None:
+            nonlocal pool, pool_len
+            need = pool_len + part.shape[0]
+            if need > pool.shape[0]:
+                grown = np.zeros(max(need, 2 * pool.shape[0]), np.uint32)
+                grown[:pool_len] = pool[:pool_len]
+                pool = grown
+            pool[pool_len:need] = part
+            pool_len = need
 
         def emit_groups(recs, idents, up_to_bc) -> int:
             """Process complete barcode groups (bc < up_to_bc); returns
@@ -572,9 +585,8 @@ class Aligner:
         with ThreadPoolExecutor(max_workers=workers) as ex:
             for k, (recs, idents, part_pool) in enumerate(
                     ex.map(work, chunk_starts)):
-                recs["cig_off"] += pool.shape[0]
-                pool = np.concatenate([pool, part_pool]) \
-                    if pool.shape[0] else part_pool
+                recs["cig_off"] += pool_len
+                pool_append(part_pool)
                 pend_recs = np.concatenate([pend_recs, recs])
                 pend_ids = np.concatenate([pend_ids, idents])
                 last = k + 1 >= len(chunk_starts)
@@ -616,9 +628,8 @@ class Aligner:
             bx_full = bc_str if is_hap else (f"{bc_str}-1" if bc_str else "")
             rg_tag = rg_id.split()[0] if rg_id else None
             return samout.emit_group_lines(
-                res, pool, MAX_CIGAR_OPS, batch.seqs, batch.quals, names,
-                blob, coff, rg_tag, bx_full, self.cfg.bx_index,
-                self.cfg.nobc, mapqs)
+                res, pool, MAX_CIGAR_OPS, batch.seqs, batch.quals,
+                blob, coff, rg_tag, bx_full, self.cfg.nobc, mapqs)
 
         def cigar_of(i):
             off = int(R["cig_off"][i])

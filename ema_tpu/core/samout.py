@@ -219,9 +219,9 @@ def _ref_len_vec(pool: np.ndarray, off: np.ndarray, ln: np.ndarray,
     return np.where(use, ops >> 4, 0).sum(axis=1).astype(np.int64)
 
 
-def emit_group_lines(res, pool, max_cigar_ops, seqs, quals, names,
+def emit_group_lines(res, pool, max_cigar_ops, seqs, quals,
                      contig_blob, contig_off, rg_id, bx_str: str,
-                     bx_index: str, nobc: bool, mapqs) -> List[str]:
+                     nobc: bool, mapqs) -> List[str]:
     """All SAM lines for one processed barcode group (GroupResult).
 
     Exactly reproduces the per-record format_record output; numeric field

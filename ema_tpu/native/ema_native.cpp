@@ -349,7 +349,8 @@ static inline char comp_base(char c) {
         case 'G': return 'C'; case 'T': return 'A';
         case 'a': return 't'; case 'c': return 'g';
         case 'g': return 'c'; case 't': return 'a';
-        default: return 'N';
+        default: return c;   // IUPAC/other bytes pass through, matching
+                             // the Python revcomp translate table
     }
 }
 
@@ -382,10 +383,18 @@ extern "C" int64_t format_sam_batch(
     char *p = out;
     char *lim = out + out_cap - 64;
     for (int64_t i = 0; i < M; i++) {
+        int64_t chrom_need = 0;                 // RNAME + RNEXT + XA chrom
+        if (chrom_idx[i] >= 0)
+            chrom_need += chrom_off[chrom_idx[i] + 1] - chrom_off[chrom_idx[i]];
+        if (rnext_idx[i] >= 0)
+            chrom_need += chrom_off[rnext_idx[i] + 1] - chrom_off[rnext_idx[i]];
+        if (alt_cig_len[i] >= 0)
+            chrom_need += chrom_off[alt_chrom[i] + 1] - chrom_off[alt_chrom[i]];
         int64_t need = (name_off[i + 1] - name_off[i])
-            + 2 * (seq_off[i + 1] - seq_off[i]) + 16 * (cig_len[i] > 0 ? cig_len[i] : 1)
+            + (seq_off[i + 1] - seq_off[i]) + (qual_off[i + 1] - qual_off[i])
+            + 16 * (cig_len[i] > 0 ? cig_len[i] : 1)
             + (alt_cig_len[i] > 0 ? 16 * alt_cig_len[i] + 64 : 0)
-            + bx_len + rg_len + 256;
+            + chrom_need + bx_len + rg_len + 256;
         if (p + need > lim) return -1;          // caller grows the buffer
 
         // QNAME FLAG RNAME POS MAPQ
@@ -417,16 +426,19 @@ extern "C" int64_t format_sam_batch(
         *p++ = '\t'; p = put_i64(p, pnext[i]);
         *p++ = '\t'; p = put_i64(p, tlen[i]);
 
-        // SEQ QUAL (revcomp / reverse for reverse-strand records)
+        // SEQ QUAL (revcomp / reverse for reverse-strand records); each
+        // uses its OWN span — a malformed record with len(qual) !=
+        // len(seq) must not read past its blob slice
         int64_t sl = seq_off[i + 1] - seq_off[i];
+        int64_t ql = qual_off[i + 1] - qual_off[i];
         const char *sq = seqs + seq_off[i];
         const char *qu = quals + qual_off[i];
         *p++ = '\t';
         if (rev[i]) for (int64_t j = sl - 1; j >= 0; j--) *p++ = comp_base(sq[j]);
         else { memcpy(p, sq, sl); p += sl; }
         *p++ = '\t';
-        if (rev[i]) for (int64_t j = sl - 1; j >= 0; j--) *p++ = qu[j];
-        else { memcpy(p, qu, sl); p += sl; }
+        if (rev[i]) for (int64_t j = ql - 1; j >= 0; j--) *p++ = qu[j];
+        else { memcpy(p, qu, ql); p += ql; }
 
         // tags
         if (lr[i] == 1) {

@@ -235,6 +235,31 @@ def test_contig_boundaries_and_overhangs():
     assert got["revread"][0] == "cA"
 
 
+def test_long_contig_names():
+    """Very long contig names (draft-assembly scaffolds) must not overflow
+    the native SAM formatter's buffer (regression: the per-record budget
+    omitted chromosome-name lengths — confirmed heap corruption)."""
+    from tests.simulate import parse_sam_line, revcomp_str
+
+    rng = np.random.default_rng(4)
+    name = "scaffold_" + "x" * 800
+    g = rand_genome(rng, 30_000)
+    midx = build_index({name: g})
+    gs = to_str(g)
+    al = Aligner(midx, config.RunConfig(batch_size=16))
+    # ambiguity via a duplicated kb so an XA alt (third chrom-name copy
+    # in the line) is emitted too
+    batch = ReadBatch.from_pairs(
+        ["ln0"] * 1, [2], [gs[1000:1080]], ["I" * 80],
+        [revcomp_str(gs[1200:1280])], ["I" * 80])
+    lines = al.align_batch_to_sam(batch)
+    assert len(lines) == 2
+    for ln in lines:
+        r = parse_sam_line(ln)
+        assert r["rname"] == name
+        assert r["rnext"] in ("=", name)
+
+
 def test_reads_shorter_than_seed(idx):
     al = Aligner(idx, config.RunConfig(batch_size=64))
     batch = ReadBatch.from_pairs(
