@@ -231,6 +231,60 @@ def test_xa_alt_emitted_for_ambiguous_read():
     assert {r["pos"], alt_pos} == {5201, 30201}
 
 
+def test_align_pair_mode_cpt(world):
+    """-p cpt: numeric barcode after the last colon, many_clouds, 3.5kb
+    cloud threshold (techs.c:57-69, 109-117)."""
+    tmp, fa, ids, bc_strs, s1, q1, s2, q2, truth = world
+    bc_num = {b: 500 + i for i, b in enumerate(sorted(set(bc_strs)))}
+    rids = [f"{ids[i]}:BC{bc_num[bc_strs[i]]}" for i in range(len(ids))]
+    f1, f2 = _write_pair_fastqs(tmp, "cpt", rids, s1, q1, s2, q2)
+    out = str(tmp / "cpt.sam")
+    assert cli.main(["align", "-r", str(fa), "-1", f1, "-2", f2,
+                     "-o", out, "-p", "cpt"]) == 0
+    recs = [parse_sam_line(ln) for ln in open(out)
+            if not ln.startswith("@")]
+    assert recs
+    tb = {ids[i]: truth[i] for i in range(len(ids))}
+    ok = 0
+    for r in recs:
+        if r["flag"] & 4:
+            continue
+        t = tb[r["qname"]]
+        want = t["pos2"] if r["flag"] & 128 else t["pos1"]
+        ok += abs(r["pos"] - want) <= 5
+    assert ok / len(recs) > 0.9
+
+
+def test_cli_count_preproc_stdin(world, tmp_path, monkeypatch):
+    """count/preproc via cli.main with stdin plumbing (reference usage:
+    `ema count ... < interleaved.fq`)."""
+    import io as io_std
+
+    tmp, fa, ids, bc_strs, s1, q1, s2, q2, truth = world
+    wl = tmp_path / "wl.txt"
+    wl.write_text("".join(b + "\n" for b in sorted(set(bc_strs))))
+    fq = []
+    for i in range(len(ids)):
+        r1 = bc_strs[i] + "ACGTACG" + s1[i]
+        fq.append(f"@{ids[i]}\n{r1}\n+\n{'I' * len(r1)}\n"
+                  f"@{ids[i]}\n{s2[i]}\n+\n{'I' * len(s2[i])}\n")
+    blob = "".join(fq).encode()
+
+    class FakeStdin:
+        buffer = io_std.BytesIO(blob)
+
+    monkeypatch.setattr("sys.stdin", FakeStdin)
+    assert cli.main(["count", "-w", str(wl),
+                     "-o", str(tmp_path / "c")]) == 0
+    assert (tmp_path / "c.ema-ncnt").exists()
+    FakeStdin.buffer = io_std.BytesIO(blob)
+    assert cli.main(["preproc", "-w", str(wl), "-o",
+                     str(tmp_path / "bkt"), "-n", "2",
+                     str(tmp_path / "c.ema-ncnt")]) == 0
+    assert (tmp_path / "bkt" / "ema-bin-000").exists()
+    assert cli.main(["preproc", "-o", str(tmp_path / "x")]) == 1  # no -w
+
+
 def test_align_interleaved_single_file(world):
     tmp, fa, ids, bc_strs, s1, q1, s2, q2, truth = world
     rids = [f"{ids[i]}:{bc_strs[i]}" for i in range(len(ids))]
