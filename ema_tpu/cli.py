@@ -173,7 +173,9 @@ def main(argv=None) -> int:
             sys.stderr.write("error: cannot specify -2 without -1\n")
             return 1
 
-        rg = a.rg.replace("\\t", "\t") if a.rg else "@RG\tID:rg1\tSM:sample1"
+        # unescape \t \n \r in -R (reference util.c escape(), util.c:97-118)
+        rg = (a.rg.replace("\\t", "\t").replace("\\n", "\n")
+              .replace("\\r", "\r")) if a.rg else "@RG\tID:rg1\tSM:sample1"
         if rg and (not rg.startswith("@RG\t") or "\tID:" not in rg):
             sys.stderr.write(f"error: malformed read group: '{rg}'\n")
             return 1
