@@ -155,7 +155,7 @@ class RunConfig:
     bx_index: str = "1"
     seed: int = 0                       # RNG seed (reference -d uses time())
     batch_size: int = 4096              # read pairs per device batch
-    inflight_chunks: int = 2            # device chunks in flight (CLI -t)
+    inflight_chunks: int = 3            # device chunks in flight (CLI -t)
     device_em: bool = False             # run EM iterations on device
     data_parallel_chips: bool = True    # shard device calls over all local
                                         # chips (auto-off with one device)
