@@ -33,10 +33,21 @@ def _load_or_build_index(ref: str):
                                build_index, build_index_sharded)
     p = _index_path(ref)
     if os.path.exists(p):
-        return ReferenceIndex.load(p)
+        try:
+            return ReferenceIndex.load(p)
+        except KeyError:
+            sys.stderr.write(f"ema_tpu: stale index format at {p}; "
+                             "rebuilding\n")
+            os.unlink(p)
     pd = _sharded_index_path(ref)
     if os.path.isdir(pd):
-        return ShardedIndex.load(pd)
+        try:
+            return ShardedIndex.load(pd)
+        except KeyError:
+            sys.stderr.write(f"ema_tpu: stale index format at {pd}; "
+                             "rebuilding\n")
+            import shutil
+            shutil.rmtree(pd)
     sys.stderr.write(f"ema_tpu: building index for {ref}...\n")
     from ema_tpu.index.build import parse_fasta
     contigs = parse_fasta(ref)

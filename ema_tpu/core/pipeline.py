@@ -220,33 +220,61 @@ class Aligner:
         olens = np.concatenate([lens, lens])
 
         # --- device: seed ------------------------------------------------
-        # rows padded to the full device-chunk shape so XLA compiles the
-        # seeding program exactly once (tail chunks reuse it)
+        # both strands live in the FM text, so only the FORWARD read is
+        # seeded (half the scan rows); reverse-strand hits land in the
+        # upper half of the FM coordinate space.  The oriented (fw+rc)
+        # arrays below exist for SW scoring against forward-text windows.
+        # Rows pad to the full device-chunk shape so XLA compiles the
+        # seeding program exactly once (tail chunks reuse it).
+        full = 2 * self.cfg.batch_size
+        rows_pad = full if n_reads <= full else _round_up(n_reads, ROW_BUCKET)
+        spad = np.full((rows_pad, L), 4, np.uint8)
+        spad[:n_reads] = codes
+        slpad = np.zeros(rows_pad, np.int32)
+        slpad[:n_reads] = lens
+        s_lo, s_hi, s_qb, s_len, n_seeds = fmindex.seed_reads(
+            self.fma, self._shard_rows(spad), self._shard_rows(slpad),
+            max_seeds=16, min_seed_len=params.seed_len)
+
+        # oriented rows for the SW scorer (windows are forward-text only)
         n_rows = oriented.shape[0]
-        full = 4 * self.cfg.batch_size
-        rows_pad = full if n_rows <= full else _round_up(n_rows, ROW_BUCKET)
-        opad = np.full((rows_pad, L), 4, np.uint8)
+        full2 = 4 * self.cfg.batch_size
+        rows_pad2 = full2 if n_rows <= full2 else _round_up(n_rows, ROW_BUCKET)
+        opad = np.full((rows_pad2, L), 4, np.uint8)
         opad[:n_rows] = oriented
-        lpad = np.zeros(rows_pad, np.int32)
+        lpad = np.zeros(rows_pad2, np.int32)
         lpad[:n_rows] = olens
         opad_dev = self._shard_rows(opad)
         lpad_dev = self._shard_rows(lpad)
-        s_lo, s_hi, s_qb, s_len, n_seeds = fmindex.seed_reads(
-            self.fma, opad_dev, lpad_dev,
-            max_seeds=16, min_seed_len=params.seed_len)
 
         # --- host: compact seed hits; device: locate only real rows ------
         # (one small stacked transfer; most SA intervals hold 1-2 rows, so
         # locating the dense [B, S, K] expansion would be ~1000x wasted work)
         seed_stack = np.asarray(jnp.stack(
-            [s_lo, s_hi, s_qb, s_len]))[:, :n_rows]
-        nsd = np.asarray(n_seeds)[:n_rows]
+            [s_lo, s_hi, s_qb, s_len]))[:, :n_reads]
+        nsd = np.asarray(n_seeds)[:n_reads]
         owner, qb, slen, rows_flat = _compact_seed_hits(
             seed_stack, nsd, params.max_hits_per_seed)
         hp = locate_rows_bucketed(self.fma, rows_flat, self._shard_rows)
+
+        # map both-strands hits to (oriented read, forward-text pos):
+        # a hit at fm pos p >= n is the reverse strand — the REVCOMP of the
+        # read matches the forward text at 2n - p - seed_len, and the seed's
+        # read offset flips to the rc-read frame (bwabridge.c:319-332)
+        n_fwd = idx.n
+        strand = hp >= n_fwd
+        keep = ~((hp < n_fwd) & (hp + slen > n_fwd))   # boundary-crossing
+        tpos = np.where(strand, 2 * n_fwd - hp - slen, hp)
+        rl = lens[owner].astype(np.int64)
+        qb2 = np.where(strand, rl - qb - slen, qb)
+        owner2 = owner + strand * n_reads
+        keep &= tpos >= 0
+        owner2, qb2, slen, tpos = (owner2[keep], qb2[keep], slen[keep],
+                                   tpos[keep])
+
         read_lens2 = olens.astype(np.int64)
         cands = chaining.chain_hits(
-            owner, qb, slen, hp, 2 * n_reads, read_lens2, idx.n,
+            owner2, qb2, slen, tpos, 2 * n_reads, read_lens2, idx.n,
             band_width=params.band_width, pad=WINDOW_PAD,
             max_candidates=params.max_candidates_per_read)
 

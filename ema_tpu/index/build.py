@@ -17,14 +17,15 @@ bwa_idx_load — reference: src/bwabridge.c:77-96).  Here we build our own:
     decrements the SA value by exactly one, a batched locate is a *fixed*
     ``sa_rate``-step loop — no data-dependent iteration count on device.
 
-The forward strand only is indexed; reverse-strand hits come from searching
-the reverse-complement of the read (the reference's BWA index instead packs
-both strands — a design choice, not a behavior difference).
+Both strands are packed into the FM text (forward then reverse
+complement), matching the reference's BWA index (bwabridge.c:319-332):
+each read is seeded in one orientation only and reverse-strand hits map
+back as text_pos = 2n - hit - seed_len.  ``text`` holds the forward
+strand only (SW windows and traceback read it directly).
 
-Positions use int32 throughout (TPU-friendly); total genome length is
-limited to < 2^31 bases (covers every per-chromosome / bacterial config in
-BASELINE.md; whole-GRCh38 support via contig-sharded indexes is tracked for
-a later round).
+Positions use int32 throughout (TPU-friendly); genome length per index is
+limited to < 2^30 bases so both strands fit int32 rows (GRCh38-scale
+genomes use contig-sharded indexes, index/sharded.py).
 """
 
 from __future__ import annotations
@@ -47,15 +48,16 @@ class ReferenceIndex:
     names: List[str]
     offsets: np.ndarray       # int64 [n_contigs] start offset in text
     lengths: np.ndarray       # int64 [n_contigs]
-    text: np.ndarray          # uint8 [n] 2-bit codes (N randomized)
+    text: np.ndarray          # uint8 [n] FORWARD 2-bit codes (N randomized)
     n_mask_intervals: np.ndarray  # int64 [k, 2] original-N intervals (global coords)
     primary: int              # row of the $ in the full BWT
     counts: np.ndarray        # int64 [5] C array: C[c] = 1 + #chars < c
     occ_blocks: np.ndarray    # int32 [n_blocks, 12]
     sa_rate: int
-    sa_mark_words: np.ndarray  # uint32 [ceil((n+1)/32)] bitmap of sampled rows
+    sa_mark_words: np.ndarray  # uint32 [ceil((fm_n+1)/32)] sampled-row bitmap
     sa_mark_rank: np.ndarray   # int32 same len: marked count before each word
     sa_values: np.ndarray      # int32 [n_marked] SA values of marked rows
+    fm_n: int = 0             # FM text length (2n: both strands packed)
 
     @property
     def n(self) -> int:
@@ -78,7 +80,7 @@ class ReferenceIndex:
             primary=np.int64(self.primary), counts=self.counts,
             occ_blocks=self.occ_blocks, sa_rate=np.int64(self.sa_rate),
             sa_mark_words=self.sa_mark_words, sa_mark_rank=self.sa_mark_rank,
-            sa_values=self.sa_values)
+            sa_values=self.sa_values, fm_n=np.int64(self.fm_n))
 
     @classmethod
     def load(cls, path: str) -> "ReferenceIndex":
@@ -90,7 +92,7 @@ class ReferenceIndex:
             primary=int(z["primary"]), counts=z["counts"],
             occ_blocks=z["occ_blocks"], sa_rate=int(z["sa_rate"]),
             sa_mark_words=z["sa_mark_words"], sa_mark_rank=z["sa_mark_rank"],
-            sa_values=z["sa_values"])
+            sa_values=z["sa_values"], fm_n=int(z["fm_n"]))
 
 
 _LUT = np.full(256, 255, dtype=np.uint8)
@@ -135,8 +137,8 @@ def build_index(contigs: Dict[str, np.ndarray] | str,
     offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int64)
     text = np.concatenate(arrs) if arrs else np.zeros(0, np.uint8)
     n = text.shape[0]
-    if n >= 2**31 - 1:
-        raise ValueError("genome too large for int32 index (>2^31 bases)")
+    if 2 * n >= 2**31 - 1:      # both strands must fit int32 rows
+        raise ValueError("genome too large for int32 index (>2^30 bases)")
 
     # randomize ambiguous bases deterministically (BWA does the same when
     # packing; keeps DP/scoring honest via the recorded N intervals)
@@ -147,36 +149,44 @@ def build_index(contigs: Dict[str, np.ndarray] | str,
         text = text.copy()
         text[bad] = rng.integers(0, 4, size=int(bad.sum()), dtype=np.uint8)
 
-    sa = native.suffix_array(text, 4) if n else np.zeros(0, np.int64)
+    # FM text packs BOTH strands (forward then reverse complement), as the
+    # reference's BWA index does (bwabridge.c:319-332): each read is then
+    # seeded in ONE orientation and reverse-strand hits land in the upper
+    # half of the coordinate space
+    text2 = np.concatenate([text, (3 - text)[::-1]]) if n \
+        else np.zeros(0, np.uint8)
+    n2 = text2.shape[0]
+
+    sa = native.suffix_array(text2, 4) if n2 else np.zeros(0, np.int64)
 
     # full BWT rows are [$, sa[0], sa[1], ...]; BWT char of row i>0 is
-    # text[sa[i-1]-1], with the $ appearing where sa[i-1] == 0
-    bwt = np.empty(n, dtype=np.uint8)
+    # text2[sa[i-1]-1], with the $ appearing where sa[i-1] == 0
+    bwt = np.empty(n2, dtype=np.uint8)
     primary = 0
-    if n:
+    if n2:
         prev = sa - 1
         src = np.where(prev >= 0, prev, 0)
-        bwt_full_tail = text[src]           # char for rows 1..n
+        bwt_full_tail = text2[src]          # char for rows 1..n2
         zero_row = int(np.nonzero(sa == 0)[0][0]) + 1
         primary = zero_row
-        bwt_row0 = text[n - 1]
+        bwt_row0 = text2[n2 - 1]
         full = np.concatenate([[bwt_row0], bwt_full_tail])
         bwt = np.delete(full, primary).astype(np.uint8)
 
     counts = np.zeros(5, dtype=np.int64)
-    cnt = np.bincount(text, minlength=4)[:4] if n else np.zeros(4, np.int64)
+    cnt = np.bincount(text2, minlength=4)[:4] if n2 else np.zeros(4, np.int64)
     counts[0] = 1                      # the $ row
     for c in range(4):
         counts[c + 1] = counts[c] + cnt[c]
 
     occ_blocks = _pack_occ_blocks(bwt)
 
-    # value-sampled SA over full rows 0..n (row 0 is $, SA value n)
-    full_sa = np.empty(n + 1, dtype=np.int64)
-    full_sa[0] = n
+    # value-sampled SA over full rows 0..n2 (row 0 is $, SA value n2)
+    full_sa = np.empty(n2 + 1, dtype=np.int64)
+    full_sa[0] = n2
     full_sa[1:] = sa
     marked = (full_sa % sa_rate) == 0
-    n_words = (n + 1 + 31) // 32
+    n_words = (n2 + 1 + 31) // 32
     rows_marked = np.nonzero(marked)[0]
     words = np.zeros(n_words, dtype=np.uint32)
     np.bitwise_or.at(words, rows_marked >> 5,
@@ -191,7 +201,7 @@ def build_index(contigs: Dict[str, np.ndarray] | str,
         n_mask_intervals=n_mask, primary=primary, counts=counts,
         occ_blocks=occ_blocks, sa_rate=sa_rate,
         sa_mark_words=words, sa_mark_rank=mark_rank.astype(np.int32),
-        sa_values=sa_values)
+        sa_values=sa_values, fm_n=n2)
 
 
 def _intervals_from_mask(mask: np.ndarray) -> np.ndarray:

@@ -53,7 +53,7 @@ class FMIndexArrays:
             sa_values=jnp.asarray(idx.sa_values, dtype=jnp.int32),
             primary=jnp.asarray(idx.primary, dtype=jnp.int32),
             sa_rate=int(idx.sa_rate),
-            n=int(idx.text.shape[0]),
+            n=int(idx.fm_n),      # both strands: 2x the forward text
         )
 
 

@@ -20,7 +20,7 @@ import numpy as np
 from ema_tpu.index.build import (DEFAULT_SA_RATE, ReferenceIndex,
                                  build_index, parse_fasta)
 
-MAX_SHARD_BASES = 2**31 - 2**24
+MAX_SHARD_BASES = 2**30 - 2**24   # both strands of a shard fit int32 rows
 
 
 @dataclasses.dataclass

@@ -84,7 +84,7 @@ def candidate_core(fm: fmindex.FMIndexArrays, text: jax.Array,
     B, L = reads.shape
     S, K = max_seeds, hits_per_seed
     W = L + 2 * window_pad
-    n = fm.n
+    n = text.shape[0]          # forward text (fm covers both strands, 2n)
 
     s_lo, s_hi, s_qb, s_len, _ = fmindex.seed_reads(
         fm, reads, lens, max_seeds=S, min_seed_len=min_seed_len)
@@ -92,6 +92,9 @@ def candidate_core(fm: fmindex.FMIndexArrays, text: jax.Array,
     cand_index = jnp.asarray(cand_index, jnp.int32)
     rows, valid = _expand_hits_shard(s_lo, s_hi, K, cand_index, n_cand_shards)
     pos = fmindex.locate(fm, rows)                       # [B, S, K]
+    # reverse-strand hits (upper half of the fm space) are dropped in this
+    # demo step — the full pipeline maps them back to forward coordinates
+    valid = valid & (pos + s_len[..., None] <= n)
 
     win_lo = pos - s_qb[..., None] - window_pad
     win_lo = jnp.clip(win_lo, 0, max(n - W, 0)).astype(jnp.int32)

@@ -30,7 +30,10 @@ def all_occurrences(text, pat):
 
 class TestBackwardSearch:
     def test_find_all_occurrences(self, small_index, fma):
+        # the FM text packs both strands: occurrences are found in the
+        # concatenated fw+rc text (upper half = reverse strand)
         idx, text = small_index
+        text2 = np.concatenate([text, (3 - text)[::-1]])
         rng = np.random.default_rng(4)
         for trial in range(20):
             m = int(rng.integers(3, 15))
@@ -38,11 +41,11 @@ class TestBackwardSearch:
             pat = text[start:start + m]
 
             lo = jnp.zeros((1,), jnp.int32)
-            hi = jnp.full((1,), idx.n + 1, jnp.int32)
+            hi = jnp.full((1,), idx.fm_n + 1, jnp.int32)
             for c in pat[::-1]:
                 lo, hi = fm.extend_backward(fma, lo, hi, jnp.full((1,), c, jnp.int32))
             width = int(hi[0] - lo[0])
-            expected = all_occurrences(text, pat)
+            expected = all_occurrences(text2, pat)
             assert width == len(expected)
 
             rows = jnp.arange(int(lo[0]), int(hi[0]), dtype=jnp.int32)
@@ -65,10 +68,10 @@ class TestBackwardSearch:
 class TestLocate:
     def test_all_rows(self, small_index, fma):
         idx, text = small_index
-        # locate of every BWT row must be a permutation of 0..n
-        rows = jnp.arange(idx.n + 1, dtype=jnp.int32)
+        # locate of every BWT row must be a permutation of 0..fm_n (2n)
+        rows = jnp.arange(idx.fm_n + 1, dtype=jnp.int32)
         pos = np.sort(np.asarray(fm.locate(fma, rows)))
-        np.testing.assert_array_equal(pos, np.arange(idx.n + 1))
+        np.testing.assert_array_equal(pos, np.arange(idx.fm_n + 1))
 
 
 class TestSeeding:
