@@ -235,6 +235,32 @@ def test_contig_boundaries_and_overhangs():
     assert got["revread"][0] == "cA"
 
 
+def test_inverted_repeat_strand_mapping():
+    """A read inside an inverted repeat must get BOTH candidates: forward
+    at the original copy and reverse at the mirrored position inside the
+    inverted copy (exercises the both-strands FM coordinate mapping)."""
+    from tests.simulate import revcomp_str
+
+    rng = np.random.default_rng(42)
+    g = rand_genome(rng, 60_000)
+    seg = g[10_000:11_000]
+    g[40_000:41_000] = (3 - seg)[::-1]
+    midx = build_index({"cI": g})
+    gs = to_str(g)
+    r1 = gs[10_200:10_300]
+    r2 = revcomp_str(gs[15_000:15_100])
+    al = Aligner(midx, config.RunConfig(batch_size=16))
+    batch = ReadBatch.from_pairs(["ir0"], [5], [r1], ["I" * 100],
+                                 [r2], ["I" * 100])
+    cs = al.generate_candidates(batch)
+    got = {(int(cs.rev[k]), int(cs.pos_local[k]), int(cs.sw[k]))
+           for k in np.nonzero(cs.owner == 0)[0]}
+    # rc copy: revcomp(seg[200:300]) sits at seg-offset 700 of the
+    # inverted copy -> text pos 40700 (1-based 40701)
+    assert (0, 10_201, 100) in got, got
+    assert (1, 40_701, 100) in got, got
+
+
 def test_long_contig_names():
     """Very long contig names (draft-assembly scaffolds) must not overflow
     the native SAM formatter's buffer (regression: the per-record budget
