@@ -127,11 +127,19 @@ def parse_fasta(path: str) -> Dict[str, np.ndarray]:
 
 
 def build_index(contigs: Dict[str, np.ndarray] | str,
-                sa_rate: int = DEFAULT_SA_RATE,
+                sa_rate: int | None = None,
                 seed: int = 11) -> ReferenceIndex:
-    """Build the FM-index from a FASTA path or {name: uint8 code array}."""
+    """Build the FM-index from a FASTA path or {name: uint8 code array}.
+
+    ``sa_rate`` defaults adaptively: small genomes afford a denser sampled
+    SA (rate 2 = a single LF step worst-case in locate); large ones use
+    DEFAULT_SA_RATE to bound memory (sa_values = 4B * fm_n / rate).
+    """
     if isinstance(contigs, str):
         contigs = parse_fasta(contigs)
+    if sa_rate is None:
+        total = sum(a.shape[0] for a in contigs.values())
+        sa_rate = 2 if 2 * total < (1 << 27) else DEFAULT_SA_RATE
 
     names = list(contigs.keys())
     arrs = [np.ascontiguousarray(contigs[k], dtype=np.uint8) for k in names]
