@@ -24,7 +24,7 @@ import time
 import numpy as np
 
 GENOME = 3_000_000
-N_PAIRS = 20_000
+N_PAIRS = 50_000
 READ_LEN = 100
 BASELINE_PAIRS_PER_SEC = 1000.0
 
@@ -51,13 +51,15 @@ def main() -> None:
     idx = build_index({"chr1": genome}, sa_rate=8)
     log(f"index built: {idx.n} bp in {time.time()-t0:.1f}s")
 
-    # ~50 pairs per barcode so the EM path engages (>=30-pair gate)
-    n_bc = max(N_PAIRS // 50, 1)
+    # ~60 pairs per barcode so the EM path engages (>=30-pair gate)
+    n_bc = max(N_PAIRS // 60, 1)
+    t0 = time.time()
     ids, bc_strs, bcs, s1, q1, s2, q2, truth = simulate_pairs(
         rng, genome_str, n_barcodes=n_bc, frags_per_bc=(2, 4),
         pairs_per_frag=(15, 25), frag_len=30_000, read_len=READ_LEN,
         err=0.003)
     n_pairs = len(ids)
+    log(f"simulated in {time.time()-t0:.1f}s")
     log(f"simulated {n_pairs} pairs across {n_bc} barcodes")
 
     cfg = config.RunConfig()

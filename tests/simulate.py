@@ -32,32 +32,61 @@ def simulate_pairs(rng, genome_str, n_barcodes=4, frags_per_bc=(1, 3),
     """Returns (ids, bc_strs, bcs, s1, q1, s2, q2, truth).
 
     truth: per pair dict(pos1, pos2) of 1-based expected positions.
+    Fully vectorized (supports 100k+ pairs for benchmarks).
     """
     from ema_tpu.utils.barcodes import encode_bc_default
 
     G = len(genome_str)
-    ids, bcs, bc_strs, s1, q1, s2, q2, truth = [], [], [], [], [], [], [], []
-    pair_no = 0
-    for b in range(n_barcodes):
-        bc_str = to_str(rng.integers(0, 4, bc_len))
-        bc = encode_bc_default(bc_str)
-        for _ in range(int(rng.integers(*frags_per_bc))):
-            fs = int(rng.integers(0, max(1, G - frag_len)))
-            for _ in range(int(rng.integers(*pairs_per_frag))):
-                insert = int(rng.integers(read_len + 20, 400))
-                p = int(rng.integers(fs, min(fs + frag_len, G) - insert - 1))
-                qpos = p + insert - read_len
-                r1 = genome_str[p:p + read_len]
-                r2 = revcomp_str(genome_str[qpos:qpos + read_len])
-                ids.append(f"sim{pair_no}")
-                bcs.append(bc)
-                bc_strs.append(bc_str)
-                s1.append(mutate(rng, r1, err))
-                s2.append(mutate(rng, r2, err))
-                q1.append("I" * read_len)
-                q2.append("I" * read_len)
-                truth.append({"pos1": p + 1, "pos2": qpos + 1, "bc": bc_str})
-                pair_no += 1
+    codes = np.frombuffer(genome_str.encode(), np.uint8)
+    code_lut = np.full(256, 0, np.uint8)
+    for i, c in enumerate(BASES):
+        code_lut[ord(c)] = i
+    gcodes = code_lut[codes]
+
+    # per-barcode fragment counts, per-fragment pair counts
+    n_frags = rng.integers(*frags_per_bc, n_barcodes)
+    total_frags = int(n_frags.sum())
+    frag_bc = np.repeat(np.arange(n_barcodes), n_frags)
+    frag_start = rng.integers(0, max(1, G - frag_len), total_frags)
+    n_pairs = rng.integers(*pairs_per_frag, total_frags)
+    P = int(n_pairs.sum())
+    pair_frag = np.repeat(np.arange(total_frags), n_pairs)
+
+    insert = rng.integers(read_len + 20, 400, P)
+    fs = frag_start[pair_frag]
+    hi = np.minimum(fs + frag_len, G) - insert - 1
+    p = (fs + (rng.random(P) * np.maximum(hi - fs, 1)).astype(np.int64))
+    qpos = p + insert - read_len
+
+    t = np.arange(read_len)
+    r1c = gcodes[p[:, None] + t[None, :]]
+    r2c = (3 - gcodes[qpos[:, None] + t[None, :]])[:, ::-1]
+    for rc in (r1c, r2c):
+        mut = rng.random((P, read_len)) < err
+        rc[mut] = rng.integers(0, 4, int(mut.sum()), dtype=np.uint8)
+
+    ascii_lut = np.frombuffer(b"ACGT", np.uint8)
+    r1b = ascii_lut[r1c]
+    r2b = ascii_lut[r2c]
+
+    bc_codes = rng.integers(0, 4, (n_barcodes, bc_len))
+    bc_strs_uniq = ["".join(BASES[c] for c in row) for row in bc_codes]
+    bcs_uniq = [encode_bc_default(b) for b in bc_strs_uniq]
+    pair_bc = frag_bc[pair_frag]
+
+    qual = "I" * read_len
+    ids, bc_strs, bcs, s1, q1, s2, q2, truth = [], [], [], [], [], [], [], []
+    for i in range(P):
+        b = int(pair_bc[i])
+        ids.append(f"sim{i}")
+        bcs.append(bcs_uniq[b])
+        bc_strs.append(bc_strs_uniq[b])
+        s1.append(r1b[i].tobytes().decode())
+        s2.append(r2b[i].tobytes().decode())
+        q1.append(qual)
+        q2.append(qual)
+        truth.append({"pos1": int(p[i]) + 1, "pos2": int(qpos[i]) + 1,
+                      "bc": bc_strs_uniq[b]})
     return ids, bc_strs, bcs, s1, q1, s2, q2, truth
 
 
