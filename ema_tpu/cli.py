@@ -35,16 +35,19 @@ def _load_or_build_index(ref: str):
     if os.path.exists(p):
         try:
             return ReferenceIndex.load(p)
-        except KeyError:
-            sys.stderr.write(f"ema_tpu: stale index format at {p}; "
+        except Exception as e:      # stale format / truncated artifact
+            sys.stderr.write(f"ema_tpu: unusable index at {p} ({e!r}); "
                              "rebuilding\n")
             os.unlink(p)
     pd = _sharded_index_path(ref)
     if os.path.isdir(pd):
         try:
-            return ShardedIndex.load(pd)
-        except KeyError:
-            sys.stderr.write(f"ema_tpu: stale index format at {pd}; "
+            idx = ShardedIndex.load(pd)
+            if idx.n_shards == 0:
+                raise ValueError("no shard files")
+            return idx
+        except Exception as e:
+            sys.stderr.write(f"ema_tpu: unusable index at {pd} ({e!r}); "
                              "rebuilding\n")
             import shutil
             shutil.rmtree(pd)
@@ -124,7 +127,8 @@ def main(argv=None) -> int:
         ap.add_argument("-o", dest="out")
         ap.add_argument("--shard-bases", type=int, default=None,
                         help="force contig-sharded indexing with this "
-                             "shard size (auto for > 2^31-base genomes)")
+                             "shard size (auto beyond ~2^30 bases: both "
+                             "strands of a shard must fit int32 rows)")
         a = ap.parse_args(rest)
         from ema_tpu.index import (MAX_SHARD_BASES, build_index,
                                    build_index_sharded)
@@ -184,9 +188,25 @@ def main(argv=None) -> int:
             sys.stderr.write("error: cannot specify -2 without -1\n")
             return 1
 
-        # unescape \t \n \r in -R (reference util.c escape(), util.c:97-118)
-        rg = (a.rg.replace("\\t", "\t").replace("\\n", "\n")
-              .replace("\\r", "\r")) if a.rg else "@RG\tID:rg1\tSM:sample1"
+        # unescape \t \n \r \\ in -R, single pass left-to-right (reference
+        # util.c escape(), util.c:97-118)
+        if a.rg:
+            out_rg, i = [], 0
+            while i < len(a.rg):
+                c = a.rg[i]
+                if c == "\\" and i + 1 < len(a.rg):
+                    nxt = a.rg[i + 1]
+                    rep = {"t": "\t", "n": "\n", "r": "\r",
+                           "\\": "\\"}.get(nxt)
+                    if rep is not None:
+                        out_rg.append(rep)
+                        i += 2
+                        continue
+                out_rg.append(c)
+                i += 1
+            rg = "".join(out_rg)
+        else:
+            rg = "@RG\tID:rg1\tSM:sample1"
         if rg and (not rg.startswith("@RG\t") or "\tID:" not in rg):
             sys.stderr.write(f"error: malformed read group: '{rg}'\n")
             return 1

@@ -263,12 +263,13 @@ class Aligner:
         # read offset flips to the rc-read frame (bwabridge.c:319-332)
         n_fwd = idx.n
         strand = hp >= n_fwd
-        keep = ~((hp < n_fwd) & (hp + slen > n_fwd))   # boundary-crossing
+        # drop hits crossing the fw|rc boundary; anything else is fully on
+        # one strand and tpos is non-negative by construction
+        keep = strand | (hp + slen <= n_fwd)
         tpos = np.where(strand, 2 * n_fwd - hp - slen, hp)
         rl = lens[owner].astype(np.int64)
         qb2 = np.where(strand, rl - qb - slen, qb)
         owner2 = owner + strand * n_reads
-        keep &= tpos >= 0
         owner2, qb2, slen, tpos = (owner2[keep], qb2[keep], slen[keep],
                                    tpos[keep])
 

@@ -243,10 +243,11 @@ def expand_seed_hits(s_lo: jax.Array, s_hi: jax.Array, max_hits: int):
     width = s_hi - s_lo
     i = jnp.arange(max_hits, dtype=jnp.int32)
     take = jnp.minimum(width, max_hits)
-    # even sampling across the interval when width > max_hits
-    idx = jnp.where(width[..., None] > max_hits,
-                    (i * width[..., None]) // max_hits,
-                    i)
+    # even sampling across the interval when width > max_hits; split the
+    # product so i * width cannot overflow int32 for near-limit intervals
+    stride = (i * (width[..., None] // max_hits)
+              + (i * (width[..., None] % max_hits)) // max_hits)
+    idx = jnp.where(width[..., None] > max_hits, stride, i)
     rows = s_lo[..., None] + idx
     valid = i < take[..., None]
     return jnp.where(valid, rows, 0), valid

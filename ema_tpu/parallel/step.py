@@ -56,8 +56,10 @@ def _expand_hits_shard(s_lo: jax.Array, s_hi: jax.Array, k_local: int,
     total = k_local * n_shards
     i = shard * k_local + jnp.arange(k_local, dtype=jnp.int32)
     take = jnp.minimum(width, total)
-    idx = jnp.where(width[..., None] > total,
-                    (i * width[..., None]) // total, i)
+    # overflow-safe even sampling (i * width can exceed int32)
+    stride = (i * (width[..., None] // total)
+              + (i * (width[..., None] % total)) // total)
+    idx = jnp.where(width[..., None] > total, stride, i)
     rows = s_lo[..., None] + idx
     valid = i < take[..., None]
     return jnp.where(valid, rows, 0), valid

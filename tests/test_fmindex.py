@@ -59,7 +59,7 @@ class TestBackwardSearch:
         if all_occurrences(text, pat):
             pytest.skip("random text contained the probe")
         lo = jnp.zeros((1,), jnp.int32)
-        hi = jnp.full((1,), idx.n + 1, jnp.int32)
+        hi = jnp.full((1,), idx.fm_n + 1, jnp.int32)
         for c in pat[::-1]:
             lo, hi = fm.extend_backward(fma, lo, hi, jnp.full((1,), c, jnp.int32))
         assert int(hi[0]) <= int(lo[0])
