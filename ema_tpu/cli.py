@@ -55,7 +55,7 @@ def _load_or_build_index(ref: str):
     from ema_tpu.index.build import parse_fasta
     contigs = parse_fasta(ref)
     total = sum(a.shape[0] for a in contigs.values())
-    if total > MAX_SHARD_BASES:      # e.g. full GRCh38 (> 2^31 bases)
+    if total > MAX_SHARD_BASES:      # ~1 Gbp/shard cap, e.g. full GRCh38
         idx = build_index_sharded(contigs)
         idx.save(pd)
     else:
@@ -113,7 +113,8 @@ def main(argv=None) -> int:
         from ema_tpu.preproc.correct import correct
         stats = correct(a.wl, a.inputs, a.out, sys.stdin.buffer,
                         do_h2=a.h2, do_bx_format=a.bx,
-                        n_buckets=a.nbuckets, is_haplotag=a.haplotag)
+                        n_buckets=a.nbuckets, is_haplotag=a.haplotag,
+                        n_threads=max(a.threads, 1))
         sys.stderr.write(
             f":: Stats: no change: {stats['nochange']}\n"
             f"         no barcode: {stats['nobucket']}\n"
@@ -257,7 +258,9 @@ def main(argv=None) -> int:
             n = 0
             with met.stage("align", len(batch.ids)):
                 lines = aligner.align_batch_to_sam(batch)
-            if a.sort and not a.multi:
+            if a.sort:
+                # -x: per-part sort, so the final pass is a streaming
+                # k-way merge instead of an in-memory global sort
                 from ema_tpu.parallel.distrib import sort_sam_lines
                 lines = sort_sam_lines(lines, idx.names)
             with met.stage("write_output"):
@@ -295,15 +298,13 @@ def main(argv=None) -> int:
                     if man is not None:
                         man.mark_done(p, part, n, time.time() - t0)
                 out = open(a.out, "w") if a.out else sys.stdout
-                out.write(header)
                 if a.sort:
-                    # shard-level coordinate sort across all buckets
-                    from ema_tpu.parallel.distrib import sort_sam_lines
-                    body = []
-                    for part in parts:
-                        body.extend(open(part).readlines())
-                    out.writelines(sort_sam_lines(body, idx.names))
+                    # streaming k-way merge of the sorted parts (bounded
+                    # memory; parts were sorted at write time above)
+                    from ema_tpu.parallel.distrib import merge_sorted_streams
+                    merge_sorted_streams(out, parts, idx.names, header)
                 else:
+                    out.write(header)
                     for part in parts:
                         with open(part) as fh:
                             for line in fh:

@@ -426,6 +426,25 @@ def run_em_device_batch(states: List[GroupState]) -> None:
     # without x64) — halves the largest transfer
     f_dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
     d, (G, E, C, NC) = _pack_states(states, f_dtype)
+    # bucket G to a power of two as well: without it, em_run recompiles
+    # for every distinct number of EM-gated groups per emit batch.
+    # Padding groups have emask/cmask all False and run_em False.
+    Gp = _round_up_pow2(G)
+    run_em = np.zeros(Gp, bool)
+    run_em[:G] = True
+    if Gp != G:
+        pad = Gp - G
+        for k in ("score", "cmask", "active", "cand_cloud", "rec_chrom",
+                  "rec_pos", "rec_rev"):
+            d[k] = np.concatenate(
+                [d[k], np.zeros((pad,) + d[k].shape[1:], d[k].dtype)])
+        d["mate_entry"] = np.concatenate(
+            [d["mate_entry"], np.full((pad, E), -1, np.int32)])
+        d["emask"] = np.concatenate(
+            [d["emask"], np.zeros((pad, E), bool)])
+        d["comp"] = np.concatenate(
+            [d["comp"],
+             np.broadcast_to(np.arange(NC, dtype=np.int32), (pad, NC))])
     inp = em_jax.EMInputs(
         score=jnp.asarray(d["score"]), cmask=jnp.asarray(d["cmask"]),
         active=jnp.asarray(d["active"]),
@@ -435,7 +454,7 @@ def run_em_device_batch(states: List[GroupState]) -> None:
         rec_rev=jnp.asarray(d["rec_rev"]),
         mate_entry=jnp.asarray(d["mate_entry"]),
         emask=jnp.asarray(d["emask"]), comp=jnp.asarray(d["comp"]),
-        run_em=jnp.asarray(np.ones(G, bool)))
+        run_em=jnp.asarray(run_em))
     gammas, _ = em_jax.em_run(inp, many=many)
     gh = np.asarray(gammas, dtype=np.float64)
     for g, st in enumerate(states):

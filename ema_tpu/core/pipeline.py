@@ -142,6 +142,7 @@ class Aligner:
         self.text_dev = jnp.asarray(index.text)   # device-resident genome
         self._cloud_id = 0
         self._contig_blob = None
+        self._defer_dist_window = False
         self._use_pallas = self._probe_pallas()
         self._init_mesh()
 
@@ -439,9 +440,15 @@ class Aligner:
 
         # edit-distance window filter vs the physical read's best-scoring
         # candidate across both strands (align.c:1020-1024: regs.a[0] of
-        # the score-sorted region list, which spans strands)
+        # the score-sorted region list, which spans strands).  As a shard
+        # of a ShardedAligner the filter is deferred to the cross-shard
+        # merge: a per-shard leader's window could drop candidates the
+        # global leader's window keeps.
         phys = np.where(co >= n_reads, co - n_reads, co)
-        ok = _dist_window_keep(phys, sw["score"], dist, n_reads)
+        if self._defer_dist_window:
+            ok = np.ones(co.shape[0], bool)
+        else:
+            ok = _dist_window_keep(phys, sw["score"], dist, n_reads)
         # contig containment: alignment must not cross a contig boundary
         chrom = idx.contig_of(gpos).astype(np.int32)
         ref_len = _cigar_ref_len(nat["cigars"], nat["n_cigar"])
@@ -609,11 +616,24 @@ class Aligner:
                 lines.extend(self._emit_group(batch, res, pool))
             return end
 
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
         workers = max(self.cfg.inflight_chunks, 1)
         with ThreadPoolExecutor(max_workers=workers) as ex:
-            for k, (recs, idents, part_pool) in enumerate(
-                    ex.map(work, chunk_starts)):
+            # bounded submission window: at most ``workers`` chunk results
+            # buffered at once (ex.map would submit everything up front and
+            # let finished record arrays pile up if the group phase lags)
+            futs = deque()
+            next_submit = 0
+            while next_submit < len(chunk_starts) and len(futs) < workers:
+                futs.append(ex.submit(work, chunk_starts[next_submit]))
+                next_submit += 1
+            k = 0
+            while futs:
+                recs, idents, part_pool = futs.popleft().result()
+                if next_submit < len(chunk_starts):
+                    futs.append(ex.submit(work, chunk_starts[next_submit]))
+                    next_submit += 1
                 recs["cig_off"] += pool_len
                 pool_append(part_pool)
                 pend_recs = np.concatenate([pend_recs, recs])
@@ -623,6 +643,7 @@ class Aligner:
                 done = emit_groups(pend_recs, pend_ids, limit)
                 pend_recs = pend_recs[done:]
                 pend_ids = pend_ids[done:]
+                k += 1
         return lines
 
     def _emit_group(self, batch: ReadBatch, res, pool) -> List[str]:
@@ -729,8 +750,11 @@ class ShardedAligner(Aligner):
         self.index = index                    # ShardedIndex facade
         self.cfg = cfg or config.RunConfig()
         self.subs = [Aligner(sh, self.cfg) for sh in index.shards]
+        for sub in self.subs:
+            sub._defer_dist_window = True     # window applied at merge
         self._cloud_id = 0
         self._contig_blob = None
+        self._defer_dist_window = False
 
     def generate_candidates(self, batch: ReadBatch) -> CandidateSet:
         css = [sub.generate_candidates(batch) for sub in self.subs]

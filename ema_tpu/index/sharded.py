@@ -1,8 +1,8 @@
 """Contig-sharded reference indexes for genomes beyond the int32 limit.
 
-One FM-index shard per <= ~2 Gbp contig group (SURVEY.md §5.7: the
-CP-like analog for genome scale — GRCh38's 3.1 Gbp does not fit int32
-positions).  Each shard is a self-contained ReferenceIndex over a slice
+One FM-index shard per contig group of <= MAX_SHARD_BASES (~1 Gbp: both
+strands of a shard must fit int32 BWT rows) (SURVEY.md §5.7: the CP-like
+analog for genome scale — GRCh38's 3.1 Gbp does not fit int32 positions).  Each shard is a self-contained ReferenceIndex over a slice
 of the contig list; contig numbering is global, and the aligner queries
 every shard and merges candidates, recomputing cross-shard uniqueness /
 second-best statistics (the reference instead relies on BWA's single

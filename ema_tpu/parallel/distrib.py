@@ -99,6 +99,19 @@ def merge_sorted_shards(shard_paths: Sequence[str], out_path: str,
     first shard; body lines stream through a heap merge.  Returns the
     number of body records written.
     """
+    with open(out_path, "w") as out:
+        return merge_sorted_streams(out, shard_paths, chrom_names, header)
+
+
+def merge_sorted_streams(out, shard_paths: Sequence[str],
+                         chrom_names: Sequence[str],
+                         header: Optional[str] = None) -> int:
+    """Stream a k-way merge of sorted SAM shards into an open file object.
+
+    Memory stays O(k): one pending line per shard in the heap.  Shard
+    header lines are skipped (the first shard's are used only when no
+    ``header`` is given).
+    """
     order = {n: i for i, n in enumerate(chrom_names)}
     streams = []
     first_header: List[str] = []
@@ -115,15 +128,14 @@ def merge_sorted_shards(shard_paths: Sequence[str], out_path: str,
         streams.append(_chain_first(body, fh))
 
     n = 0
-    with open(out_path, "w") as out:
-        if header is not None:
-            out.write(header)
-        else:
-            out.writelines(first_header)
-        for line in heapq.merge(
-                *streams, key=lambda ln: _sam_sort_key(ln, order)):
-            out.write(line)
-            n += 1
+    if header is not None:
+        out.write(header)
+    else:
+        out.writelines(first_header)
+    for line in heapq.merge(
+            *streams, key=lambda ln: _sam_sort_key(ln, order)):
+        out.write(line)
+        n += 1
     return n
 
 

@@ -55,10 +55,12 @@ class Corrector:
     """Vectorized fused-key barcode correction (correct.cc:66-188)."""
 
     def __init__(self, wl: np.ndarray, priors: np.ndarray, do_h2: bool):
+        import threading
         self.wl = wl
         self.priors = priors
         self.do_h2 = do_h2
         self.stats = {"nochange": 0, "h1": 0, "h2": 0, "nobucket": 0}
+        self._stats_lock = threading.Lock()
 
     def _lookup(self, bcs: np.ndarray):
         return lookup_sorted(self.wl, bcs)
@@ -129,8 +131,10 @@ class Corrector:
         out_bc = np.where(accept, max_bc, 0).astype(np.uint32)
         out_type = np.where(accept, out_type, 3).astype(np.int8)
 
-        for t, name in ((0, "nochange"), (1, "h1"), (2, "h2"), (3, "nobucket")):
-            self.stats[name] += int(counts[out_type == t].sum())
+        with self._stats_lock:
+            for t, name in ((0, "nochange"), (1, "h1"), (2, "h2"),
+                            (3, "nobucket")):
+                self.stats[name] += int(counts[out_type == t].sum())
         return out_bc, out_type
 
     def _h1_neighbors(self, codes, quals, pos_ok, has_n):
@@ -206,8 +210,13 @@ def _reduce_neighbors(nb_bc, nb_p, nb_valid):
 def correct(whitelist_path: str, input_prefixes: List[str], output_dir: str,
             stream, do_h2: bool = False, do_bx_format: bool = False,
             n_buckets: int = config.DEFAULT_N_BUCKETS,
-            is_haplotag: bool = False) -> dict:
-    """Run the full preproc stage; returns stats."""
+            is_haplotag: bool = False, n_threads: int = 1) -> dict:
+    """Run the full preproc stage; returns stats.
+
+    ``n_threads`` > 1 corrects fcnt blocks in a thread pool (the numpy
+    neighbor math releases the GIL) — the analog of the reference's
+    std::thread chunks (correct.cc:244-261); merging stays sequential.
+    """
     os.makedirs(output_dir, exist_ok=True)
     if is_haplotag:
         # haplotag: no whitelist / no correction — barcodes come from
@@ -230,17 +239,41 @@ def correct(whitelist_path: str, input_prefixes: List[str], output_dir: str,
     corrector = Corrector(wl, priors, do_h2)
     corrected: Dict[bytes, int] = {}
     n_reads_per_bc = np.zeros(wl.shape[0], np.int64)
-    for prefix in input_prefixes:
-        fpath = (prefix[:-9] + ".ema-fcnt" if prefix.endswith(".ema-ncnt")
-                 else prefix + ".ema-fcnt")
-        for keys, counts in read_fcnt_blocks(fpath):
-            out_bc, out_type = corrector.correct_block(keys, counts)
-            ok = out_bc != 0
-            idx, found = corrector._lookup(out_bc[ok].astype(np.uint32))
-            np.add.at(n_reads_per_bc, idx[found], counts[ok][found])
-            changed = ok & ((out_type == 1) | (out_type == 2))
-            for k, b in zip(keys[changed], out_bc[changed]):
-                corrected[k.tobytes()] = int(b)
+
+    def all_blocks():
+        for prefix in input_prefixes:
+            fpath = (prefix[:-9] + ".ema-fcnt"
+                     if prefix.endswith(".ema-ncnt")
+                     else prefix + ".ema-fcnt")
+            yield from read_fcnt_blocks(fpath)
+
+    def split_chunks(blocks, chunk=65536):
+        # sub-chunk large blocks so threads have work to share
+        for keys, counts in blocks:
+            for s in range(0, keys.shape[0], chunk):
+                yield keys[s:s + chunk], counts[s:s + chunk]
+
+    def run_one(kc):
+        keys, counts = kc
+        out_bc, out_type = corrector.correct_block(keys, counts)
+        return keys, counts, out_bc, out_type
+
+    if n_threads > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        ex = ThreadPoolExecutor(max_workers=n_threads)
+        results = ex.map(run_one, split_chunks(all_blocks()))
+    else:
+        ex = None
+        results = map(run_one, all_blocks())
+    for keys, counts, out_bc, out_type in results:
+        ok = out_bc != 0
+        idx, found = corrector._lookup(out_bc[ok].astype(np.uint32))
+        np.add.at(n_reads_per_bc, idx[found], counts[ok][found])
+        changed = ok & ((out_type == 1) | (out_type == 2))
+        for k, b in zip(keys[changed], out_bc[changed]):
+            corrected[k.tobytes()] = int(b)
+    if ex is not None:
+        ex.shutdown()
 
     # 3. greedy bucket assignment (correct.cc:374-411)
     bucket_of = np.zeros(wl.shape[0], np.int64)

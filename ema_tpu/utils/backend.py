@@ -27,6 +27,11 @@ def ensure_backend(retries: int = 3, delay_s: float = 3.0):
             if i + 1 < retries:
                 time.sleep(delay_s)
     sys.stderr.write(f"ema_tpu: accelerator init failed ({last}); "
-                     "falling back to any available platform\n")
-    jax.config.update("jax_platforms", "")
-    return jax.devices()
+                     "falling back to CPU\n")
+    # request the CPU platform explicitly: once a backend init has failed,
+    # flipping jax_platforms post-init is not reliable on all JAX versions
+    try:
+        return jax.devices("cpu")
+    except RuntimeError:
+        jax.config.update("jax_platforms", "")
+        return jax.devices()
