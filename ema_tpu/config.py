@@ -127,11 +127,15 @@ class AlignerParams:
     mapq_coef_len: int = 50     # opt->mapQ_coef_len
     mapq_coef_fac: float = math.log(50)  # opt->mapQ_coef_fac
     mem_mapq_coef: float = 30.0  # MEM_MAPQ_COEF
-    # our seeding strategy (TPU batched k-mer/backward-search, not SMEM):
+    # our seeding strategy (TPU batched backward-search):
     seed_len: int = 19
     seed_stride: int = 7
-    max_hits_per_seed: int = 64
-    max_candidates_per_read: int = 64
+    # per-seed hit cap = the reference's max_occ semantics: SA intervals
+    # wider than this are evenly sampled down to it (src/align.c:185 —
+    # EMA raises BWA's 500 to 3000 so deep repeat families keep enough
+    # candidates for the cloud EM to arbitrate)
+    max_hits_per_seed: int = 3000
+    max_candidates_per_read: int = 1024
     # mate rescue (reference: src/bwabridge.c:213-231: pes = {-35, 500, 200, 100})
     rescue_score_delta: int = 25
     rescue_max_per_side: int = 50

@@ -40,7 +40,6 @@ for _b, _c in zip(b"ACGTacgt", [0, 1, 2, 3, 0, 1, 2, 3]):
     _BASE_LUT[_b] = _c
 
 WINDOW_PAD = 24          # slack around the chain diagonal for the SW window
-CIGAR_CAP = 16           # max candidates per oriented read taking traceback
 MAX_CIGAR_OPS = 64
 
 # shape-bucketing granularity: device calls are padded up to these multiples
@@ -48,6 +47,7 @@ MAX_CIGAR_OPS = 64
 ROW_BUCKET = 256         # oriented-read rows (seeding)
 CAND_BUCKET = 512        # candidate pairs (SW scoring)
 WIN_BUCKET = 64          # SW ref-window width
+SW_CHUNK = 16 * 4096     # max candidate pairs per SW device call
 
 
 def _round_up(x: int, m: int) -> int:
@@ -254,6 +254,17 @@ class Aligner:
         seed_stack = np.asarray(jnp.stack(
             [s_lo, s_hi, s_qb, s_len]))[:, :n_reads]
         nsd = np.asarray(n_seeds)[:n_reads]
+
+        # repeat fraction per physical read: fraction of read bases covered
+        # by seeds whose SA interval exceeds max_occ (BWA's l_rep/frac_rep,
+        # consumed by the mapq formula the reference adapted,
+        # align.c:958-984).  Greedy seeds are disjoint in read coords, so
+        # the union length is a plain sum.
+        s_live = np.arange(seed_stack.shape[2])[None, :] < nsd[:, None]
+        s_width = np.where(s_live, seed_stack[1] - seed_stack[0], 0)
+        l_rep = np.where(s_width > params.max_occ, seed_stack[3], 0).sum(axis=1)
+        frac_rep_read = (l_rep / np.maximum(lens, 1)).astype(np.float32)
+
         owner, qb, slen, rows_flat = _compact_seed_hits(
             seed_stack, nsd, params.max_hits_per_seed)
         hp = locate_rows_bucketed(self.fma, rows_flat, self._shard_rows)
@@ -280,11 +291,11 @@ class Aligner:
             band_width=params.band_width, pad=WINDOW_PAD,
             max_candidates=params.max_candidates_per_read)
 
-        co, ck = np.nonzero(cands.valid)
-        win_lo = cands.win_lo[co, ck]
-        win_len = cands.win_len[co, ck]
-        seedcov = cands.seedcov[co, ck]
-        weight = cands.weight[co, ck]
+        co = cands.owner
+        win_lo = cands.win_lo
+        win_len = cands.win_len
+        seedcov = cands.seedcov
+        weight = cands.weight
 
         # --- device: score all candidate windows -----------------------
         sw = self._score_windows(opad_dev, lpad_dev, co, win_lo, win_len)
@@ -307,7 +318,7 @@ class Aligner:
 
         return self._finalize_candidates(
             batch, oriented, olens, n_reads, co, win_lo, win_len,
-            seedcov, weight, sw, params)
+            seedcov, weight, sw, params, frac_rep_read)
 
     def _score_windows(self, oriented_dev, olens_dev, owners, win_lo,
                        win_len):
@@ -322,6 +333,16 @@ class Aligner:
         if N == 0:
             z = np.zeros(0, np.int32)
             return {"score": z, "qb": z, "qe": z, "ref_end": z}
+        # very large candidate sets (deep-repeat batches under the
+        # max_occ-scale hit caps) run in fixed-size chunks: bounds device
+        # memory for the [N, Wmax] window gather and reuses one compiled
+        # program for the big chunks
+        if N > SW_CHUNK:
+            outs = [self._score_windows(
+                        oriented_dev, olens_dev, owners[s:s + SW_CHUNK],
+                        win_lo[s:s + SW_CHUNK], win_len[s:s + SW_CHUNK])
+                    for s in range(0, N, SW_CHUNK)]
+            return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
         # bucket both the batch and window axes to bound compile shapes
         Wmax = _round_up(int(win_len.max()), WIN_BUCKET)
         Npad = _round_up(N, CAND_BUCKET)
@@ -380,6 +401,24 @@ class Aligner:
         if ro.shape[0] == 0:
             return (np.zeros(0, np.int64),) * 3
 
+        # cap rescue attempts per mate side, best-scoring triggers first
+        # (the reference attempts at most ~50 mate-SWs per side,
+        # bwabridge.c:263-283) — without this, deep-repeat candidates
+        # would each spawn a rescue window
+        sc = sw_score[good][ok]
+        n_k = ro.shape[0]
+        order_r = np.lexsort((-sc, ro))
+        ro_s = ro[order_r]
+        firstr = np.ones(n_k, bool)
+        firstr[1:] = ro_s[1:] != ro_s[:-1]
+        idxr = np.arange(n_k)
+        rankr = idxr - np.maximum.accumulate(np.where(firstr, idxr, 0))
+        keep_cap = np.zeros(n_k, bool)
+        keep_cap[order_r] = rankr < params.rescue_max_per_side
+        ro, rlo, rlen = ro[keep_cap], rlo[keep_cap], rlen[keep_cap]
+        if ro.shape[0] == 0:
+            return (np.zeros(0, np.int64),) * 3
+
         # dedupe 1: skip a rescue whose window already holds a candidate of
         # the same oriented read (within band).  Existing windows sorted by
         # a composite (owner, pos) key; overlap = non-empty range query.
@@ -400,7 +439,7 @@ class Aligner:
 
     def _finalize_candidates(self, batch, oriented, olens, n_reads,
                              co, win_lo, win_len, seedcov, weight, sw,
-                             params) -> CandidateSet:
+                             params, frac_rep_read=None) -> CandidateSet:
         """Order, filter, traceback, and assemble per-candidate arrays."""
         idx = self.index
         L_arr = olens[co] if co.shape[0] else np.zeros(0, np.int32)
@@ -415,12 +454,23 @@ class Aligner:
 
         # drop non-positive scores and heavy clipping (align.c:1015-1017)
         ok = (sw["score"] > 0) & (clip < L_arr[ord1] // 2)
-        # per-read rank; cap traceback load
+        # pre-traceback survivors: a *score*-window bound on the later
+        # edit-distance window (align.c:1020-1024) instead of a fixed
+        # per-read rank cap — every extra edit-distance unit costs at
+        # most (match+mismatch) SW score vs the leader, so anything
+        # below this margin cannot pass the EXTRA_SEARCH_DEPTH filter;
+        # the per-orientation leader only widens the window (safe).
+        # MAX_CANDIDATES (samdict.h:9) stays as the hard valve.
         first = np.ones(co.shape[0], bool)
         first[1:] = co[1:] != co[:-1]
         idx_all = np.arange(co.shape[0])
-        rank = idx_all - np.maximum.accumulate(np.where(first, idx_all, 0))
-        ok &= rank < CIGAR_CAP
+        lead_idx = np.maximum.accumulate(np.where(first, idx_all, 0))
+        rank = idx_all - lead_idx
+        margin = (config.EXTRA_SEARCH_DEPTH
+                  * (params.match + params.mismatch)
+                  + 2 * params.gap_open + 2 * params.clip_penalty)
+        ok &= sw["score"] >= sw["score"][lead_idx] - margin
+        ok &= rank < config.MAX_CANDIDATES
         co, win_lo, win_len = co[ok], win_lo[ok], win_len[ok]
         seedcov, weight, clip = seedcov[ok], weight[ok], clip[ok]
         sw = {k: v[ok] for k, v in sw.items()}
@@ -474,6 +524,9 @@ class Aligner:
 
         rev = (co >= n_reads).astype(np.int8)
         pos_local = gpos - idx.offsets[chrom] + 1
+        frac_rep = (frac_rep_read[phys].astype(np.float32)
+                    if frac_rep_read is not None
+                    else np.zeros(N, np.float32))
 
         return CandidateSet(
             owner=np.where(rev == 1, co - n_reads, co).astype(np.int64),
@@ -484,7 +537,7 @@ class Aligner:
             cigars=cigars, n_cigar=n_cigar.astype(np.int32),
             seedcov=seedcov.astype(np.int32),
             sub=sub.astype(np.int32), sub_n=sub_n.astype(np.int32),
-            frac_rep=np.zeros(N, np.float32),
+            frac_rep=frac_rep,
             unique=unique)
 
     # ------------------------------------------------------------------
@@ -950,15 +1003,36 @@ def _compact_seed_hits(seed_stack: np.ndarray, n_seeds: np.ndarray,
             s_len[b_idx, s_idx][rep], rows)
 
 
+LOCATE_CHUNK = 8 * HIT_BUCKET
+
+
 def locate_rows_bucketed(fma, rows: np.ndarray, put=jnp.asarray) -> np.ndarray:
-    """Device locate over a flat row list, padded to HIT_BUCKET multiples."""
+    """Device locate over a flat row list with bounded compile shapes.
+
+    Small batches pad to power-of-two multiples of HIT_BUCKET; anything
+    larger runs in fixed LOCATE_CHUNK windows, so deep-repeat batches
+    (millions of sampled hits under the max_occ cap) reuse one compiled
+    program instead of one per distinct size.
+    """
     H = rows.shape[0]
     if H == 0:
         return np.zeros(0, np.int64)
-    Hp = _round_up(H, HIT_BUCKET)
-    rp = np.zeros(Hp, np.int32)
-    rp[:H] = rows
-    return np.asarray(fmindex.locate(fma, put(rp)))[:H].astype(np.int64)
+    if H <= LOCATE_CHUNK:
+        Hp = HIT_BUCKET
+        while Hp < H:
+            Hp *= 2
+        rp = np.zeros(Hp, np.int32)
+        rp[:H] = rows
+        return np.asarray(fmindex.locate(fma, put(rp)))[:H].astype(np.int64)
+    out = np.empty(H, np.int64)
+    rp = np.zeros(LOCATE_CHUNK, np.int32)
+    for s in range(0, H, LOCATE_CHUNK):
+        e = min(s + LOCATE_CHUNK, H)
+        rp[:e - s] = rows[s:e]
+        rp[e - s:] = 0
+        out[s:e] = np.asarray(
+            fmindex.locate(fma, put(rp)))[:e - s].astype(np.int64)
+    return out
 
 
 def _reorder_batch(batch: ReadBatch, order: np.ndarray) -> ReadBatch:

@@ -17,22 +17,33 @@ import numpy as np
 
 @dataclasses.dataclass
 class Candidates:
-    """Top-K candidate windows per oriented read, padded arrays [B, K]."""
+    """Top-K candidate windows per oriented read, flat owner-grouped arrays.
 
-    win_lo: np.ndarray      # int64 text coord of window start
+    Flat (not dense [B, K]): with reference-scale per-read candidate caps
+    (max_occ 3000 repeats can chain into ~1000 windows for one read) a
+    dense layout would allocate K slots for every read in the batch.
+    """
+
+    owner: np.ndarray       # int64 [N] oriented-read index
+    win_lo: np.ndarray      # int64 [N] text coord of window start
     win_len: np.ndarray     # int32 window length
     weight: np.ndarray      # int32 total seed bases in the chain
     seedcov: np.ndarray     # int32 approx read bases covered by seeds
     n_seeds: np.ndarray     # int32 seeds in the chain
-    valid: np.ndarray       # bool
-    n_cands: np.ndarray     # int32 [B]
+
+
+def _empty_cands() -> Candidates:
+    z32 = np.zeros(0, np.int32)
+    return Candidates(owner=np.zeros(0, np.int64),
+                      win_lo=np.zeros(0, np.int64), win_len=z32,
+                      weight=z32, seedcov=z32, n_seeds=z32)
 
 
 def chain_hits(owner: np.ndarray, qb: np.ndarray, seed_len: np.ndarray,
                pos: np.ndarray, n_reads: int, read_lens: np.ndarray,
                text_len: int,
                band_width: int = 100, pad: int = 24,
-               max_candidates: int = 64) -> Candidates:
+               max_candidates: int = 1024) -> Candidates:
     """Cluster flat seed hits into candidate windows.
 
     owner/qb/seed_len/pos: int64 [H] flat arrays over all valid hits of the
@@ -40,17 +51,8 @@ def chain_hits(owner: np.ndarray, qb: np.ndarray, seed_len: np.ndarray,
     of the seed start, ``qb`` the seed's read offset.
     """
     K = max_candidates
-    out = Candidates(
-        win_lo=np.zeros((n_reads, K), np.int64),
-        win_len=np.zeros((n_reads, K), np.int32),
-        weight=np.zeros((n_reads, K), np.int32),
-        seedcov=np.zeros((n_reads, K), np.int32),
-        n_seeds=np.zeros((n_reads, K), np.int32),
-        valid=np.zeros((n_reads, K), bool),
-        n_cands=np.zeros(n_reads, np.int32),
-    )
     if owner.shape[0] == 0:
-        return out
+        return _empty_cands()
 
     diag = pos - qb
     order = np.lexsort((pos, diag, owner))
@@ -96,7 +98,6 @@ def chain_hits(owner: np.ndarray, qb: np.ndarray, seed_len: np.ndarray,
     keep = rank_in_read < K
 
     o = c_owner[keep].astype(np.int64)
-    r = rank_in_read[keep]
     rl = read_lens[o]
     # window spans the chain's full diagonal range: diag_min covers
     # insertions, diag_max covers deletions (a chain may legally span up
@@ -105,14 +106,13 @@ def chain_hits(owner: np.ndarray, qb: np.ndarray, seed_len: np.ndarray,
     lo = np.maximum(c_diag_min[keep] - pad, 0)
     hi = np.minimum(c_diag_max[keep] + rl + pad, text_len)
 
-    out.win_lo[o, r] = lo
-    out.win_len[o, r] = (hi - lo).astype(np.int32)
-    out.weight[o, r] = c_weight[keep].astype(np.int32)
-    out.seedcov[o, r] = c_seedcov[keep]
-    out.n_seeds[o, r] = c_nseeds[keep].astype(np.int32)
-    out.valid[o, r] = True
-    np.add.at(out.n_cands, o, 1)
-    return out
+    return Candidates(
+        owner=o,
+        win_lo=lo.astype(np.int64),
+        win_len=(hi - lo).astype(np.int32),
+        weight=c_weight[keep].astype(np.int32),
+        seedcov=c_seedcov[keep].astype(np.int32),
+        n_seeds=c_nseeds[keep].astype(np.int32))
 
 
 def flatten_seed_hits(hit_pos: np.ndarray, hit_valid: np.ndarray,
