@@ -63,7 +63,8 @@ def mark_optimal_alignments_in_cloud(R: np.ndarray, RI: np.ndarray,
 
     # partition into unique- and multi-mapped reads; find cloud bounds
     n = len(clean)
-    umaps: list = []       # record idx
+    umaps: list = []       # global record idx
+    umap_local: list = []  # index into ``clean`` of the same record
     mmaps: list = []       # dict(start, n, mate_umap, mate_mmap, active)
     lo, hi = np.iinfo(np.int64).max, 0
     i = 0
@@ -101,6 +102,7 @@ def mark_optimal_alignments_in_cloud(R: np.ndarray, RI: np.ndarray,
                     mm["mate_umap"] = len(umaps)
                     break
             umaps.append(run[0])
+            umap_local.append(i)
         i = j
 
     n_bins = (hi - lo) // config.BIN_SIZE + 1
@@ -119,91 +121,32 @@ def mark_optimal_alignments_in_cloud(R: np.ndarray, RI: np.ndarray,
     for mm in mmaps:
         bins[bin_of(R["pos"][clean[mm["start"] + mm["active"]]])] += 1
 
-    from ema_tpu.core.pairing import is_proper_pair
+    # simulated annealing (split.c:223-325): the 50k-iteration loop runs
+    # in C++ (native.sa_optimize) over local clean-record arrays — the
+    # scalar Python version was ~100x slower than the reference's C loop
+    from ema_tpu import native
 
-    def is_pair(k1, k2) -> bool:
-        return is_proper_pair(R["chrom"][k1], R["pos"][k1], R["rev"][k1],
-                              R["chrom"][k2], R["pos"][k2], R["rev"][k2])
-
-    ldp = lambda dens: _log_density_prob(int(dens), log_probs)
-
-    # simulated annealing (split.c:223-325)
-    no_move = 0
-    tspan = config.SIM_ANNEAL_TMAX_LOG - config.SIM_ANNEAL_TMIN_LOG
-    for it in range(config.SIM_ANNEAL_ITERS):
-        t = 10.0 ** (config.SIM_ANNEAL_TMAX_LOG - tspan * it / config.SIM_ANNEAL_ITERS)
-        r = int(rng.integers(0, len(mmaps)))
-        mm = mmaps[r]
-        r_old = mm["active"]
-        r_new = int(rng.integers(0, mm["n"] - 1))
-        if r_new >= r_old:
-            r_new += 1
-
-        active_mate = None
-        mate_r = 0
-        mate_is_mmap = False
-        if mm["mate_umap"] >= 0:
-            mate_r = mm["mate_umap"]
-            active_mate = umaps[mate_r]
-        elif mm["mate_mmap"] >= 0:
-            mate_r = mm["mate_mmap"]
-            active_mate = clean[mmaps[mate_r]["start"] + mmaps[mate_r]["active"]]
-            mate_is_mmap = True
-
-        rec_old = clean[mm["start"] + r_old]
-        rec_new = clean[mm["start"] + r_new]
-
-        dens_change = 0.0
-        score_change = 0.0
-        force = False
-        mate_new_active = -1
-        mate_old_bin = mate_new_bin = 0
-        old_paired = active_mate is not None and is_pair(rec_old, active_mate)
-        new_paired = active_mate is not None and is_pair(rec_new, active_mate)
-
-        if not old_paired and new_paired:
-            force = True
-        elif old_paired and not new_paired and mate_is_mmap:
-            mmate = mmaps[mate_r]
-            for mi in range(mmate["n"]):
-                cand = clean[mmate["start"] + mi]
-                if is_pair(rec_new, cand):
-                    mate_new_active = mi
-                    mate_old_bin = bin_of(R["pos"][active_mate])
-                    mate_new_bin = bin_of(R["pos"][cand])
-                    score_change += (float(R["score"][cand])
-                                     - float(R["score"][active_mate])) / config.SCORE_SCALE
-                    break
-
-        old_bin = bin_of(R["pos"][rec_old])
-        new_bin = bin_of(R["pos"][rec_new])
-        p1 = 2 if (mate_new_active >= 0 and old_bin == mate_old_bin) else 1
-        p2 = 2 if (mate_new_active >= 0 and new_bin == mate_new_bin) else 1
-        dens_change += (ldp(bins[old_bin] - p1) - ldp(bins[old_bin])
-                        + ldp(bins[new_bin] + p2) - ldp(bins[new_bin]))
-        if p1 == 1 and mate_new_active >= 0:
-            dens_change += ldp(bins[mate_old_bin] - 1) - ldp(bins[mate_old_bin])
-        if p2 == 1 and mate_new_active >= 0:
-            dens_change += ldp(bins[mate_new_bin] + 1) - ldp(bins[mate_new_bin])
-
-        score_change += (float(R["score"][rec_new])
-                         - float(R["score"][rec_old])) / config.SCORE_SCALE
-        change = dens_change + score_change
-
-        if force or change > 0 or np.exp(min(change / t, 50.0)) >= rng.random():
-            mm["active"] = r_new
-            bins[old_bin] -= 1
-            bins[new_bin] += 1
-            if mate_new_active >= 0:
-                mmaps[mate_r]["active"] = mate_new_active
-                bins[mate_old_bin] -= 1
-                bins[mate_new_bin] += 1
-        else:
-            no_move += 1
-        if no_move >= config.SIM_ANNEAL_MAX_NO_MOVE:
-            break
+    cl = np.asarray(clean, np.int64)
+    mm_active = native.sa_optimize(
+        pos=R["pos"][cl], chrom=R["chrom"][cl], rev=R["rev"][cl],
+        score=R["score"][cl],
+        umap_local=np.asarray(umap_local, np.int64),
+        mm_start=np.array([m["start"] for m in mmaps], np.int64),
+        mm_n=np.array([m["n"] for m in mmaps], np.int64),
+        mm_mate_umap=np.array([m["mate_umap"] for m in mmaps], np.int64),
+        mm_mate_mmap=np.array([m["mate_mmap"] for m in mmaps], np.int64),
+        mm_active=np.array([m["active"] for m in mmaps], np.int64),
+        bins=bins, lo=int(lo), bin_size=config.BIN_SIZE,
+        log_probs=np.asarray(log_probs, np.float64),
+        iters=config.SIM_ANNEAL_ITERS,
+        tmax_log=config.SIM_ANNEAL_TMAX_LOG,
+        tmin_log=config.SIM_ANNEAL_TMIN_LOG,
+        max_no_move=config.SIM_ANNEAL_MAX_NO_MOVE,
+        score_scale=float(config.SCORE_SCALE),
+        insert_min=config.INSERT_MIN, insert_max=config.INSERT_MAX,
+        seed=int(rng.integers(1, np.iinfo(np.int64).max)))
 
     for uk in umaps:
         R["active"][uk] = True
-    for mm in mmaps:
-        R["active"][clean[mm["start"] + mm["active"]]] = True
+    for mm, a in zip(mmaps, mm_active):
+        R["active"][clean[mm["start"] + int(a)]] = True

@@ -15,6 +15,7 @@
 //
 // Build: g++ -O3 -shared -fPIC (see build.py).  Exposed via ctypes.
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -475,4 +476,152 @@ extern "C" int64_t format_sam_batch(
         *p++ = '\n';
     }
     return p - out;
+}
+
+// ---------------------------------------------------------------------------
+// Density-based multimapping resolver: the simulated-annealing inner loop of
+// the reference's -d mode (reference src/split.c:223-325), over *local*
+// clean-record arrays prepared by ema_tpu.core.split.  The reference seeds
+// rand() with time() (split.c:54-59); here the caller passes an explicit
+// seed (splitmix64 stream) so -d runs are reproducible.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Splitmix64 {
+    uint64_t s;
+    uint64_t next() {
+        uint64_t z = (s += 0x9e3779b97f4a7c15ULL);
+        z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ULL;
+        z = (z ^ (z >> 27)) * 0x94d049bb133111ebULL;
+        return z ^ (z >> 31);
+    }
+    // uniform in [0, n)
+    int64_t below(int64_t n) { return (int64_t)(next() % (uint64_t)n); }
+    // uniform double in [0, 1)
+    double real() { return (next() >> 11) * (1.0 / 9007199254740992.0); }
+};
+
+struct SAProblem {
+    const int64_t *pos; const int32_t *chrom; const int8_t *rev;
+    const double *score;
+    int64_t insert_min, insert_max;
+
+    bool is_pair(int64_t k1, int64_t k2) const {
+        // FR proper-pair predicate (reference align.c:27-40)
+        if ((rev[k1] != 0) == (rev[k2] != 0) || chrom[k1] != chrom[k2])
+            return false;
+        int64_t d = rev[k2] ? pos[k2] - pos[k1] : pos[k1] - pos[k2];
+        return insert_min <= d && d <= insert_max;
+    }
+};
+
+static inline double log_density_prob(int64_t density, const double *lp,
+                                      int64_t n_lp) {
+    if (density < 0) return -1e18;   // reference: unsigned wraparound
+    if (density < n_lp) return lp[density];
+    return lp[n_lp - 1] - (double)(density - n_lp + 1) * 0.6931471805599453;
+}
+
+}  // namespace
+
+extern "C" void sa_optimize(
+    const int64_t *pos, const int32_t *chrom, const int8_t *rev,
+    const double *score,
+    const int64_t *umap_local, int64_t n_umaps,
+    const int64_t *mm_start, const int64_t *mm_n,
+    const int64_t *mm_mate_umap, const int64_t *mm_mate_mmap,
+    int64_t *mm_active, int64_t n_mmaps,
+    int64_t *bins, int64_t lo, int64_t bin_size,
+    const double *log_probs, int64_t n_log_probs,
+    int64_t iters, double tmax_log, double tmin_log,
+    int64_t max_no_move, double score_scale,
+    int64_t insert_min, int64_t insert_max, uint64_t seed) {
+    SAProblem P{pos, chrom, rev, score, insert_min, insert_max};
+    Splitmix64 rng{seed ? seed : 1};
+    const double tspan = tmax_log - tmin_log;
+    int64_t no_move = 0;
+
+    for (int64_t it = 0; it < iters; it++) {
+        double t = pow(10.0, tmax_log - tspan * (double)it / (double)iters);
+        int64_t r = rng.below(n_mmaps);
+        int64_t r_old = mm_active[r];
+        int64_t r_new = rng.below(mm_n[r] - 1);
+        if (r_new >= r_old) r_new++;
+
+        int64_t active_mate = -1, mate_r = 0;
+        bool mate_is_mmap = false;
+        if (mm_mate_umap[r] >= 0) {
+            mate_r = mm_mate_umap[r];
+            active_mate = umap_local[mate_r];
+        } else if (mm_mate_mmap[r] >= 0) {
+            mate_r = mm_mate_mmap[r];
+            active_mate = mm_start[mate_r] + mm_active[mate_r];
+            mate_is_mmap = true;
+        }
+
+        int64_t rec_old = mm_start[r] + r_old;
+        int64_t rec_new = mm_start[r] + r_new;
+
+        double dens_change = 0.0, score_change = 0.0;
+        bool force = false;
+        int64_t mate_new_active = -1;
+        int64_t mate_old_bin = 0, mate_new_bin = 0;
+        bool old_paired = active_mate >= 0 && P.is_pair(rec_old, active_mate);
+        bool new_paired = active_mate >= 0 && P.is_pair(rec_new, active_mate);
+
+        if (!old_paired && new_paired) {
+            force = true;   // moves creating a pair are always taken
+        } else if (old_paired && !new_paired && mate_is_mmap) {
+            // drag a multimapped mate along to keep the pair
+            for (int64_t mi = 0; mi < mm_n[mate_r]; mi++) {
+                int64_t cand = mm_start[mate_r] + mi;
+                if (P.is_pair(rec_new, cand)) {
+                    mate_new_active = mi;
+                    mate_old_bin = (pos[active_mate] - lo) / bin_size;
+                    mate_new_bin = (pos[cand] - lo) / bin_size;
+                    score_change += (score[cand] - score[active_mate])
+                                    / score_scale;
+                    break;
+                }
+            }
+        }
+
+        int64_t old_bin = (pos[rec_old] - lo) / bin_size;
+        int64_t new_bin = (pos[rec_new] - lo) / bin_size;
+        int64_t p1 = (mate_new_active >= 0 && old_bin == mate_old_bin) ? 2 : 1;
+        int64_t p2 = (mate_new_active >= 0 && new_bin == mate_new_bin) ? 2 : 1;
+        dens_change +=
+            log_density_prob(bins[old_bin] - p1, log_probs, n_log_probs)
+            - log_density_prob(bins[old_bin], log_probs, n_log_probs)
+            + log_density_prob(bins[new_bin] + p2, log_probs, n_log_probs)
+            - log_density_prob(bins[new_bin], log_probs, n_log_probs);
+        if (p1 == 1 && mate_new_active >= 0)
+            dens_change +=
+                log_density_prob(bins[mate_old_bin] - 1, log_probs, n_log_probs)
+                - log_density_prob(bins[mate_old_bin], log_probs, n_log_probs);
+        if (p2 == 1 && mate_new_active >= 0)
+            dens_change +=
+                log_density_prob(bins[mate_new_bin] + 1, log_probs, n_log_probs)
+                - log_density_prob(bins[mate_new_bin], log_probs, n_log_probs);
+
+        score_change += (score[rec_new] - score[rec_old]) / score_scale;
+        double change = dens_change + score_change;
+
+        double arg = change / t;
+        if (arg > 50.0) arg = 50.0;
+        if (force || change > 0 || exp(arg) >= rng.real()) {
+            mm_active[r] = r_new;
+            bins[old_bin] -= 1;
+            bins[new_bin] += 1;
+            if (mate_new_active >= 0) {
+                mm_active[mate_r] = mate_new_active;
+                bins[mate_old_bin] -= 1;
+                bins[mate_new_bin] += 1;
+            }
+        } else {
+            no_move++;
+        }
+        if (no_move >= max_no_move) break;
+    }
 }
