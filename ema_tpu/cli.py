@@ -247,6 +247,20 @@ def main(argv=None) -> int:
         bc_len = profile.bc_len or 16
 
         def align_one_input(path_or_pair, out_fh):
+            n = 0
+            if path_or_pair[0] == "pair" and not a.sort:
+                # streaming -1/-2: whole barcode groups flow from disk
+                # through bounded flush batches straight to the writer —
+                # flat RSS on WGS-scale inputs (align.c:637-744 analog)
+                groups = io_mod.iter_fastq_pair_groups(
+                    path_or_pair[1], path_or_pair[2],
+                    "none" if a.nobc else profile.name)
+                with met.stage("align"):
+                    for lines in aligner.align_stream(groups):
+                        for line in lines:
+                            out_fh.write(line)
+                            n += 1
+                return n
             with met.stage("read_input"):
                 if path_or_pair[0] == "special":
                     batch = io_mod.read_special_fastq(
@@ -255,7 +269,6 @@ def main(argv=None) -> int:
                     batch = io_mod.read_fastq_pair(
                         path_or_pair[1], path_or_pair[2],
                         "none" if a.nobc else profile.name)
-            n = 0
             with met.stage("align", len(batch.ids)):
                 lines = aligner.align_batch_to_sam(batch)
             if a.sort:

@@ -581,6 +581,13 @@ class Aligner:
         return recs, idents, pool
 
     def align_batch_to_sam(self, batch: ReadBatch) -> List[str]:
+        """Full pipeline for one ReadBatch; returns all SAM lines."""
+        out: List[str] = []
+        for chunk_lines in self.iter_batch_sam(batch):
+            out.extend(chunk_lines)
+        return out
+
+    def iter_batch_sam(self, batch: ReadBatch) -> Iterator[List[str]]:
         """Full pipeline for one ReadBatch whose barcodes are complete.
 
         Candidate generation runs in device-sized chunks
@@ -589,7 +596,7 @@ class Aligner:
         have landed, so the host-side EM/selection/SAM phase of early
         barcodes overlaps later chunks' device time — the software analog
         of the reference's in_lock/out_lock streaming (align.c:307-341).
-        Returns SAM lines.
+        Yields lists of SAM lines as groups complete (bounded memory).
         """
         P = len(batch.ids)
         B = max(self.cfg.batch_size, 1)
@@ -697,7 +704,48 @@ class Aligner:
                 pend_recs = pend_recs[done:]
                 pend_ids = pend_ids[done:]
                 k += 1
-        return lines
+                if lines:
+                    yield lines
+                    lines = []
+        if lines:
+            yield lines
+
+    def align_stream(self, groups, flush_pairs: Optional[int] = None
+                     ) -> Iterator[List[str]]:
+        """Streaming alignment over an iterator of whole barcode groups.
+
+        ``groups`` yields (ids, bcs, s1, q1, s2, q2) tuples, one complete
+        barcode each (io.iter_fastq_pair_groups) — the analog of the
+        reference's group-at-a-time readers (align.c:637-744).  Groups
+        accumulate into bounded flush batches (default 8 device chunks)
+        and SAM lines are yielded as they are produced, so RSS stays flat
+        regardless of input size.
+        """
+        flush = flush_pairs or 8 * max(self.cfg.batch_size, 1)
+        ids: List[str] = []
+        bcs: List[int] = []
+        s1: List[str] = []
+        q1: List[str] = []
+        s2: List[str] = []
+        q2: List[str] = []
+
+        def drain():
+            batch = ReadBatch.from_pairs(ids, bcs, s1, q1, s2, q2)
+            yield from self.iter_batch_sam(batch)
+            for lst in (ids, bcs, s1, q1, s2, q2):
+                lst.clear()
+
+        for g in groups:
+            ids.extend(g[0])
+            bcs.extend(g[1])
+            s1.extend(g[2])
+            q1.extend(g[3])
+            s2.extend(g[4])
+            q2.extend(g[5])
+            if len(ids) >= flush:
+                yield from drain()
+        if ids:
+            yield from drain()
 
     def _emit_group(self, batch: ReadBatch, res, pool) -> List[str]:
         """SAM lines for one processed barcode group (GroupResult)."""

@@ -101,6 +101,72 @@ def read_fastq_pair(fq1_path: str, fq2_path: str | None,
         [s2[i] for i in order], [q2[i] for i in order])
 
 
+def iter_fastq_pair_groups(fq1_path: str, fq2_path: str | None,
+                           platform: str):
+    """Stream whole barcode groups from barcode-sorted paired FASTQs.
+
+    The reference pulls one complete barcode group per lock acquisition
+    (read_fastq_rec_bc_group, align.c:637-744) instead of slurping the
+    input; this is the generator equivalent — memory is bounded by the
+    largest single barcode group.  Yields (ids, bcs, s1, q1, s2, q2).
+
+    ``platform == "none"``: every pair is its own group with a synthetic
+    unique barcode (the ema-nobc path).
+    """
+    if fq2_path is None or fq2_path == fq1_path:
+        def pairs():
+            it = _read_fastq_records(fq1_path)
+            while True:
+                try:
+                    r1 = next(it)
+                except StopIteration:
+                    return
+                r2 = next(it)     # unpaired trailing record raises
+                yield r1, r2
+        pair_it = pairs()
+    else:
+        def pairs2():
+            it1 = _read_fastq_records(fq1_path)
+            it2 = _read_fastq_records(fq2_path)
+            for r1 in it1:
+                try:
+                    r2 = next(it2)
+                except StopIteration:
+                    raise AssertionError("unpaired FASTQ inputs") from None
+                yield r1, r2
+            if next(it2, None) is not None:
+                raise AssertionError("unpaired FASTQ inputs")
+        pair_it = pairs2()
+
+    cur_bc = None
+    ids: List[str] = []
+    bcs: List[int] = []
+    s1: List[str] = []
+    q1: List[str] = []
+    s2: List[str] = []
+    q2: List[str] = []
+    n = 0
+    for (id1, sa, qa), (_, sb, qb) in pair_it:
+        if platform == "none":
+            rid = id1[1:] if id1.startswith("@") else id1
+            ident, bc = rid.split(" ")[0], n
+        else:
+            ident, bc = extract_bc_from_id(id1, platform)
+        if cur_bc is not None and bc != cur_bc and ids:
+            yield ids, bcs, s1, q1, s2, q2
+            ids, bcs, s1, q1, s2, q2 = [], [], [], [], [], []
+        cur_bc = bc
+        ids.append(ident)
+        bcs.append(bc)
+        s1.append(sa)
+        q1.append(qa)
+        s2.append(sb)
+        q2.append(qb)
+        n += 1
+    if ids:
+        yield ids, bcs, s1, q1, s2, q2
+
+
 def read_fai(path: str) -> List[str]:
     """Chromosome name table from a .fai (main.c:57-71)."""
     names = []
