@@ -9,6 +9,7 @@ delegates this to `bwa index`).
     ema_tpu index   -r ref.fa [-o ref.fa.emaidx.npz]
     ema_tpu align   -r ref.fa [-s bucket | -1 r1.fq [-2 r2.fq] | -x f1 f2...]
                     [-o out.sam] [-R RG] [-d] [-p platform] [-i idx] [-t T]
+    ema_tpu samdiff a.sam b.sam [--pos-tol N] [--fail-under PCT]
 """
 
 from __future__ import annotations
@@ -75,6 +76,10 @@ def main(argv=None) -> int:
     if mode == "help":
         print(__doc__)
         return 0
+
+    if mode == "samdiff":
+        from ema_tpu.utils.samdiff import main as samdiff_main
+        return samdiff_main(rest)
 
     if mode == "count":
         ap = argparse.ArgumentParser(prog="ema_tpu count", add_help=False)
@@ -159,6 +164,11 @@ def main(argv=None) -> int:
         ap.add_argument("-i", dest="bx_index", default="1")
         ap.add_argument("-t", dest="threads", type=int, default=3,
                         help="in-flight device chunks (1 disables overlap)")
+        ap.add_argument("-j", dest="jobs", type=int, default=2,
+                        help="concurrent bucket files in -x mode (the "
+                             "reference runs one OpenMP thread per input "
+                             "file, main.c:396-406); one bucket's host "
+                             "group phase overlaps another's device time")
         ap.add_argument("--shard", type=int, default=None,
                         help="this host's shard id (0-based)")
         ap.add_argument("--nshards", type=int, default=None,
@@ -172,6 +182,11 @@ def main(argv=None) -> int:
                         help="coordinate-sort the output SAM body")
         ap.add_argument("--device-em", action="store_true",
                         help="run the cloud-EM iterations on device")
+        ap.add_argument("--seeding", choices=("greedy", "smem"),
+                        default=None,
+                        help="seed finder: batched device scan (greedy) "
+                             "or exact SMEM enumeration with BWA "
+                             "re-seeding in host C++ (smem)")
         ap.add_argument("--nobc", action="store_true",
                         help="no-barcode mode: plain paired alignment, no "
                              "linked-read tags (replaces `bwa mem` on the "
@@ -229,8 +244,13 @@ def main(argv=None) -> int:
         met = Metrics()
         with met.stage("index_load"):
             idx = _load_or_build_index(a.ref)
+        aligner_params = config.DEFAULT_ALIGNER_PARAMS
+        if a.seeding:
+            import dataclasses as _dc
+            aligner_params = _dc.replace(aligner_params, seeding=a.seeding)
         cfg = config.RunConfig(platform=profile, read_group=rg,
                                bx_index=a.bx_index,
+                               aligner=aligner_params,
                                apply_density_opt=a.dens,
                                inflight_chunks=max(a.threads, 1),
                                device_em=a.device_em, nobc=a.nobc)
@@ -246,7 +266,7 @@ def main(argv=None) -> int:
         is_hap = profile.name == "haplotag"
         bc_len = profile.bc_len or 16
 
-        def align_one_input(path_or_pair, out_fh):
+        def align_one_input(path_or_pair, out_fh, cloud_base=None):
             n = 0
             if path_or_pair[0] == "pair" and not a.sort:
                 # streaming -1/-2: whole barcode groups flow from disk
@@ -270,7 +290,7 @@ def main(argv=None) -> int:
                         path_or_pair[1], path_or_pair[2],
                         "none" if a.nobc else profile.name)
             with met.stage("align", len(batch.ids)):
-                lines = aligner.align_batch_to_sam(batch)
+                lines = aligner.align_batch_to_sam(batch, cloud_base)
             if a.sort:
                 # -x: per-part sort, so the final pass is a streaming
                 # k-way merge instead of an in-memory global sort
@@ -290,26 +310,46 @@ def main(argv=None) -> int:
                 from ema_tpu.utils.manifest import RunManifest
 
                 inputs = list(a.inputs)
+                # deterministic per-bucket MI namespaces, keyed by the
+                # bucket's position in the *full* input list so ids stay
+                # unique across host shards and byte-identical on resume
+                # (2^22 clouds per bucket keeps MI within SAM's int32)
+                ns_of = {p: i for i, p in enumerate(inputs)}
                 if a.nshards:
                     inputs = buckets_for_host(
                         inputs, a.shard or 0, a.nshards)
                 man = RunManifest(a.manifest) if a.manifest else None
                 parts_dir = (a.out or "ema_out.sam") + ".parts"
                 os.makedirs(parts_dir, exist_ok=True)
-                parts = []
-                for p in inputs:
+
+                import threading
+                from concurrent.futures import ThreadPoolExecutor
+                man_lock = threading.Lock()
+
+                def do_bucket(p: str) -> str:
                     part = os.path.join(
                         parts_dir, os.path.basename(p) + ".sam")
-                    parts.append(part)
-                    if man is not None and man.is_done(p) \
-                            and os.path.exists(part):
-                        continue
+                    with man_lock:
+                        done = (man is not None and man.is_done(p)
+                                and os.path.exists(part))
+                    if done:
+                        return part
                     t0 = time.time()
                     with open(part + ".tmp", "w") as fh:
-                        n = align_one_input(("special", p), fh)
+                        n = align_one_input(("special", p), fh,
+                                            cloud_base=ns_of[p] << 22)
                     os.replace(part + ".tmp", part)
                     if man is not None:
-                        man.mark_done(p, part, n, time.time() - t0)
+                        with man_lock:
+                            man.mark_done(p, part, n, time.time() - t0)
+                    return part
+
+                jobs = max(1, min(a.jobs, len(inputs) or 1))
+                if jobs == 1:
+                    parts = [do_bucket(p) for p in inputs]
+                else:
+                    with ThreadPoolExecutor(max_workers=jobs) as bx:
+                        parts = list(bx.map(do_bucket, inputs))
                 out = open(a.out, "w") if a.out else sys.stdout
                 if a.sort:
                     # streaming k-way merge of the sorted parts (bounded

@@ -127,9 +127,21 @@ class AlignerParams:
     mapq_coef_len: int = 50     # opt->mapQ_coef_len
     mapq_coef_fac: float = math.log(50)  # opt->mapQ_coef_fac
     mem_mapq_coef: float = 30.0  # MEM_MAPQ_COEF
-    # our seeding strategy (TPU batched backward-search):
+    # seeding strategy:
+    #   "greedy" — batched maximal-suffix backward search on device
+    #              (one lax.scan over read positions); fastest when host
+    #              cores are scarce (the attached-TPU bench host has 1).
+    #   "smem"   — full SMEM enumeration + BWA re-seeding rounds in
+    #              threaded host C++ (bwt_smem1 semantics; the seeding
+    #              mem_align1_core uses, reference bwabridge.c:236-237).
+    #              Exact reference seeding parity; on repeat-heavy
+    #              genomes it is also ~2x faster end-to-end (fewer junk
+    #              hits), and it overlaps with device SW given cores.
+    seeding: str = "greedy"
     seed_len: int = 19
     seed_stride: int = 7
+    split_width: int = 10       # BWA opt->split_width (re-seed occ gate)
+    max_mem_intv: int = 20      # BWA opt->max_mem_intv (3rd round gate)
     # per-seed hit cap = the reference's max_occ semantics: SA intervals
     # wider than this are evenly sampled down to it (src/align.c:185 —
     # EMA raises BWA's 500 to 3000 so deep repeat families keep enough

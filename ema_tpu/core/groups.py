@@ -232,8 +232,43 @@ def _em_fields(st: GroupState):
             R["rev"][cand_rec], R["score"][cand_rec])
 
 
+# candidate-depth threshold: beyond this the vectorized mate term's
+# [C, C_mate] broadcast is quadratic *memory* (reference-scale repeat
+# groups reach MAX_CANDIDATES = 5000), so deep groups run the C++ flat
+# EM (same math, the reference's own O(C*C') loop shape, O(C) memory)
+EM_NATIVE_C = 64
+
+
+def run_em_native(st: GroupState) -> None:
+    """C++ EM over flat candidate arrays (native.em_run_flat)."""
+    from ema_tpu import native
+    cm = st.cmask
+    counts = cm.sum(axis=1)
+    cand_off = np.zeros(st.n_entries + 1, np.int64)
+    np.cumsum(counts, out=cand_off[1:])
+    flat_idx = st.cand_rec[cm]
+    R = st.R
+    gflat = st.gammas[cm].astype(np.float64)
+    weights = np.ascontiguousarray(st.weights, np.float64).copy()
+    active = (R["active"][flat_idx]
+              & ~R["duplicate"][flat_idx]).astype(np.uint8)
+    comp = st.comp if st.n_clouds else np.zeros(0, np.int64)
+    native.em_run_flat(
+        cand_off, st.cand_cloud[cm], R["chrom"][flat_idx],
+        R["pos"][flat_idx], R["rev"][flat_idx], R["score"][flat_idx],
+        active, gflat, weights, st.mate_entry, comp,
+        st.many, config.EM_ITERS,
+        config.INSERT_MIN, config.INSERT_MAX, config.UNPAIRED_PENALTY)
+    g = np.zeros_like(st.gammas)
+    g[cm] = gflat
+    st.gammas = g
+    st.weights = weights
+
+
 def run_em_host(st: GroupState) -> None:
     """The reference EM loop (align.c:431-543), float64 numpy."""
+    if st.cmask.shape[1] > EM_NATIVE_C:
+        return run_em_native(st)
     active, rec_chrom, rec_pos, rec_rev, raw_score = _em_fields(st)
     gammas, weights = st.gammas, st.weights
     exp_cov = np.zeros(st.n_clouds, np.float64)
@@ -305,11 +340,13 @@ def run_em_host_batch(states: List[GroupState]) -> None:
         return
     # large groups pay more for the all-entries-per-phase recompute and
     # pow2 padding than they save in dispatch overhead — keep those on the
-    # per-group path (which updates only each phase's rows)
-    big = [st for st in states if st.n_entries > 256]
+    # per-group path; deep-candidate groups go to the C++ flat EM
+    big = [st for st in states
+           if st.n_entries > 256 or st.cmask.shape[1] > EM_NATIVE_C]
     for st in big:
         run_em_host(st)
-    states = [st for st in states if st.n_entries <= 256]
+    states = [st for st in states
+              if st.n_entries <= 256 and st.cmask.shape[1] <= EM_NATIVE_C]
     if not states:
         return
     if len(states) == 1:
@@ -418,6 +455,12 @@ def run_em_device_batch(states: List[GroupState]) -> None:
     from ema_tpu.core import em_jax
 
     states = [st for st in states if st.needs_em]
+    # deep-candidate groups: the device path's [G, E, C, C] mate term
+    # would explode; run those through the C++ flat EM instead
+    deep = [st for st in states if st.cmask.shape[1] > EM_NATIVE_C]
+    for st in deep:
+        run_em_native(st)
+    states = [st for st in states if st.cmask.shape[1] <= EM_NATIVE_C]
     if not states:
         return
     many = states[0].many

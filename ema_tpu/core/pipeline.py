@@ -140,7 +140,9 @@ class Aligner:
         self.cfg = cfg or config.RunConfig()
         self.fma = fmindex.FMIndexArrays.from_index(index)
         self.text_dev = jnp.asarray(index.text)   # device-resident genome
+        import threading
         self._cloud_id = 0
+        self._id_lock = threading.Lock()   # MI ids under concurrent buckets
         self._contig_blob = None
         self._defer_dist_window = False
         self._use_pallas = self._probe_pallas()
@@ -220,22 +222,41 @@ class Aligner:
         oriented = np.concatenate([codes, rc], axis=0)
         olens = np.concatenate([lens, lens])
 
-        # --- device: seed ------------------------------------------------
+        # --- seed ---------------------------------------------------------
         # both strands live in the FM text, so only the FORWARD read is
-        # seeded (half the scan rows); reverse-strand hits land in the
-        # upper half of the FM coordinate space.  The oriented (fw+rc)
-        # arrays below exist for SW scoring against forward-text windows.
-        # Rows pad to the full device-chunk shape so XLA compiles the
-        # seeding program exactly once (tail chunks reuse it).
-        full = 2 * self.cfg.batch_size
-        rows_pad = full if n_reads <= full else _round_up(n_reads, ROW_BUCKET)
-        spad = np.full((rows_pad, L), 4, np.uint8)
-        spad[:n_reads] = codes
-        slpad = np.zeros(rows_pad, np.int32)
-        slpad[:n_reads] = lens
-        s_lo, s_hi, s_qb, s_len, n_seeds = fmindex.seed_reads(
-            self.fma, self._shard_rows(spad), self._shard_rows(slpad),
-            max_seeds=16, min_seed_len=params.seed_len)
+        # seeded (half the rows); reverse-strand hits land in the upper
+        # half of the FM coordinate space.  The oriented (fw+rc) arrays
+        # below exist for SW scoring against forward-text windows.
+        if params.seeding == "smem":
+            # full SMEM enumeration + re-seeding in threaded host C++
+            # (bwt_smem1 semantics); overlaps with device SW of the
+            # previous in-flight chunk
+            sm = native.smem_seed_batch(
+                idx.occ_blocks, idx.counts, idx.primary, idx.fm_n,
+                codes, lens,
+                min_seed_len=params.min_seed_len,
+                split_len=int(params.min_seed_len * 1.5 + 0.499),
+                split_width=params.split_width,
+                max_mem_intv=params.max_mem_intv)
+            seed_stack = np.stack(sm[:4]).astype(np.int64)
+            nsd = sm[4]
+        else:
+            # greedy maximal-suffix chop as a batched device scan.  Rows
+            # pad to the full device-chunk shape so XLA compiles the
+            # seeding program exactly once (tail chunks reuse it).
+            full = 2 * self.cfg.batch_size
+            rows_pad = (full if n_reads <= full
+                        else _round_up(n_reads, ROW_BUCKET))
+            spad = np.full((rows_pad, L), 4, np.uint8)
+            spad[:n_reads] = codes
+            slpad = np.zeros(rows_pad, np.int32)
+            slpad[:n_reads] = lens
+            s_lo, s_hi, s_qb, s_len, n_seeds = fmindex.seed_reads(
+                self.fma, self._shard_rows(spad), self._shard_rows(slpad),
+                max_seeds=16, min_seed_len=params.seed_len)
+            seed_stack = np.asarray(jnp.stack(
+                [s_lo, s_hi, s_qb, s_len]))[:, :n_reads].astype(np.int64)
+            nsd = np.asarray(n_seeds)[:n_reads]
 
         # oriented rows for the SW scorer (windows are forward-text only)
         n_rows = oriented.shape[0]
@@ -251,19 +272,16 @@ class Aligner:
         # --- host: compact seed hits; device: locate only real rows ------
         # (one small stacked transfer; most SA intervals hold 1-2 rows, so
         # locating the dense [B, S, K] expansion would be ~1000x wasted work)
-        seed_stack = np.asarray(jnp.stack(
-            [s_lo, s_hi, s_qb, s_len]))[:, :n_reads]
-        nsd = np.asarray(n_seeds)[:n_reads]
-
         # repeat fraction per physical read: fraction of read bases covered
         # by seeds whose SA interval exceeds max_occ (BWA's l_rep/frac_rep,
         # consumed by the mapq formula the reference adapted,
-        # align.c:958-984).  Greedy seeds are disjoint in read coords, so
-        # the union length is a plain sum.
+        # align.c:958-984).  Greedy seeds are disjoint in read coords;
+        # SMEMs may overlap, so the sum over-counts — clip to 1.
         s_live = np.arange(seed_stack.shape[2])[None, :] < nsd[:, None]
         s_width = np.where(s_live, seed_stack[1] - seed_stack[0], 0)
         l_rep = np.where(s_width > params.max_occ, seed_stack[3], 0).sum(axis=1)
-        frac_rep_read = (l_rep / np.maximum(lens, 1)).astype(np.float32)
+        frac_rep_read = np.minimum(
+            l_rep / np.maximum(lens, 1), 1.0).astype(np.float32)
 
         owner, qb, slen, rows_flat = _compact_seed_hits(
             seed_stack, nsd, params.max_hits_per_seed)
@@ -580,14 +598,17 @@ class Aligner:
         idents = np.array([batch.ids[p] for p in pairs], dtype=object)
         return recs, idents, pool
 
-    def align_batch_to_sam(self, batch: ReadBatch) -> List[str]:
+    def align_batch_to_sam(self, batch: ReadBatch,
+                           cloud_id_base: Optional[int] = None) -> List[str]:
         """Full pipeline for one ReadBatch; returns all SAM lines."""
         out: List[str] = []
-        for chunk_lines in self.iter_batch_sam(batch):
+        for chunk_lines in self.iter_batch_sam(batch, cloud_id_base):
             out.extend(chunk_lines)
         return out
 
-    def iter_batch_sam(self, batch: ReadBatch) -> Iterator[List[str]]:
+    def iter_batch_sam(self, batch: ReadBatch,
+                       cloud_id_base: Optional[int] = None
+                       ) -> Iterator[List[str]]:
         """Full pipeline for one ReadBatch whose barcodes are complete.
 
         Candidate generation runs in device-sized chunks
@@ -597,6 +618,11 @@ class Aligner:
         barcodes overlaps later chunks' device time — the software analog
         of the reference's in_lock/out_lock streaming (align.c:307-341).
         Yields lists of SAM lines as groups complete (bounded memory).
+
+        ``cloud_id_base``: start of a private MI (cloud id) namespace for
+        this call — used by -x so each bucket's ids are deterministic
+        regardless of bucket concurrency/resume order; None draws from the
+        aligner-wide counter.
         """
         P = len(batch.ids)
         B = max(self.cfg.batch_size, 1)
@@ -626,6 +652,8 @@ class Aligner:
             pair_bc[int(b)] = pair_bc.get(int(b), 0) + 1
 
         lines: List[str] = []
+        local_cloud_id = (None if cloud_id_base is None
+                          else [int(cloud_id_base)])
         rng = np.random.default_rng(self.cfg.seed)
         chunk_starts = list(range(0, P, B))
         pend_recs = empty_records(0)
@@ -671,8 +699,17 @@ class Aligner:
                 # one padded numpy pass for all EM-gated groups
                 groups_mod.run_em_host_batch(states)
             for st in states:
-                res = groups_mod.finish_group(st, self._cloud_id)
-                self._cloud_id += res.n_clouds
+                # reserve a cloud-id range atomically: unlike the
+                # reference's racy static cloud_id++ (align.c:19-23),
+                # concurrent buckets here never produce duplicate MI ids
+                if local_cloud_id is not None:
+                    base = local_cloud_id[0]
+                    local_cloud_id[0] += st.n_clouds
+                else:
+                    with self._id_lock:
+                        base = self._cloud_id
+                        self._cloud_id += st.n_clouds
+                res = groups_mod.finish_group(st, base)
                 lines.extend(self._emit_group(batch, res, pool))
             return end
 
@@ -848,12 +885,14 @@ class ShardedAligner(Aligner):
     """
 
     def __init__(self, index, cfg: Optional[config.RunConfig] = None):
+        import threading
         self.index = index                    # ShardedIndex facade
         self.cfg = cfg or config.RunConfig()
         self.subs = [Aligner(sh, self.cfg) for sh in index.shards]
         for sub in self.subs:
             sub._defer_dist_window = True     # window applied at merge
         self._cloud_id = 0
+        self._id_lock = threading.Lock()
         self._contig_blob = None
         self._defer_dist_window = False
 

@@ -74,6 +74,32 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_char), ctypes.c_int64,
         ]
 
+        lib.em_run_flat.restype = None
+        lib.em_run_flat.argtypes = [
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
+        ]
+
+        lib.smem_seed_batch.restype = None
+        lib.smem_seed_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+
         lib.sa_optimize.restype = None
         lib.sa_optimize.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
@@ -279,3 +305,72 @@ def sa_optimize(pos, chrom, rev, score, umap_local, mm_start, mm_n,
         ctypes.c_int64(insert_min), ctypes.c_int64(insert_max),
         ctypes.c_uint64(seed))
     return mm_active
+
+
+def smem_seed_batch(occ_blocks, counts, primary, fm_n, reads, lens,
+                    min_seed_len=19, split_len=28, split_width=10,
+                    max_mem_intv=20, max_seeds=64, n_threads=0):
+    """SMEM seeding on host (BWA bwt_smem1 semantics; see ema_native.cpp).
+
+    reads: uint8 [B, L] base codes; returns (s_lo, s_hi, s_qb, s_len,
+    n_seeds) with per-read seed arrays [B, max_seeds] — the same layout
+    as the device greedy seeder (index/fmindex.seed_reads).
+    """
+    occ_blocks = np.ascontiguousarray(occ_blocks, np.int32)
+    counts = np.ascontiguousarray(counts, np.int64)
+    reads = np.ascontiguousarray(reads, np.uint8)
+    lens = np.ascontiguousarray(lens, np.int32)
+    B, L = reads.shape
+    s_lo = np.zeros((B, max_seeds), np.int32)
+    s_hi = np.zeros((B, max_seeds), np.int32)
+    s_qb = np.zeros((B, max_seeds), np.int32)
+    s_len = np.zeros((B, max_seeds), np.int32)
+    n_seeds = np.zeros(B, np.int32)
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 8)
+    get_lib().smem_seed_batch(
+        _ptr(occ_blocks, ctypes.c_int32), _ptr(counts, ctypes.c_int64),
+        ctypes.c_int64(int(primary)), ctypes.c_int64(int(fm_n)),
+        _ptr(reads, ctypes.c_uint8), _ptr(lens, ctypes.c_int32),
+        ctypes.c_int64(B), ctypes.c_int32(L),
+        ctypes.c_int32(min_seed_len), ctypes.c_int32(split_len),
+        ctypes.c_int32(split_width), ctypes.c_int32(max_mem_intv),
+        ctypes.c_int32(max_seeds), ctypes.c_int32(n_threads),
+        _ptr(s_lo, ctypes.c_int32), _ptr(s_hi, ctypes.c_int32),
+        _ptr(s_qb, ctypes.c_int32), _ptr(s_len, ctypes.c_int32),
+        _ptr(n_seeds, ctypes.c_int32))
+    return s_lo, s_hi, s_qb, s_len, n_seeds
+
+
+def em_run_flat(cand_off, cloud, chrom, pos, rev, score, active,
+                gammas, weights, mate_entry, comp, many, iters,
+                insert_min, insert_max, unpaired_penalty):
+    """Cloud-EM over flat candidate arrays (see ema_native.cpp em_run_flat).
+
+    Mutates ``gammas`` (flat f64 [N]) and ``weights`` (f64 [n_clouds]) in
+    place; returns gammas.
+    """
+    cand_off = np.ascontiguousarray(cand_off, np.int64)
+    cloud = np.ascontiguousarray(cloud, np.int32)
+    chrom = np.ascontiguousarray(chrom, np.int32)
+    pos = np.ascontiguousarray(pos, np.int64)
+    rev = np.ascontiguousarray(rev, np.int8)
+    score = np.ascontiguousarray(score, np.float64)
+    active = np.ascontiguousarray(active, np.uint8)
+    gammas = np.ascontiguousarray(gammas, np.float64)
+    weights = np.ascontiguousarray(weights, np.float64)
+    mate_entry = np.ascontiguousarray(mate_entry, np.int64)
+    comp = np.ascontiguousarray(comp, np.int64)
+    get_lib().em_run_flat(
+        ctypes.c_int64(cand_off.shape[0] - 1),
+        _ptr(cand_off, ctypes.c_int64),
+        _ptr(cloud, ctypes.c_int32), _ptr(chrom, ctypes.c_int32),
+        _ptr(pos, ctypes.c_int64), _ptr(rev, ctypes.c_int8),
+        _ptr(score, ctypes.c_double), _ptr(active, ctypes.c_uint8),
+        _ptr(gammas, ctypes.c_double), _ptr(weights, ctypes.c_double),
+        _ptr(mate_entry, ctypes.c_int64),
+        ctypes.c_int64(weights.shape[0]), _ptr(comp, ctypes.c_int64),
+        ctypes.c_int32(1 if many else 0), ctypes.c_int32(iters),
+        ctypes.c_int64(insert_min), ctypes.c_int64(insert_max),
+        ctypes.c_double(unpaired_penalty))
+    return gammas, weights

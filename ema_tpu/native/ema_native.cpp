@@ -625,3 +625,397 @@ extern "C" void sa_optimize(
         if (no_move >= max_no_move) break;
     }
 }
+
+// ---------------------------------------------------------------------------
+// SMEM seeding: supermaximal exact matches over the both-strands FM index,
+// with BWA-MEM's re-seeding of long unique MEMs and the LAST-like third
+// round.  This is the host-side equivalent of the seeding the reference
+// gets from mem_align1_core (reference src/bwabridge.c:173, 236-237) — the
+// algorithm is the published bi-directional backward search (Li 2012,
+// "Exploring single-sample SNP and INDEL calling with whole-genome de novo
+// assembly", alg. bwt_smem1), implemented here against our occ-block
+// layout (index/build.py): one int32 row of [4 counts + 8 packed 2-bit
+// words] per 128 BWT chars, $ row removed with `primary` kept.
+// ---------------------------------------------------------------------------
+
+#include <thread>
+
+namespace smem {
+
+struct FM {
+    const int32_t *blocks;   // [n_blocks, 12]
+    const int64_t *C;        // counts[5]; C[0] = 1 ($ row)
+    int64_t primary;         // full-row index of the $ BWT char
+    int64_t n;               // FM text length (row space = n + 1)
+
+    static inline void add_word(uint32_t word, int nbase, int64_t cnt[4]) {
+        uint32_t m = nbase >= 16 ? 0xFFFFFFFFu
+                                 : ((1u << (2 * nbase)) - 1u);
+        for (int c = 0; c < 4; c++) {
+            uint32_t x = word ^ (0x55555555u * (uint32_t)c);
+            uint32_t eq = (~(x | (x >> 1))) & 0x55555555u & m;
+            cnt[c] += __builtin_popcount(eq);
+        }
+    }
+
+    // occurrences of each base among the first k rows of the full row space
+    inline void occ4(int64_t k, int64_t cnt[4]) const {
+        int64_t adj = k - (k > primary ? 1 : 0);
+        int64_t blk = adj >> 7;
+        int off = (int)(adj & 127);
+        const int32_t *row = blocks + blk * 12;
+        cnt[0] = row[0]; cnt[1] = row[1]; cnt[2] = row[2]; cnt[3] = row[3];
+        const uint32_t *w = (const uint32_t *)(row + 4);
+        int fw = off >> 4, rem = off & 15;
+        for (int i = 0; i < fw; i++) add_word(w[i], 16, cnt);
+        if (rem) add_word(w[fw], rem, cnt);
+    }
+};
+
+// bi-interval: k = SA-row start of the pattern P, l = row start of
+// revcomp(P), s = size.  start/end carry the read span.
+struct BiIntv {
+    int64_t k, l, s;
+    int32_t start, end;
+};
+
+// backward extension (prepend): fills ok[c] for every base c
+static inline void extend_back(const FM &fm, const BiIntv &ik, BiIntv ok[4]) {
+    int64_t tk[4], tl[4];
+    fm.occ4(ik.k, tk);
+    fm.occ4(ik.k + ik.s, tl);
+    int64_t sdol =
+        (ik.k <= fm.primary && fm.primary < ik.k + ik.s) ? 1 : 0;
+    for (int c = 0; c < 4; c++) {
+        ok[c].k = fm.C[c] + tk[c];
+        ok[c].s = tl[c] - tk[c];
+        ok[c].start = ik.start;
+        ok[c].end = ik.end;
+    }
+    // rc-side starts: the l-interval of W partitions by the char FOLLOWING
+    // W in the text ($ < T' < G' < C' < A' in complement order) — the
+    // formula from BWA's bwt_extend
+    ok[3].l = ik.l + sdol;
+    ok[2].l = ok[3].l + ok[3].s;
+    ok[1].l = ok[2].l + ok[2].s;
+    ok[0].l = ok[1].l + ok[1].s;
+}
+
+// forward extension (append char c) = backward extension of the swapped
+// interval with the complement
+static inline void extend_fwd(const FM &fm, const BiIntv &ik, BiIntv ok[4]) {
+    BiIntv tmp{ik.l, ik.k, ik.s, ik.start, ik.end};
+    BiIntv o2[4];
+    extend_back(fm, tmp, o2);
+    for (int c = 0; c < 4; c++) {
+        ok[c].k = o2[3 - c].l;
+        ok[c].l = o2[3 - c].k;
+        ok[c].s = o2[3 - c].s;
+        ok[c].start = ik.start;
+        ok[c].end = ik.end;
+    }
+}
+
+static inline BiIntv init_intv(const FM &fm, int c, int x) {
+    return BiIntv{fm.C[c], fm.C[3 - c], fm.C[c + 1] - fm.C[c], x, x + 1};
+}
+
+// all SMEMs passing through position x with interval size >= min_intv;
+// returns the next anchor (end of the longest exact match through x)
+static int smem1(const FM &fm, const uint8_t *q, int len, int x,
+                 int64_t min_intv, std::vector<BiIntv> &mem,
+                 std::vector<BiIntv> &prev, std::vector<BiIntv> &curr) {
+    if (min_intv < 1) min_intv = 1;
+    curr.clear();
+    BiIntv ik = init_intv(fm, q[x], x);
+    BiIntv ok[4];
+    int i;
+    for (i = x + 1; i < len; i++) {           // forward pass
+        if (q[i] < 4) {
+            int c = q[i];
+            extend_fwd(fm, ik, ok);
+            if (ok[c].s != ik.s) {
+                curr.push_back(ik);
+                if (ok[c].s < min_intv) break;
+            }
+            ik = ok[c];
+            ik.end = i + 1;
+        } else {
+            curr.push_back(ik);
+            break;
+        }
+    }
+    if (i == len) curr.push_back(ik);
+    int ret = curr.back().end;
+    prev.assign(curr.rbegin(), curr.rend());  // longest first
+
+    for (i = x - 1; i >= -1; --i) {           // backward pass
+        int c = (i < 0 || q[i] > 3) ? -1 : q[i];
+        curr.clear();
+        for (size_t j = 0; j < prev.size(); j++) {
+            const BiIntv &p = prev[j];
+            if (c >= 0) extend_back(fm, p, ok);
+            if (c < 0 || ok[c].s < min_intv) {
+                if (curr.empty()) {
+                    // longest candidate died: [i+1, p.end) is an SMEM
+                    // unless contained in the previously emitted one
+                    if (mem.empty() || i + 1 < mem.back().start) {
+                        BiIntv t = p;
+                        t.start = i + 1;
+                        mem.push_back(t);
+                    }
+                }
+            } else if (curr.empty() || ok[c].s != curr.back().s) {
+                ok[c].start = p.start;
+                ok[c].end = p.end;
+                curr.push_back(ok[c]);
+            }
+        }
+        if (curr.empty()) break;
+        std::swap(curr, prev);
+    }
+    return ret;
+}
+
+// LAST-like third round (BWA bwt_seed_strategy1): forward-only greedy,
+// emit the first extension whose interval drops under max_intv once the
+// match is long enough
+static int seed_strategy1(const FM &fm, const uint8_t *q, int len, int x,
+                          int min_len, int64_t max_intv, BiIntv *out) {
+    out->s = 0;
+    BiIntv ik = init_intv(fm, q[x], x);
+    BiIntv ok[4];
+    for (int i = x + 1; i < len; i++) {
+        if (q[i] < 4) {
+            int c = q[i];
+            extend_fwd(fm, ik, ok);
+            if (ok[c].s < max_intv && i - x >= min_len) {
+                if (ok[c].s > 0) {
+                    *out = ok[c];
+                    out->start = x;
+                    out->end = i + 1;
+                }
+                return i + 1;
+            }
+            ik = ok[c];
+        } else {
+            return i + 1;
+        }
+    }
+    return len;
+}
+
+}  // namespace smem
+
+extern "C" void smem_seed_batch(
+    const int32_t *occ_blocks, const int64_t *counts,
+    int64_t primary, int64_t fm_n,
+    const uint8_t *reads, const int32_t *lens, int64_t B, int32_t Lmax,
+    int32_t min_seed_len, int32_t split_len, int32_t split_width,
+    int32_t max_mem_intv, int32_t max_seeds, int32_t n_threads,
+    int32_t *s_lo, int32_t *s_hi, int32_t *s_qb, int32_t *s_len,
+    int32_t *n_seeds) {
+    smem::FM fm{occ_blocks, counts, primary, fm_n};
+
+    auto work = [&](int64_t b0, int64_t b1) {
+        std::vector<smem::BiIntv> mems, m1, prev, curr;
+        for (int64_t b = b0; b < b1; b++) {
+            const uint8_t *q = reads + b * Lmax;
+            int len = lens[b];
+            mems.clear();
+            // round 1: all SMEMs (mem_collect_intv first pass).  m1 is
+            // cleared per smem1 call: its contained-match suppression is
+            // scoped to one anchor, as in BWA (a->mem1.n = 0 per call)
+            for (int x = 0; x < len;) {
+                if (q[x] < 4) {
+                    m1.clear();
+                    x = smem::smem1(fm, q, len, x, 1, m1, prev, curr);
+                    mems.insert(mems.end(), m1.begin(), m1.end());
+                } else {
+                    x++;
+                }
+            }
+            // round 2: re-seed long unique-ish MEMs from their middle,
+            // requiring strictly more occurrences (split_len/split_width
+            // are BWA's min_seed_len*1.5 and 10)
+            size_t n_old = mems.size();
+            for (size_t m = 0; m < n_old; m++) {
+                smem::BiIntv mm = mems[m];
+                if (mm.end - mm.start >= split_len && mm.s <= split_width) {
+                    m1.clear();
+                    smem::smem1(fm, q, len, (mm.start + mm.end) >> 1,
+                                mm.s + 1, m1, prev, curr);
+                    mems.insert(mems.end(), m1.begin(), m1.end());
+                }
+            }
+            // round 3: LAST-like forward-greedy seeds
+            if (max_mem_intv > 0) {
+                for (int x = 0; x < len;) {
+                    if (q[x] < 4) {
+                        smem::BiIntv mm;
+                        x = smem::seed_strategy1(fm, q, len, x, min_seed_len,
+                                                 max_mem_intv, &mm);
+                        if (mm.s > 0) mems.push_back(mm);
+                    } else {
+                        x++;
+                    }
+                }
+            }
+            // filter by seed length, dedup by (start, end, k), cap
+            int ns = 0;
+            for (size_t m = 0; m < mems.size() && ns < max_seeds; m++) {
+                const smem::BiIntv &mm = mems[m];
+                if (mm.end - mm.start < min_seed_len || mm.s <= 0) continue;
+                bool dup = false;
+                for (int t = 0; t < ns; t++) {
+                    if (s_qb[b * max_seeds + t] == mm.start
+                        && s_len[b * max_seeds + t] == mm.end - mm.start
+                        && s_lo[b * max_seeds + t] == (int32_t)mm.k) {
+                        dup = true;
+                        break;
+                    }
+                }
+                if (dup) continue;
+                s_lo[b * max_seeds + ns] = (int32_t)mm.k;
+                s_hi[b * max_seeds + ns] = (int32_t)(mm.k + mm.s);
+                s_qb[b * max_seeds + ns] = mm.start;
+                s_len[b * max_seeds + ns] = mm.end - mm.start;
+                ns++;
+            }
+            n_seeds[b] = ns;
+        }
+    };
+
+    int nt = n_threads < 1 ? 1 : n_threads;
+    if (nt == 1 || B < 64) {
+        work(0, B);
+        return;
+    }
+    std::vector<std::thread> ts;
+    int64_t step = (B + nt - 1) / nt;
+    for (int t = 0; t < nt; t++) {
+        int64_t b0 = t * step, b1 = std::min(B, b0 + step);
+        if (b0 >= b1) break;
+        ts.emplace_back(work, b0, b1);
+    }
+    for (auto &th : ts) th.join();
+}
+
+// ---------------------------------------------------------------------------
+// Cloud-EM for deep-candidate groups (reference align.c:431-543).
+//
+// The numpy/JAX EM paths vectorize the mate term as a [C, C_mate] product
+// per entry — ideal for the common case (C <= ~100) but quadratic *memory*
+// when an entry holds thousands of candidates (reference-scale repeat
+// families under MAX_CANDIDATES = 5000, samdict.h:9).  This path replicates
+// the same math with the reference's own loop shape: O(C * C_mate) time,
+// O(C) memory.  Semantics identical to groups.run_em_host:
+//   - two-phase update order (phase A = unpaired + later-inserted mates,
+//     phase B = earlier-inserted) — pair members are always in different
+//     phases, so in-place sequential updates equal the snapshot semantics,
+//   - normalize_log_probs numerics (max-shift, log(1e-50) - log(n) floor,
+//     exact 1.0 for single-candidate entries; src/util.c:129-163),
+//   - cloud weights = expected coverage over active records, renormalized
+//     within disjoint-set chains (align.c:125-143) or per-entry for
+//     many_clouds platforms.
+// ---------------------------------------------------------------------------
+
+namespace emflat {
+
+static const double LOG_EPS = -115.12925464970229;   // log(1e-50)
+
+static void normalize_log_probs(double *p, int64_t n) {
+    if (n <= 0) return;
+    if (n == 1) { p[0] = 1.0; return; }
+    double mx = p[0];
+    for (int64_t i = 1; i < n; i++) mx = std::max(mx, p[i]);
+    double thresh = LOG_EPS - log((double)n);
+    double tot = 0.0;
+    for (int64_t i = 0; i < n; i++) {
+        double s = p[i] - mx;
+        p[i] = s < thresh ? 0.0 : exp(s);
+        tot += p[i];
+    }
+    if (tot > 0) for (int64_t i = 0; i < n; i++) p[i] /= tot;
+}
+
+}  // namespace emflat
+
+extern "C" void em_run_flat(
+    int64_t n_entries, const int64_t *cand_off,
+    const int32_t *cloud, const int32_t *chrom, const int64_t *pos,
+    const int8_t *rev, const double *score, const uint8_t *active,
+    double *gammas,                 // in/out, flat [N]
+    double *weights,                // in/out, [n_clouds]
+    const int64_t *mate_entry, int64_t n_clouds, const int64_t *comp,
+    int32_t many, int32_t iters,
+    int64_t insert_min, int64_t insert_max, double unpaired_penalty) {
+    std::vector<double> buf;
+    std::vector<double> exp_cov((size_t)n_clouds);
+    std::vector<double> chain_tot((size_t)n_clouds);
+
+    auto update_entry = [&](int64_t e) {
+        int64_t b = cand_off[e], n = cand_off[e + 1] - b;
+        if (n <= 0) return;
+        buf.resize((size_t)n);
+        // cloud weight per candidate (+ per-entry normalization for
+        // many_clouds platforms)
+        double wtot = 0.0;
+        if (many) {
+            for (int64_t c = 0; c < n; c++) wtot += weights[cloud[b + c]];
+        }
+        int64_t m = mate_entry[e];
+        int64_t mb = 0, mn = 0;
+        if (m >= 0) { mb = cand_off[m]; mn = cand_off[m + 1] - mb; }
+        for (int64_t c = 0; c < n; c++) {
+            double w = weights[cloud[b + c]];
+            if (many) w = wtot > 0 ? w / wtot : 0.0;
+            double log_w = log(w > 0 ? w : 1e-300);
+            double best = unpaired_penalty;
+            int32_t icl = cloud[b + c], ich = chrom[b + c];
+            int8_t irv = rev[b + c];
+            int64_t ips = pos[b + c];
+            for (int64_t c2 = 0; c2 < mn; c2++) {
+                if (cloud[mb + c2] != icl || chrom[mb + c2] != ich
+                    || rev[mb + c2] == irv) continue;
+                double g = gammas[mb + c2];
+                if (g == 0.0) continue;
+                int64_t d = irv == 1 ? ips - pos[mb + c2]
+                                     : pos[mb + c2] - ips;
+                double pen = (d >= insert_min && d <= insert_max)
+                             ? 0.0 : unpaired_penalty;
+                double ms = pen + log(g);
+                if (ms > best) best = ms;
+            }
+            buf[(size_t)c] = score[b + c] + log_w + best;
+        }
+        emflat::normalize_log_probs(buf.data(), n);
+        for (int64_t c = 0; c < n; c++) gammas[b + c] = buf[(size_t)c];
+    };
+
+    for (int32_t it = 0; it < iters; it++) {
+        // phase A: unpaired entries + the later-inserted pair member
+        for (int64_t e = 0; e < n_entries; e++)
+            if (!(mate_entry[e] >= 0 && e < mate_entry[e])) update_entry(e);
+        // phase B: the earlier-inserted pair member (sees A's new gammas)
+        for (int64_t e = 0; e < n_entries; e++)
+            if (mate_entry[e] >= 0 && e < mate_entry[e]) update_entry(e);
+
+        // weights <- expected coverage of active records
+        std::fill(exp_cov.begin(), exp_cov.end(), 0.0);
+        for (int64_t e = 0; e < n_entries; e++)
+            for (int64_t c = cand_off[e]; c < cand_off[e + 1]; c++)
+                if (active[c]) exp_cov[cloud[c]] += gammas[c];
+        if (!many && n_clouds > 0) {
+            std::fill(chain_tot.begin(), chain_tot.end(), 0.0);
+            for (int64_t k = 0; k < n_clouds; k++)
+                chain_tot[comp[k]] += exp_cov[k];
+            for (int64_t k = 0; k < n_clouds; k++) {
+                double t = chain_tot[comp[k]];
+                weights[k] = t > 0 ? exp_cov[k] / t : exp_cov[k];
+            }
+        } else {
+            for (int64_t k = 0; k < n_clouds; k++) weights[k] = exp_cov[k];
+        }
+    }
+}

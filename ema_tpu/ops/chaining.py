@@ -77,6 +77,18 @@ def chain_hits(owner: np.ndarray, qb: np.ndarray, seed_len: np.ndarray,
     c_nseeds = np.diff(np.append(starts, owner.shape[0]))
     c_seedcov = np.minimum(c_weight, c_qe_max - c_qb_min).astype(np.int32)
 
+    # anchor diagonal = the chain's longest seed (extension is banded
+    # around the best seed, as in BWA).  Adjacent hits may each be within
+    # band_width yet drift thousands of bases cumulatively (periodic/
+    # low-complexity text); without the anchor cap below, such a chain
+    # would emit a window as wide as its whole diagonal range.
+    H = owner.shape[0]
+    c_maxlen = np.maximum.reduceat(seed_len, starts)
+    is_max = seed_len == c_maxlen[cid]
+    first_max = np.minimum.reduceat(np.where(is_max, np.arange(H), H),
+                                    starts)
+    c_anchor = diag[first_max]
+
     # drop duplicate chains on the same diagonal span (cap-sampled repeats
     # collapse because identical (owner, diag) sort adjacently)
 
@@ -89,6 +101,8 @@ def chain_hits(owner: np.ndarray, qb: np.ndarray, seed_len: np.ndarray,
     c_seedcov = c_seedcov[order2]
     c_nseeds = c_nseeds[order2]
 
+    c_anchor = c_anchor[order2]
+
     first = np.ones(n_clusters, bool)
     first[1:] = c_owner[1:] != c_owner[:-1]
     # rank within read
@@ -99,12 +113,16 @@ def chain_hits(owner: np.ndarray, qb: np.ndarray, seed_len: np.ndarray,
 
     o = c_owner[keep].astype(np.int64)
     rl = read_lens[o]
-    # window spans the chain's full diagonal range: diag_min covers
-    # insertions, diag_max covers deletions (a chain may legally span up
-    # to band_width of diagonal drift — without diag_max, any deletion
-    # wider than `pad` was silently truncated out of the window)
-    lo = np.maximum(c_diag_min[keep] - pad, 0)
-    hi = np.minimum(c_diag_max[keep] + rl + pad, text_len)
+    # window spans the chain's diagonal range — diag_min covers
+    # insertions, diag_max deletions — clamped to anchor +- band_width
+    # (a single banded alignment cannot drift further than the band from
+    # its best seed; this bounds the SW window width even for chains
+    # through periodic text)
+    anchor = c_anchor[keep]
+    d_lo = np.maximum(c_diag_min[keep], anchor - band_width)
+    d_hi = np.minimum(c_diag_max[keep], anchor + band_width)
+    lo = np.maximum(d_lo - pad, 0)
+    hi = np.minimum(d_hi + rl + pad, text_len)
 
     return Candidates(
         owner=o,

@@ -176,3 +176,60 @@ def test_sharded_x_mode_equals_single(tmp_path):
                       for ln in open(p) if not ln.startswith("@"))
 
     assert body(merged) == body(single)
+
+
+def test_concurrent_buckets_equal_serial(tmp_path):
+    """-x with -j 2 (thread pool over bucket files, the reference's
+    one-OpenMP-thread-per-file analog, main.c:396-406) produces the same
+    records as the serial run."""
+    from ema_tpu import cli
+    from tests.simulate import rand_genome, simulate_pairs, to_str
+
+    rng = np.random.default_rng(15)
+    genome = rand_genome(rng, 80_000)
+    gs = to_str(genome)
+    fa = tmp_path / "ref.fa"
+    fa.write_text(">c1\n" + "\n".join(
+        gs[i:i + 70] for i in range(0, len(gs), 70)) + "\n")
+
+    ids, bc_strs, bcs, s1, q1, s2, q2, truth = simulate_pairs(
+        rng, gs, n_barcodes=8, frags_per_bc=(1, 2), pairs_per_frag=(4, 8),
+        frag_len=10_000, read_len=80, err=0.003)
+    buckets = []
+    by_bucket = {}
+    for i in range(len(ids)):
+        by_bucket.setdefault(hash(bc_strs[i]) % 4, []).append(i)
+    for b, idxs in sorted(by_bucket.items()):
+        p = tmp_path / f"ema-bin-{b:03d}"
+        with open(p, "w") as f:
+            for i in idxs:
+                f.write(f"{bc_strs[i]} {ids[i]} {s1[i]} {q1[i]} "
+                        f"{s2[i]} {q2[i]}\n")
+        buckets.append(str(p))
+
+    serial = str(tmp_path / "serial.sam")
+    conc = str(tmp_path / "conc.sam")
+    assert cli.main(["align", "-r", str(fa), "-x", "-j", "1",
+                     "-o", serial] + buckets) == 0
+    assert cli.main(["align", "-r", str(fa), "-x", "-j", "2",
+                     "-o", conc] + buckets) == 0
+
+    def body(p):
+        import re
+        return sorted(re.sub(r"\tMI:i:\d+", "\tMI:i:*", ln)
+                      for ln in open(p) if not ln.startswith("@"))
+
+    bs, bc2 = body(serial), body(conc)
+    assert bs == bc2 and len(bs) > 0
+    # MI ids must be unique per cloud even under concurrency: no two
+    # different barcodes may share a cloud id
+    seen = {}
+    for p in (conc,):
+        for ln in open(p):
+            if ln.startswith("@"):
+                continue
+            tags = dict(t.split(":", 2)[::2] for t in
+                        ln.rstrip("\n").split("\t")[11:])
+            if "MI" in tags and "BX" in tags:
+                mi, bx = tags["MI"], tags["BX"]
+                assert seen.setdefault(mi, bx) == bx, (mi, bx)

@@ -117,3 +117,64 @@ def test_device_em_small_group_skips_em():
         use_device_em=True)
     np.testing.assert_allclose(dev.gamma, host.gamma, rtol=1e-12)
     assert dev.emit_pairs == host.emit_pairs
+
+
+@pytest.mark.parametrize("platform", ["10x", "tru"])
+def test_native_flat_em_matches_numpy(platform):
+    """C++ em_run_flat (deep-candidate path) == numpy run_em_host."""
+    rng = np.random.default_rng(11)
+    profile = config.get_platform_profile(platform)
+    recs, idents, _ = _synthetic_group(rng, n_pairs=45, profile=profile)
+    st_np = groups.sweep_group(recs.copy(), idents, profile)
+    st_cc = groups.sweep_group(recs.copy(), idents, profile)
+    assert st_np.needs_em
+    assert st_np.cmask.shape[1] <= groups.EM_NATIVE_C  # numpy path is real
+    groups.run_em_host(st_np)
+    groups.run_em_native(st_cc)
+    np.testing.assert_allclose(st_cc.gammas, st_np.gammas,
+                               rtol=1e-12, atol=1e-300)
+    np.testing.assert_allclose(st_cc.weights, st_np.weights,
+                               rtol=1e-12, atol=1e-300)
+
+
+def test_deep_candidate_group_em_bounded_memory():
+    """A group whose entries hold ~1500 candidates each must run EM in
+    linear memory (the vectorized [C, C] mate term would allocate
+    gigabytes) and still concentrate gamma via cloud weights."""
+    n_cand = 1500
+    n_anchor = 40
+    rows = []
+    idents = []
+    for p in range(n_anchor):            # unique anchor pairs in cloud 0
+        for mate in (0, 1):
+            rows.append((p, mate, 0, 1000 + 60 * p + 200 * mate,
+                         mate, -1.0))
+            idents.append(f"a{p}")
+    # one deep pair: candidates at 1 Mb spacing (each its own cloud),
+    # first candidate inside the anchor cloud
+    for mate in (0, 1):
+        for c in range(n_cand):
+            rows.append((n_anchor, mate, 0,
+                         1500 + 200 * mate + c * 1_000_000, mate, -1.0))
+            idents.append("deep")
+    recs = empty_records(len(rows))
+    for i, (p, mate, chrom, pos, rev, score) in enumerate(rows):
+        recs["pair"][i] = p
+        recs["mate"][i] = mate
+        recs["chrom"][i] = chrom
+        recs["pos"][i] = pos
+        recs["rev"][i] = rev
+        recs["score"][i] = score
+        recs["bc"][i] = 9
+    res = groups.process_barcode_group(
+        recs, np.array(idents, dtype=object),
+        config.get_platform_profile("10x"))
+    R = res.records
+    deep_best = [a for a, b in res.emit_pairs
+                 if str(res.idents[a]) == "deep"] + \
+                [b for a, b in res.emit_pairs
+                 if b >= 0 and str(res.idents[b]) == "deep"]
+    assert deep_best
+    for i in deep_best:
+        assert R["pos"][i] < 10_000       # the in-cloud copy wins
+        assert res.gamma[i] > 0.9

@@ -130,3 +130,27 @@ def test_spaced_repeat_em_rescue():
         assert float(r["tags"]["XG"]) > 0.9
         hits += 1
     assert hits == 2
+
+
+def test_periodic_text_window_bounded():
+    """Chains through periodic text drift arbitrarily far in diagonal
+    (adjacent seeds each within band_width); the window must stay
+    anchored to the longest seed +- band_width, not span the whole
+    tandem array."""
+    from ema_tpu.ops import chaining
+    rng = np.random.default_rng(40)
+    # synthetic hits: one read, seeds stepping 40bp in diagonal across 12kb
+    n_hits = 300
+    qb = np.zeros(n_hits, np.int64)
+    slen = np.full(n_hits, 19, np.int64)
+    slen[150] = 30                        # the longest seed = anchor
+    pos = (np.arange(n_hits) * 40).astype(np.int64)
+    owner = np.zeros(n_hits, np.int64)
+    cands = chaining.chain_hits(
+        owner, qb, slen, pos, 1, np.array([100], np.int64), 10**6,
+        band_width=100, pad=24)
+    assert cands.owner.shape[0] >= 1
+    assert int(cands.win_len.max()) <= 2 * 100 + 100 + 2 * 24
+    # anchor's position inside the window
+    a_lo = int(cands.win_lo[0])
+    assert a_lo <= 150 * 40 <= a_lo + int(cands.win_len[0])
