@@ -53,12 +53,15 @@ def _load_or_build_index(ref: str):
             import shutil
             shutil.rmtree(pd)
     sys.stderr.write(f"ema_tpu: building index for {ref}...\n")
+    from ema_tpu.index import build_and_save_sharded
     from ema_tpu.index.build import parse_fasta
     contigs = parse_fasta(ref)
     total = sum(a.shape[0] for a in contigs.values())
     if total > MAX_SHARD_BASES:      # ~1 Gbp/shard cap, e.g. full GRCh38
-        idx = build_index_sharded(contigs)
-        idx.save(pd)
+        # n_workers=1: inside align mode JAX may already be initialized
+        # and fork() would risk a deadlock — run `ema_tpu index -r ref -j N`
+        # beforehand for the parallel build
+        idx = build_and_save_sharded(contigs, pd, n_workers=1)
     else:
         idx = build_index(contigs)
         idx.save(p)
@@ -135,16 +138,20 @@ def main(argv=None) -> int:
                         help="force contig-sharded indexing with this "
                              "shard size (auto beyond ~2^30 bases: both "
                              "strands of a shard must fit int32 rows)")
+        ap.add_argument("-j", dest="workers", type=int, default=None,
+                        help="parallel shard-build processes "
+                             "(default: one per shard up to cpu count)")
         a = ap.parse_args(rest)
-        from ema_tpu.index import (MAX_SHARD_BASES, build_index,
-                                   build_index_sharded)
+        from ema_tpu.index import (MAX_SHARD_BASES, build_and_save_sharded,
+                                   build_index)
         from ema_tpu.index.build import parse_fasta
         contigs = parse_fasta(a.ref)
         total = sum(arr.shape[0] for arr in contigs.values())
         if a.shard_bases or total > MAX_SHARD_BASES:
-            idx = build_index_sharded(
-                contigs, max_shard_bases=a.shard_bases or MAX_SHARD_BASES)
-            idx.save(a.out or _sharded_index_path(a.ref))
+            build_and_save_sharded(
+                contigs, a.out or _sharded_index_path(a.ref),
+                max_shard_bases=a.shard_bases or MAX_SHARD_BASES,
+                n_workers=a.workers)
         else:
             idx = build_index(contigs)
             idx.save(a.out or _index_path(a.ref))

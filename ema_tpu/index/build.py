@@ -74,7 +74,9 @@ class ReferenceIndex:
         return np.searchsorted(self.offsets, np.asarray(pos), side="right") - 1
 
     def save(self, path: str) -> None:
-        np.savez_compressed(
+        # uncompressed: zlib on GB-scale occ/SA arrays dominates build
+        # time at genome scale, and the arrays are high-entropy anyway
+        np.savez(
             path,
             names=np.array(self.names, dtype=object),
             offsets=self.offsets, lengths=self.lengths, text=self.text,
@@ -170,18 +172,18 @@ def build_index(contigs: Dict[str, np.ndarray] | str,
     sa = native.suffix_array(text2, 4) if n2 else np.zeros(0, np.int64)
 
     # full BWT rows are [$, sa[0], sa[1], ...]; BWT char of row i>0 is
-    # text2[sa[i-1]-1], with the $ appearing where sa[i-1] == 0
+    # text2[sa[i-1]-1], with the $ appearing where sa[i-1] == 0.
+    # Assembled with two slice copies (np.delete would copy + fancy-index
+    # the whole array again — measurable at GRCh38 scale).
     bwt = np.empty(n2, dtype=np.uint8)
     primary = 0
     if n2:
-        prev = sa - 1
-        src = np.where(prev >= 0, prev, 0)
-        bwt_full_tail = text2[src]          # char for rows 1..n2
         zero_row = int(np.nonzero(sa == 0)[0][0]) + 1
         primary = zero_row
-        bwt_row0 = text2[n2 - 1]
-        full = np.concatenate([[bwt_row0], bwt_full_tail])
-        bwt = np.delete(full, primary).astype(np.uint8)
+        tail = text2[np.maximum(sa - 1, 0)]   # char for rows 1..n2
+        bwt[0] = text2[n2 - 1]                # row 0 ($ suffix)
+        bwt[1:primary] = tail[:primary - 1]
+        bwt[primary:] = tail[primary:]
 
     counts = np.zeros(5, dtype=np.int64)
     cnt = np.bincount(text2, minlength=4)[:4] if n2 else np.zeros(4, np.int64)
@@ -192,15 +194,25 @@ def build_index(contigs: Dict[str, np.ndarray] | str,
     occ_blocks = _pack_occ_blocks(bwt)
 
     # value-sampled SA over full rows 0..n2 (row 0 is $, SA value n2)
-    full_sa = np.empty(n2 + 1, dtype=np.int64)
+    full_sa = np.empty(n2 + 1, dtype=sa.dtype)
     full_sa[0] = n2
     full_sa[1:] = sa
-    marked = (full_sa % sa_rate) == 0
+    if sa_rate & (sa_rate - 1) == 0:
+        marked = (full_sa & (sa_rate - 1)) == 0
+    else:
+        marked = (full_sa % sa_rate) == 0
     n_words = (n2 + 1 + 31) // 32
     rows_marked = np.nonzero(marked)[0]
     words = np.zeros(n_words, dtype=np.uint32)
-    np.bitwise_or.at(words, rows_marked >> 5,
-                     (np.uint32(1) << (rows_marked & 31).astype(np.uint32)))
+    # rows_marked is sorted: OR the bits per word with one reduceat pass
+    # (np.bitwise_or.at is an order-of-magnitude slower scalar loop)
+    if rows_marked.shape[0]:
+        wi = rows_marked >> 5
+        bits = np.uint32(1) << (rows_marked & 31).astype(np.uint32)
+        first = np.ones(wi.shape[0], bool)
+        first[1:] = wi[1:] != wi[:-1]
+        starts = np.nonzero(first)[0]
+        words[wi[starts]] = np.bitwise_or.reduceat(bits, starts)
     per_word = np.bincount(rows_marked >> 5, minlength=n_words)
     mark_rank = np.zeros(n_words, dtype=np.int64)
     mark_rank[1:] = np.cumsum(per_word)[:-1]
@@ -240,21 +252,24 @@ def _pack_occ_blocks(bwt: np.ndarray) -> np.ndarray:
     n_blocks = n // OCC_BLOCK + 1
     padded = np.zeros(n_blocks * OCC_BLOCK, dtype=np.uint8)
     padded[:n] = bwt
+    if n:   # padding must not count as base 0
+        padded[n:] = 4
 
-    onehot = np.zeros((4, padded.shape[0]), dtype=np.int64)
+    blocks2d = padded.reshape(n_blocks, OCC_BLOCK)
+    per_block = np.empty((n_blocks, 4), dtype=np.int32)
     for c in range(4):
-        onehot[c] = padded == c
-    if n:   # padding must not count
-        onehot[0, n:] = 0
-
-    per_block = onehot.reshape(4, n_blocks, OCC_BLOCK).sum(axis=2)
+        # bool sum per block: 4 light passes instead of an int64 onehot
+        per_block[:, c] = (blocks2d == c).sum(axis=1, dtype=np.int32)
     cum = np.zeros((n_blocks, 4), dtype=np.int64)
-    cum[1:] = np.cumsum(per_block.T[:-1], axis=0)
+    cum[1:] = np.cumsum(per_block[:-1], axis=0, dtype=np.int64)
+    padded[padded == 4] = 0          # packing below needs 2-bit codes
 
-    # pack 2-bit codes, 16 per uint32, little-endian within the word
-    codes = padded.astype(np.uint32).reshape(n_blocks, 8, 16)
-    shifts = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
-    words = (codes << shifts).sum(axis=2, dtype=np.uint32)
+    # pack 2-bit codes, 16 per uint32 (base k of a block at bits 2k):
+    # 4 codes -> 1 byte in uint8 arithmetic, then view LE bytes as uint32
+    # — same layout, ~8x less memory traffic than a uint32 shift-sum
+    by = (padded[0::4] | (padded[1::4] << 2) | (padded[2::4] << 4)
+          | (padded[3::4] << 6))
+    words = np.ascontiguousarray(by).view(np.uint32).reshape(n_blocks, 8)
 
     out = np.empty((n_blocks, OCC_ROW_WORDS), dtype=np.int32)
     out[:, :4] = cum.astype(np.int32)

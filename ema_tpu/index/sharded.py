@@ -73,13 +73,8 @@ class ShardedIndex:
         return cls(shards, base)
 
 
-def build_index_sharded(contigs: Dict[str, np.ndarray] | str,
-                        sa_rate: int = DEFAULT_SA_RATE,
-                        max_shard_bases: int = MAX_SHARD_BASES,
-                        seed: int = 11) -> ShardedIndex:
-    """Greedily pack contigs into <= max_shard_bases FM-index shards."""
-    if isinstance(contigs, str):
-        contigs = parse_fasta(contigs)
+def _shard_groups(contigs: Dict[str, np.ndarray],
+                  max_shard_bases: int) -> List[Dict[str, np.ndarray]]:
     groups: List[Dict[str, np.ndarray]] = []
     cur: Dict[str, np.ndarray] = {}
     cur_bases = 0
@@ -95,10 +90,70 @@ def build_index_sharded(contigs: Dict[str, np.ndarray] | str,
         cur_bases += arr.shape[0]
     if cur:
         groups.append(cur)
+    return groups
 
+
+def build_index_sharded(contigs: Dict[str, np.ndarray] | str,
+                        sa_rate: int = DEFAULT_SA_RATE,
+                        max_shard_bases: int = MAX_SHARD_BASES,
+                        seed: int = 11) -> ShardedIndex:
+    """Greedily pack contigs into <= max_shard_bases FM-index shards."""
+    if isinstance(contigs, str):
+        contigs = parse_fasta(contigs)
+    groups = _shard_groups(contigs, max_shard_bases)
     shards = [build_index(g, sa_rate=sa_rate, seed=seed) for g in groups]
     base, acc = [], 0
     for sh in shards:
         base.append(acc)
         acc += sh.n_contigs
     return ShardedIndex(shards, base)
+
+
+# fork-shared state for the parallel shard builder: children inherit the
+# parsed contig arrays copy-on-write instead of pickling gigabytes
+_FORK_STATE: dict = {}
+
+
+def _build_one_shard(i: int) -> int:
+    groups, out_dir, sa_rate, seed = (
+        _FORK_STATE["groups"], _FORK_STATE["out_dir"],
+        _FORK_STATE["sa_rate"], _FORK_STATE["seed"])
+    idx = build_index(groups[i], sa_rate=sa_rate, seed=seed)
+    idx.save(os.path.join(out_dir, f"shard{i:03d}.npz"))
+    return i
+
+
+def build_and_save_sharded(contigs: Dict[str, np.ndarray] | str,
+                           out_dir: str,
+                           sa_rate: int = DEFAULT_SA_RATE,
+                           max_shard_bases: int = MAX_SHARD_BASES,
+                           seed: int = 11,
+                           n_workers: int | None = None) -> "ShardedIndex":
+    """Build shards in parallel processes and save them to ``out_dir``.
+
+    Each worker builds + writes one shard (the reference delegates to a
+    single `bwa index` run; shards give genome-scale builds linear
+    speedup in host cores).  Returns the loaded ShardedIndex.
+    """
+    import multiprocessing as mp
+
+    if isinstance(contigs, str):
+        contigs = parse_fasta(contigs)
+    groups = _shard_groups(contigs, max_shard_bases)
+    os.makedirs(out_dir, exist_ok=True)
+    if n_workers is None:
+        n_workers = min(len(groups), os.cpu_count() or 1)
+    if n_workers <= 1 or len(groups) <= 1:
+        for i, g in enumerate(groups):
+            idx = build_index(g, sa_rate=sa_rate, seed=seed)
+            idx.save(os.path.join(out_dir, f"shard{i:03d}.npz"))
+    else:
+        _FORK_STATE.update(groups=groups, out_dir=out_dir,
+                           sa_rate=sa_rate, seed=seed)
+        try:
+            ctx = mp.get_context("fork")
+            with ctx.Pool(n_workers) as pool:
+                pool.map(_build_one_shard, range(len(groups)))
+        finally:
+            _FORK_STATE.clear()
+    return ShardedIndex.load(out_dir)

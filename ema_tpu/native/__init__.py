@@ -49,6 +49,12 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int64, ctypes.c_int64,
         ]
 
+        lib.sais_u8_i32.restype = None
+        lib.sais_u8_i32.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int64,
+        ]
+
         lib.format_sam_batch.restype = ctypes.c_int64
         lib.format_sam_batch.argtypes = [
             ctypes.c_int64,
@@ -139,9 +145,19 @@ def _ptr(a: np.ndarray, ctype):
 
 
 def suffix_array(text: np.ndarray, alphabet_size: int) -> np.ndarray:
-    """Suffix array of a uint8 text (values in [0, alphabet_size))."""
+    """Suffix array of a uint8 text (values in [0, alphabet_size)).
+
+    Texts under 2^31 use the int32 SA-IS variant (half the index-array
+    bandwidth) and return int32; larger texts return int64.
+    """
     text = np.ascontiguousarray(text, dtype=np.uint8)
     n = text.shape[0]
+    if n < 2**31 - 1:
+        sa32 = np.empty(n, dtype=np.int32)
+        get_lib().sais_u8_i32(
+            _ptr(text, ctypes.c_uint8), _ptr(sa32, ctypes.c_int32),
+            ctypes.c_int64(n), ctypes.c_int64(alphabet_size))
+        return sa32
     sa = np.empty(n, dtype=np.int64)
     get_lib().sais_u8(_ptr(text, ctypes.c_uint8), _ptr(sa, ctypes.c_int64),
                       ctypes.c_int64(n), ctypes.c_int64(alphabet_size))

@@ -32,11 +32,13 @@
 
 namespace {
 
-template <typename I>
-static void get_buckets(const I *T, int64_t n, int64_t K, int64_t *bkt, bool end) {
+// Templated on both the text type I and the index type J: int32 indexes
+// halve the memory traffic for texts under 2^31 (GRCh38-scale shards).
+template <typename I, typename J>
+static void get_buckets(const I *T, int64_t n, int64_t K, J *bkt, bool end) {
     for (int64_t i = 0; i < K; i++) bkt[i] = 0;
     for (int64_t i = 0; i < n; i++) bkt[T[i]]++;
-    int64_t sum = 0;
+    J sum = 0;
     for (int64_t i = 0; i < K; i++) {
         sum += bkt[i];
         bkt[i] = end ? sum : sum - bkt[i];
@@ -44,33 +46,33 @@ static void get_buckets(const I *T, int64_t n, int64_t K, int64_t *bkt, bool end
 }
 
 // t[i]: suffix type, true = S-type
-template <typename I>
-static void induce_sal(const I *T, int64_t *SA, int64_t n, int64_t K,
-                       int64_t *bkt, const std::vector<bool> &t) {
+template <typename I, typename J>
+static void induce_sal(const I *T, J *SA, int64_t n, int64_t K,
+                       J *bkt, const std::vector<bool> &t) {
     get_buckets(T, n, K, bkt, false);
     // sentinel suffix: preceding char T[n-1] is L-type
     if (n > 0) {
         int64_t j = n - 1;
-        if (!t[j]) SA[bkt[T[j]]++] = j;
+        if (!t[j]) SA[bkt[T[j]]++] = (J)j;
     }
     for (int64_t i = 0; i < n; i++) {
-        int64_t j = SA[i] - 1;
+        J j = SA[i] - 1;
         if (SA[i] > 0 && !t[j]) SA[bkt[T[j]]++] = j;
     }
 }
 
-template <typename I>
-static void induce_sas(const I *T, int64_t *SA, int64_t n, int64_t K,
-                       int64_t *bkt, const std::vector<bool> &t) {
+template <typename I, typename J>
+static void induce_sas(const I *T, J *SA, int64_t n, int64_t K,
+                       J *bkt, const std::vector<bool> &t) {
     get_buckets(T, n, K, bkt, true);
     for (int64_t i = n - 1; i >= 0; i--) {
-        int64_t j = SA[i] - 1;
+        J j = SA[i] - 1;
         if (SA[i] > 0 && t[j]) SA[--bkt[T[j]]] = j;
     }
 }
 
-template <typename I>
-static void sais_core(const I *T, int64_t *SA, int64_t n, int64_t K) {
+template <typename I, typename J>
+static void sais_core(const I *T, J *SA, int64_t n, int64_t K) {
     if (n == 0) return;
     if (n == 1) { SA[0] = 0; return; }
 
@@ -81,13 +83,13 @@ static void sais_core(const I *T, int64_t *SA, int64_t n, int64_t K) {
 
     auto is_lms = [&](int64_t i) { return i > 0 && t[i] && !t[i - 1]; };
 
-    std::vector<int64_t> bkt(K);
+    std::vector<J> bkt(K);
 
     // step 1: place LMS suffixes, induce-sort
-    std::fill(SA, SA + n, -1);
+    std::fill(SA, SA + n, (J)-1);
     get_buckets(T, n, K, bkt.data(), true);
     for (int64_t i = 1; i < n; i++)
-        if (is_lms(i)) SA[--bkt[T[i]]] = i;
+        if (is_lms(i)) SA[--bkt[T[i]]] = (J)i;
     induce_sal(T, SA, n, K, bkt.data(), t);
     induce_sas(T, SA, n, K, bkt.data(), t);
 
@@ -97,7 +99,7 @@ static void sais_core(const I *T, int64_t *SA, int64_t n, int64_t K) {
         if (is_lms(SA[i])) SA[n1++] = SA[i];
 
     // name LMS substrings
-    std::fill(SA + n1, SA + n, -1);
+    std::fill(SA + n1, SA + n, (J)-1);
     int64_t name = 0, prev = -1;
     for (int64_t i = 0; i < n1; i++) {
         int64_t pos = SA[i];
@@ -114,32 +116,32 @@ static void sais_core(const I *T, int64_t *SA, int64_t n, int64_t K) {
             }
         }
         if (diff) { name++; prev = pos; }
-        SA[n1 + pos / 2] = name - 1;
+        SA[n1 + pos / 2] = (J)(name - 1);
     }
-    int64_t *s1 = SA + n - n1;
+    J *s1 = SA + n - n1;
     for (int64_t i = n - 1, j = n - 1; i >= n1; i--)
         if (SA[i] >= 0) SA[j--] = SA[i];
 
     // step 2: sort the reduced problem
-    int64_t *SA1 = SA;
+    J *SA1 = SA;
     if (name < n1) {
-        sais_core<int64_t>(s1, SA1, n1, name);
+        sais_core<J, J>(s1, SA1, n1, name);
     } else {
-        for (int64_t i = 0; i < n1; i++) SA1[s1[i]] = i;
+        for (int64_t i = 0; i < n1; i++) SA1[s1[i]] = (J)i;
     }
 
     // step 3: induce the final SA from sorted LMS suffixes
-    std::vector<int64_t> lms;
+    std::vector<J> lms;
     lms.reserve(n1);
     for (int64_t i = 1; i < n; i++)
-        if (is_lms(i)) lms.push_back(i);
+        if (is_lms(i)) lms.push_back((J)i);
     for (int64_t i = 0; i < n1; i++) SA1[i] = lms[SA1[i]];
 
-    std::fill(SA + n1, SA + n, -1);
+    std::fill(SA + n1, SA + n, (J)-1);
     get_buckets(T, n, K, bkt.data(), true);
     for (int64_t i = n1 - 1; i >= 0; i--) {
-        int64_t j = SA[i];
-        SA[i] = -1;
+        J j = SA[i];
+        SA[i] = (J)-1;
         SA[--bkt[T[j]]] = j;
     }
     induce_sal(T, SA, n, K, bkt.data(), t);
@@ -150,7 +152,12 @@ static void sais_core(const I *T, int64_t *SA, int64_t n, int64_t K) {
 
 // Suffix array of uint8 text (alphabet [0,K)), result int64.
 extern "C" void sais_u8(const uint8_t *T, int64_t *SA, int64_t n, int64_t K) {
-    sais_core<uint8_t>(T, SA, n, K);
+    sais_core<uint8_t, int64_t>(T, SA, n, K);
+}
+
+// int32 variant: half the index-array bandwidth for n < 2^31
+extern "C" void sais_u8_i32(const uint8_t *T, int32_t *SA, int64_t n, int64_t K) {
+    sais_core<uint8_t, int32_t>(T, SA, n, K);
 }
 
 // ---------------------------------------------------------------------------

@@ -59,3 +59,27 @@ def test_oversized_contig_rejected():
     with pytest.raises(ValueError):
         build_index_sharded({"big": np.zeros(1000, np.uint8)},
                             max_shard_bases=500)
+
+
+def test_build_and_save_sharded_parallel(tmp_path):
+    """Parallel per-shard builds produce byte-identical artifacts to the
+    serial in-memory path."""
+    import numpy as np
+
+    from ema_tpu.index import (ShardedIndex, build_and_save_sharded,
+                               build_index_sharded)
+
+    rng = np.random.default_rng(8)
+    contigs = {f"c{i}": rng.integers(0, 4, 40_000).astype(np.uint8)
+               for i in range(4)}
+    serial = build_index_sharded(contigs, max_shard_bases=70_000)
+    out = build_and_save_sharded(contigs, str(tmp_path / "idx.d"),
+                                 max_shard_bases=70_000, n_workers=2)
+    assert out.n_shards == serial.n_shards > 1
+    reloaded = ShardedIndex.load(str(tmp_path / "idx.d"))
+    for a, b in zip(serial.shards, reloaded.shards):
+        assert a.names == b.names
+        np.testing.assert_array_equal(a.occ_blocks, b.occ_blocks)
+        np.testing.assert_array_equal(a.sa_values, b.sa_values)
+        np.testing.assert_array_equal(a.text, b.text)
+        assert a.primary == b.primary
