@@ -114,6 +114,34 @@ def sweep_group(records: np.ndarray, idents: np.ndarray,
     R = records[order]
     RI = idents[order]
 
+    # --- vectorized fast path (no same-cloud collisions) -----------------
+    # Cloud boundaries, entry numbering, candidate placement and the
+    # entry-cloud union edges are all array ops; only groups where some
+    # read appears twice in one cloud (a "bad" cloud, align.c:369-404)
+    # take the per-record loop below, which replicates the reference's
+    # drop + name-sorted re-add protocol exactly.
+    fast = None if n == 0 else _sweep_fast(R, profile)
+    if fast is not None:
+        (entry_keys_arr, cand_rec, cand_cloud, cmask, mate_entry, comp,
+         n_entries, n_clouds) = fast
+        cloud_bad = [0] * n_clouds
+        scores = np.where(cmask, R["score"][cand_rec], 0.0)
+        gammas = normalize_log_probs_batch(scores, cmask)
+        exp_cov = np.zeros(n_clouds, np.float64)
+        np.add.at(exp_cov, cand_cloud[cmask], gammas[cmask])
+        weights = exp_cov.copy()
+        if not many and n_clouds:
+            weights = _normalize_chains(weights, comp)
+        n_pairs = (n_pairs_in_group if n_pairs_in_group is not None
+                   else np.unique(R["pair"]).shape[0])
+        needs_em = n_pairs >= config.MIN_PAIRS_FOR_EM and n_entries > 0
+        return GroupState(
+            R=R, RI=RI, order=order, n=n, n_entries=n_entries,
+            n_clouds=n_clouds, cand_rec=cand_rec, cand_cloud=cand_cloud,
+            cmask=cmask, mate_entry=mate_entry, comp=comp,
+            cloud_bad=cloud_bad, many=many, gammas=gammas,
+            weights=weights, needs_em=needs_em)
+
     # --- cloud sweep with collision handling -----------------------------
     # entry key: (pair, mate).  Candidates are (sorted-record-index, cloud).
     entries: dict = {}
@@ -223,6 +251,80 @@ def sweep_group(records: np.ndarray, idents: np.ndarray,
         n_clouds=n_clouds, cand_rec=cand_rec, cand_cloud=cand_cloud,
         cmask=cmask, mate_entry=mate_entry, comp=comp, cloud_bad=cloud_bad,
         many=many, gammas=gammas, weights=weights, needs_em=needs_em)
+
+
+def _sweep_fast(R: np.ndarray, profile: config.PlatformProfile):
+    """Vectorized cloud sweep for collision-free groups; None on collision.
+
+    Produces exactly what the per-record loop produces when no read
+    appears twice in one cloud: same entry insertion order (first
+    occurrence in sweep order), same candidate order within entries,
+    same MAX_CANDIDATES capping, and the same entry-cloud union
+    components (transition edges instead of last-vs-new unions connect
+    the identical partition).
+    """
+    n = R.shape[0]
+    chrom = R["chrom"]
+    pos = R["pos"]
+    new_cloud = np.ones(n, bool)
+    new_cloud[1:] = ((chrom[1:] != chrom[:-1])
+                     | (pos[1:] - pos[:-1] > profile.dist_thresh))
+    cloud_ids = np.cumsum(new_cloud) - 1
+    n_clouds = int(cloud_ids[-1]) + 1
+
+    keys = R["pair"].astype(np.int64) * 2 + R["mate"]
+    uniq, first_idx, inv = np.unique(keys, return_index=True,
+                                     return_inverse=True)
+    E = uniq.shape[0]
+    rank = np.empty(E, np.int64)
+    rank[np.argsort(first_idx, kind="stable")] = np.arange(E)
+    eid = rank[inv]
+
+    # same-cloud duplicate for an entry = the loop path's collision
+    ec = np.sort(eid * np.int64(n_clouds) + cloud_ids)
+    if n > 1 and (ec[1:] == ec[:-1]).any():
+        return None
+
+    order_c = np.lexsort((np.arange(n), eid))   # stable: sweep order kept
+    eid_s = eid[order_c]
+    cl_s = cloud_ids[order_c]
+    firstc = np.ones(n, bool)
+    firstc[1:] = eid_s[1:] != eid_s[:-1]
+    idxs = np.arange(n)
+    pos_in = idxs - np.maximum.accumulate(np.where(firstc, idxs, 0))
+    keep = pos_in < config.MAX_CANDIDATES
+
+    C = int(pos_in[keep].max()) + 1 if n else 1
+    cand_rec = np.zeros((E, C), np.int64)
+    cand_cloud = np.zeros((E, C), np.int64)
+    cmask = np.zeros((E, C), bool)
+    cand_rec[eid_s[keep], pos_in[keep]] = order_c[keep]
+    cand_cloud[eid_s[keep], pos_in[keep]] = cl_s[keep]
+    cmask[eid_s[keep], pos_in[keep]] = True
+
+    # mate links: entry of (pair, 1 - mate)
+    key_of = np.empty(E, np.int64)
+    key_of[rank] = uniq
+    other = key_of ^ 1
+    loc = np.clip(np.searchsorted(uniq, other), 0, E - 1)
+    found = uniq[loc] == other
+    mate_entry = np.where(found, rank[loc], -1).astype(np.int64)
+
+    comp = np.arange(n_clouds, dtype=np.int64)
+    if not profile.many_clouds:
+        tr = np.zeros(n, bool)
+        tr[1:] = (~firstc[1:]) & (cl_s[1:] != cl_s[:-1])
+        if tr.any():
+            uf = _UnionFind()
+            at = np.nonzero(tr)[0]
+            for a, b in zip(cl_s[at - 1], cl_s[at]):
+                uf.union(int(a), int(b))
+            comp = np.array([uf.find(c) for c in range(n_clouds)],
+                            np.int64)
+
+    entry_keys_arr = key_of
+    return (entry_keys_arr, cand_rec, cand_cloud, cmask, mate_entry, comp,
+            E, n_clouds)
 
 
 def _em_fields(st: GroupState):

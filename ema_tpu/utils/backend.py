@@ -15,8 +15,19 @@ import time
 
 
 def ensure_backend(retries: int = 3, delay_s: float = 3.0):
-    """Return jax.devices(), retrying init and falling back to CPU."""
+    """Return jax.devices(), retrying init and falling back to CPU.
+
+    ``EMA_TPU_PLATFORM=cpu`` (or any platform name) pins the backend via
+    jax.config — needed because the attached-TPU plugin ignores the
+    JAX_PLATFORMS environment variable.
+    """
+    import os
+
     import jax
+
+    plat = os.environ.get("EMA_TPU_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
 
     last = None
     for i in range(retries):

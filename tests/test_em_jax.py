@@ -178,3 +178,48 @@ def test_deep_candidate_group_em_bounded_memory():
     for i in deep_best:
         assert R["pos"][i] < 10_000       # the in-cloud copy wins
         assert res.gamma[i] > 0.9
+
+
+@pytest.mark.parametrize("platform", ["10x", "tru"])
+def test_sweep_fast_path_matches_loop(monkeypatch, platform):
+    """The vectorized collision-free sweep == the per-record loop."""
+    rng = np.random.default_rng(19)
+    profile = config.get_platform_profile(platform)
+    recs, idents, _ = _synthetic_group(rng, n_pairs=60, profile=profile)
+    st_fast = groups.sweep_group(recs.copy(), idents, profile)
+    monkeypatch.setattr(groups, "_sweep_fast", lambda R, p: None)
+    st_loop = groups.sweep_group(recs.copy(), idents, profile)
+    assert st_fast.n_entries == st_loop.n_entries
+    assert st_fast.n_clouds == st_loop.n_clouds
+    np.testing.assert_array_equal(st_fast.cand_rec, st_loop.cand_rec)
+    np.testing.assert_array_equal(st_fast.cand_cloud, st_loop.cand_cloud)
+    np.testing.assert_array_equal(st_fast.cmask, st_loop.cmask)
+    np.testing.assert_array_equal(st_fast.mate_entry, st_loop.mate_entry)
+    np.testing.assert_array_equal(st_fast.gammas, st_loop.gammas)
+    np.testing.assert_array_equal(st_fast.weights, st_loop.weights)
+    # components may be labeled by different roots but must partition
+    # the clouds identically
+    def canon(comp):
+        _, inv = np.unique(comp, return_inverse=True)
+        return inv
+    np.testing.assert_array_equal(canon(st_fast.comp), canon(st_loop.comp))
+
+
+def test_sweep_collision_falls_back():
+    """A same-cloud duplicate (bad cloud) must take the loop path and
+    mark the cloud bad."""
+    rows = [(0, 0, 0, 1000, 0, -1.0), (0, 1, 0, 1300, 1, -1.0),
+            (1, 0, 0, 1500, 0, -1.0), (1, 0, 0, 1800, 0, -1.5)]
+    recs = empty_records(len(rows))
+    idents = []
+    for i, (p, mate, chrom, pos, rev, score) in enumerate(rows):
+        recs["pair"][i] = p
+        recs["mate"][i] = mate
+        recs["chrom"][i] = chrom
+        recs["pos"][i] = pos
+        recs["rev"][i] = rev
+        recs["score"][i] = score
+        idents.append(f"r{p}")
+    st = groups.sweep_group(recs, np.array(idents, dtype=object),
+                            config.get_platform_profile("10x"))
+    assert st.cloud_bad[0] == 1
