@@ -68,6 +68,94 @@ def _load_or_build_index(ref: str):
     return idx
 
 
+def _run_coalesced_buckets(aligner, inputs, ns_of, part_path, man, sort,
+                           chrom_names, is_hap, bc_len, met, batch_size,
+                           do_bucket) -> None:
+    """-x: batch many small bucket files per device call.
+
+    Barcode buckets are often tiny (hundreds of pairs each with -n 500,
+    reference main.c:141); aligning them one device batch per bucket
+    pays fixed dispatch latency ~500 times.  Coalescing reads whole
+    buckets until ~4 device chunks of pairs accumulate, aligns them as
+    ONE bc-sorted batch, and routes each barcode group's SAM lines back
+    to its bucket's part file.  Per-bucket MI namespaces and manifest
+    resume are preserved: a bucket's groups are always whole and visited
+    in bc order, so its cloud-id sequence is independent of which other
+    buckets share the batch.  Buckets sharing a barcode (never true for
+    preproc output, which partitions barcodes) fall back to the
+    per-bucket path to keep the reference's separate-group semantics.
+    """
+    import time
+
+    from ema_tpu import io as io_mod
+    from ema_tpu.core.pipeline import ReadBatch
+    from ema_tpu.parallel.distrib import sort_sam_lines
+
+    todo = [p for p in inputs
+            if not (man is not None and man.is_done(p)
+                    and os.path.exists(part_path(p)))]
+    target = 4 * max(batch_size, 1)
+    i = 0
+    while i < len(todo):
+        t0 = time.time()
+        group = []
+        pairs_n = 0
+        while i < len(todo) and (not group or pairs_n < target):
+            rows = io_mod.read_special_rows(todo[i], is_hap, bc_len)
+            group.append((todo[i], rows))
+            pairs_n += len(rows[0])
+            i += 1
+
+        bc2bucket = {}
+        conflict = False
+        for p, rows in group:
+            for b in set(rows[1]):
+                if bc2bucket.setdefault(b, p) != p:
+                    conflict = True
+        if conflict:
+            for p, _ in group:
+                do_bucket(p)
+            continue
+
+        ids, bcs, s1, q1, s2, q2 = [], [], [], [], [], []
+        for p, rows in group:
+            ids += rows[0]
+            bcs += rows[1]
+            s1 += rows[2]
+            q1 += rows[3]
+            s2 += rows[4]
+            q2 += rows[5]
+        batch = ReadBatch.from_pairs(ids, bcs, s1, q1, s2, q2)
+
+        counters: dict = {}
+
+        def alloc(bc, n_clouds):
+            p = bc2bucket[bc]
+            base = (ns_of[p] << 22) + counters.get(p, 0)
+            counters[p] = counters.get(p, 0) + n_clouds
+            return base
+
+        buf = {p: [] for p, _ in group}
+
+        def sink(bc, glines):
+            buf[bc2bucket[bc]].extend(glines)
+
+        with met.stage("align", len(ids)):
+            for _ in aligner.iter_batch_sam(batch, alloc, sink):
+                pass
+        dt = time.time() - t0
+        for p, _ in group:
+            body = buf[p]
+            if sort:
+                body = sort_sam_lines(body, chrom_names)
+            pp = part_path(p)
+            with open(pp + ".tmp", "w") as fh:
+                fh.writelines(body)
+            os.replace(pp + ".tmp", pp)
+            if man is not None:
+                man.mark_done(p, pp, len(body), dt / len(group))
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:
@@ -175,7 +263,14 @@ def main(argv=None) -> int:
                         help="concurrent bucket files in -x mode (the "
                              "reference runs one OpenMP thread per input "
                              "file, main.c:396-406); one bucket's host "
-                             "group phase overlaps another's device time")
+                             "group phase overlaps another's device time. "
+                             "Applies with --no-coalesce (default -x mode "
+                             "batches many small buckets per device call)")
+        ap.add_argument("--no-coalesce", action="store_true",
+                        help="-x: process each bucket file in its own "
+                             "device batches instead of coalescing small "
+                             "buckets (coalescing keeps per-bucket "
+                             "outputs, MI namespaces and resume)")
         ap.add_argument("--shard", type=int, default=None,
                         help="this host's shard id (0-based)")
         ap.add_argument("--nshards", type=int, default=None,
@@ -333,9 +428,12 @@ def main(argv=None) -> int:
                 from concurrent.futures import ThreadPoolExecutor
                 man_lock = threading.Lock()
 
-                def do_bucket(p: str) -> str:
-                    part = os.path.join(
+                def part_path(p: str) -> str:
+                    return os.path.join(
                         parts_dir, os.path.basename(p) + ".sam")
+
+                def do_bucket(p: str) -> str:
+                    part = part_path(p)
                     with man_lock:
                         done = (man is not None and man.is_done(p)
                                 and os.path.exists(part))
@@ -351,12 +449,20 @@ def main(argv=None) -> int:
                             man.mark_done(p, part, n, time.time() - t0)
                     return part
 
-                jobs = max(1, min(a.jobs, len(inputs) or 1))
-                if jobs == 1:
-                    parts = [do_bucket(p) for p in inputs]
+                parts = [part_path(p) for p in inputs]
+                if a.no_coalesce or len(inputs) <= 1:
+                    jobs = max(1, min(a.jobs, len(inputs) or 1))
+                    if jobs == 1:
+                        for p in inputs:
+                            do_bucket(p)
+                    else:
+                        with ThreadPoolExecutor(max_workers=jobs) as bx:
+                            list(bx.map(do_bucket, inputs))
                 else:
-                    with ThreadPoolExecutor(max_workers=jobs) as bx:
-                        parts = list(bx.map(do_bucket, inputs))
+                    _run_coalesced_buckets(
+                        aligner, inputs, ns_of, part_path, man, a.sort,
+                        idx.names, is_hap, bc_len, met,
+                        cfg.batch_size, do_bucket)
                 out = open(a.out, "w") if a.out else sys.stdout
                 if a.sort:
                     # streaming k-way merge of the sorted parts (bounded

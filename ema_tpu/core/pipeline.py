@@ -54,6 +54,22 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pow2_rows(n: int, cap: int, lo: int = 256) -> int:
+    """Pad row counts to power-of-two buckets up to ``cap``.
+
+    Small inputs (tiny -x buckets of a few hundred pairs) would otherwise
+    pad straight to the full device-chunk shape and waste most of the
+    seeding scan; pow2 buckets give at most ~6 compile shapes, reused
+    across buckets, with <2x padding waste.
+    """
+    p = lo
+    while p < n and p < cap:
+        p *= 2
+    if n <= p:
+        return p
+    return _round_up(n, ROW_BUCKET)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "w_max", "match", "mismatch", "gap_open", "gap_extend", "clip",
     "use_pallas"))
@@ -242,11 +258,10 @@ class Aligner:
             nsd = sm[4]
         else:
             # greedy maximal-suffix chop as a batched device scan.  Rows
-            # pad to the full device-chunk shape so XLA compiles the
-            # seeding program exactly once (tail chunks reuse it).
-            full = 2 * self.cfg.batch_size
-            rows_pad = (full if n_reads <= full
-                        else _round_up(n_reads, ROW_BUCKET))
+            # pad to pow2 buckets capped at the device-chunk shape, so
+            # XLA compiles a handful of seeding programs and tiny -x
+            # buckets don't pay for the full chunk.
+            rows_pad = _pow2_rows(n_reads, 2 * self.cfg.batch_size)
             spad = np.full((rows_pad, L), 4, np.uint8)
             spad[:n_reads] = codes
             slpad = np.zeros(rows_pad, np.int32)
@@ -260,8 +275,7 @@ class Aligner:
 
         # oriented rows for the SW scorer (windows are forward-text only)
         n_rows = oriented.shape[0]
-        full2 = 4 * self.cfg.batch_size
-        rows_pad2 = full2 if n_rows <= full2 else _round_up(n_rows, ROW_BUCKET)
+        rows_pad2 = _pow2_rows(n_rows, 4 * self.cfg.batch_size)
         opad = np.full((rows_pad2, L), 4, np.uint8)
         opad[:n_rows] = oriented
         lpad = np.zeros(rows_pad2, np.int32)
@@ -607,8 +621,8 @@ class Aligner:
         return out
 
     def iter_batch_sam(self, batch: ReadBatch,
-                       cloud_id_base: Optional[int] = None
-                       ) -> Iterator[List[str]]:
+                       cloud_id_base=None,
+                       group_sink=None) -> Iterator[List[str]]:
         """Full pipeline for one ReadBatch whose barcodes are complete.
 
         Candidate generation runs in device-sized chunks
@@ -621,8 +635,13 @@ class Aligner:
 
         ``cloud_id_base``: start of a private MI (cloud id) namespace for
         this call — used by -x so each bucket's ids are deterministic
-        regardless of bucket concurrency/resume order; None draws from the
-        aligner-wide counter.
+        regardless of bucket concurrency/resume order; a callable
+        ``(bc, n_clouds) -> base`` allocates per-group (bucket-coalesced
+        -x); None draws from the aligner-wide counter.
+
+        ``group_sink``: optional ``(bc, lines)`` callback; when given,
+        each barcode group's lines go to the sink instead of being
+        yielded (the coalesced -x path routes them to per-bucket parts).
         """
         P = len(batch.ids)
         B = max(self.cfg.batch_size, 1)
@@ -652,7 +671,8 @@ class Aligner:
             pair_bc[int(b)] = pair_bc.get(int(b), 0) + 1
 
         lines: List[str] = []
-        local_cloud_id = (None if cloud_id_base is None
+        alloc_base = cloud_id_base if callable(cloud_id_base) else None
+        local_cloud_id = (None if cloud_id_base is None or alloc_base
                           else [int(cloud_id_base)])
         rng = np.random.default_rng(self.cfg.seed)
         chunk_starts = list(range(0, P, B))
@@ -702,7 +722,10 @@ class Aligner:
                 # reserve a cloud-id range atomically: unlike the
                 # reference's racy static cloud_id++ (align.c:19-23),
                 # concurrent buckets here never produce duplicate MI ids
-                if local_cloud_id is not None:
+                g_bc = int(st.R["bc"][0]) if st.n else 0
+                if alloc_base is not None:
+                    base = alloc_base(g_bc, st.n_clouds)
+                elif local_cloud_id is not None:
                     base = local_cloud_id[0]
                     local_cloud_id[0] += st.n_clouds
                 else:
@@ -710,7 +733,11 @@ class Aligner:
                         base = self._cloud_id
                         self._cloud_id += st.n_clouds
                 res = groups_mod.finish_group(st, base)
-                lines.extend(self._emit_group(batch, res, pool))
+                glines = self._emit_group(batch, res, pool)
+                if group_sink is not None:
+                    group_sink(g_bc, glines)
+                else:
+                    lines.extend(glines)
             return end
 
         from collections import deque

@@ -28,9 +28,10 @@ def _open_text(path: str):
     return open(path, "r")
 
 
-def read_special_fastq(path: str, is_haplotag: bool = False,
-                       bc_len: int = 16) -> ReadBatch:
-    """Read a bucket file into one barcode-sorted ReadBatch."""
+def read_special_rows(path: str, is_haplotag: bool = False,
+                      bc_len: int = 16):
+    """Read a bucket file into barcode-sorted parallel lists
+    (ids, bcs, s1, q1, s2, q2)."""
     rows: List[Tuple[str, ...]] = []
     with _open_text(path) as f:
         for line in f:
@@ -49,7 +50,13 @@ def read_special_fastq(path: str, is_haplotag: bool = False,
         q1.append(r1q)
         s2.append(r2)
         q2.append(r2q)
-    return ReadBatch.from_pairs(ids, bcs, s1, q1, s2, q2)
+    return ids, bcs, s1, q1, s2, q2
+
+
+def read_special_fastq(path: str, is_haplotag: bool = False,
+                       bc_len: int = 16) -> ReadBatch:
+    """Read a bucket file into one barcode-sorted ReadBatch."""
+    return ReadBatch.from_pairs(*read_special_rows(path, is_haplotag, bc_len))
 
 
 def _read_fastq_records(path: str):

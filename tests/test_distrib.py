@@ -209,18 +209,21 @@ def test_concurrent_buckets_equal_serial(tmp_path):
 
     serial = str(tmp_path / "serial.sam")
     conc = str(tmp_path / "conc.sam")
-    assert cli.main(["align", "-r", str(fa), "-x", "-j", "1",
-                     "-o", serial] + buckets) == 0
-    assert cli.main(["align", "-r", str(fa), "-x", "-j", "2",
-                     "-o", conc] + buckets) == 0
+    coal = str(tmp_path / "coal.sam")
+    assert cli.main(["align", "-r", str(fa), "-x", "--no-coalesce",
+                     "-j", "1", "-o", serial] + buckets) == 0
+    assert cli.main(["align", "-r", str(fa), "-x", "--no-coalesce",
+                     "-j", "2", "-o", conc] + buckets) == 0
+    assert cli.main(["align", "-r", str(fa), "-x",
+                     "-o", coal] + buckets) == 0
 
     def body(p):
-        import re
-        return sorted(re.sub(r"\tMI:i:\d+", "\tMI:i:*", ln)
-                      for ln in open(p) if not ln.startswith("@"))
+        return sorted(ln for ln in open(p) if not ln.startswith("@"))
 
-    bs, bc2 = body(serial), body(conc)
-    assert bs == bc2 and len(bs) > 0
+    bs, bc2, bl = body(serial), body(conc), body(coal)
+    # per-bucket MI namespaces make all three byte-identical, including
+    # MI ids, regardless of concurrency or coalescing
+    assert bs == bc2 == bl and len(bs) > 0
     # MI ids must be unique per cloud even under concurrency: no two
     # different barcodes may share a cloud id
     seen = {}
