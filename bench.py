@@ -42,7 +42,25 @@ def main() -> None:
     from ema_tpu import config
     from ema_tpu.core.pipeline import Aligner, ReadBatch
     from ema_tpu.index import build_index
+    from ema_tpu.utils.backend import ensure_backend
 
+    # probe the device with a real roundtrip under a deadline IN A
+    # SUBPROCESS: the attached-TPU tunnel can wedge (accepts the
+    # connection but never completes a transfer), which would hang the
+    # benchmark forever.  On probe failure, pin this process to CPU
+    # *before* its own backend initializes and still report a number.
+    import subprocess
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp, numpy as np; "
+             "np.asarray(jnp.arange(8) + 1)"],
+            timeout=180, check=True, capture_output=True)
+    except Exception as e:
+        log(f"device probe failed ({type(e).__name__}); "
+            "falling back to CPU")
+        jax.config.update("jax_platforms", "cpu")
+    ensure_backend()
     log(f"devices: {jax.devices()}")
     rng = np.random.default_rng(2026)
     t0 = time.time()
