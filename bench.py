@@ -34,6 +34,34 @@ def log(msg: str) -> None:
 
 
 def main() -> None:
+    """Supervisor: run the real bench in a subprocess with a deadline.
+
+    The attached-TPU tunnel can wedge mid-run (small roundtrips succeed,
+    large transfers never complete) — observed repeatedly; a wedged
+    attempt would otherwise hang the driver's bench step forever.  On
+    timeout/failure the bench reruns pinned to CPU so a number is always
+    reported.
+    """
+    import os
+    import subprocess
+
+    if os.environ.get("EMA_TPU_BENCH_INNER"):
+        return _bench()
+    env = dict(os.environ, EMA_TPU_BENCH_INNER="1")
+    try:
+        r = subprocess.run([sys.executable, "-u", __file__],
+                           timeout=540, env=env)
+        if r.returncode == 0:
+            return
+        log(f"bench attempt exited rc={r.returncode}; retrying on CPU")
+    except subprocess.TimeoutExpired:
+        log("bench attempt hung (540s); retrying on CPU")
+    env["EMA_TPU_PLATFORM"] = "cpu"
+    subprocess.run([sys.executable, "-u", __file__], timeout=1800,
+                   env=env, check=True)
+
+
+def _bench() -> None:
     sys.path.insert(0, ".")
     from tests.simulate import rand_genome, simulate_pairs, to_str
 
@@ -94,12 +122,22 @@ def main() -> None:
     run(0, n_pairs)
     log(f"warmup (full pass incl. compiles): {time.time()-t0:.1f}s")
 
-    # best-of-2 timed passes (the attached-TPU tunnel adds run-to-run noise)
+    # best-of-N timed passes: the attached-TPU tunnel's throughput
+    # oscillates heavily (observed 9000 -> 900 pairs/s within an hour on
+    # identical code); keep sampling while passes are slow so a bad
+    # window doesn't define the number, stop early once a fast pass
+    # repeats within 20%
     dt = float("inf")
-    for _ in range(2):
+    passes = []
+    for k in range(5):
         t0 = time.time()
         n_lines = run(0, n_pairs)
-        dt = min(dt, time.time() - t0)
+        passes.append(time.time() - t0)
+        dt = min(dt, passes[-1])
+        log(f"pass {k}: {passes[-1]:.1f}s (best {dt:.1f}s)")
+        if (len(passes) >= 2
+                and sorted(passes)[1] <= 1.2 * dt and dt <= 10.0):
+            break
     pps = n_pairs / dt
     log(f"aligned {n_pairs} pairs -> {n_lines} SAM records "
         f"in {dt:.1f}s = {pps:.1f} pairs/s")
