@@ -68,9 +68,9 @@ def _load_or_build_index(ref: str):
     return idx
 
 
-def _run_coalesced_buckets(aligner, inputs, ns_of, part_path, man, sort,
-                           chrom_names, is_hap, bc_len, met, batch_size,
-                           do_bucket) -> None:
+def _run_coalesced_buckets(aligner, inputs, ns_of, mi_shift, part_path,
+                           man, sort, chrom_names, is_hap, bc_len, met,
+                           batch_size, do_bucket) -> None:
     """-x: batch many small bucket files per device call.
 
     Barcode buckets are often tiny (hundreds of pairs each with -n 500,
@@ -131,7 +131,7 @@ def _run_coalesced_buckets(aligner, inputs, ns_of, part_path, man, sort,
 
         def alloc(bc, n_clouds):
             p = bc2bucket[bc]
-            base = (ns_of[p] << 22) + counters.get(p, 0)
+            base = (ns_of[p] << mi_shift) + counters.get(p, 0)
             counters[p] = counters.get(p, 0) + n_clouds
             return base
 
@@ -414,9 +414,13 @@ def main(argv=None) -> int:
                 inputs = list(a.inputs)
                 # deterministic per-bucket MI namespaces, keyed by the
                 # bucket's position in the *full* input list so ids stay
-                # unique across host shards and byte-identical on resume
-                # (2^22 clouds per bucket keeps MI within SAM's int32)
+                # unique across host shards and byte-identical on resume.
+                # The namespace width adapts to the bucket count so the
+                # largest base still fits SAM's int32 'i' tag range
+                # (500 buckets -> 2^22 clouds each; 1000 -> 2^21).
                 ns_of = {p: i for i, p in enumerate(inputs)}
+                mi_shift = max(31 - max(len(inputs) - 1, 1).bit_length(),
+                               10)
                 if a.nshards:
                     inputs = buckets_for_host(
                         inputs, a.shard or 0, a.nshards)
@@ -442,7 +446,7 @@ def main(argv=None) -> int:
                     t0 = time.time()
                     with open(part + ".tmp", "w") as fh:
                         n = align_one_input(("special", p), fh,
-                                            cloud_base=ns_of[p] << 22)
+                                            cloud_base=ns_of[p] << mi_shift)
                     os.replace(part + ".tmp", part)
                     if man is not None:
                         with man_lock:
@@ -460,8 +464,8 @@ def main(argv=None) -> int:
                             list(bx.map(do_bucket, inputs))
                 else:
                     _run_coalesced_buckets(
-                        aligner, inputs, ns_of, part_path, man, a.sort,
-                        idx.names, is_hap, bc_len, met,
+                        aligner, inputs, ns_of, mi_shift, part_path, man,
+                        a.sort, idx.names, is_hap, bc_len, met,
                         cfg.batch_size, do_bucket)
                 out = open(a.out, "w") if a.out else sys.stdout
                 if a.sort:

@@ -48,6 +48,7 @@ ROW_BUCKET = 256         # oriented-read rows (seeding)
 CAND_BUCKET = 512        # candidate pairs (SW scoring)
 WIN_BUCKET = 64          # SW ref-window width
 SW_CHUNK = 16 * 4096     # max candidate pairs per SW device call
+TB_CHUNK = 16 * 4096     # max candidates per host traceback slab
 
 
 def _round_up(x: int, m: int) -> int:
@@ -488,21 +489,29 @@ class Aligner:
         ok = (sw["score"] > 0) & (clip < L_arr[ord1] // 2)
         # pre-traceback survivors: a *score*-window bound on the later
         # edit-distance window (align.c:1020-1024) instead of a fixed
-        # per-read rank cap — every extra edit-distance unit costs at
-        # most (match+mismatch) SW score vs the leader, so anything
+        # per-read rank cap.  One extra edit-distance unit costs at most
+        # max(match+mismatch, gap_open+gap_extend+match) SW score vs the
+        # leader (a scattered 1-bp indel is the worst case), so anything
         # below this margin cannot pass the EXTRA_SEARCH_DEPTH filter;
-        # the per-orientation leader only widens the window (safe).
+        # the per-orientation leader only widens the window (safe).  The
+        # leader is the best *surviving* candidate (a clip-dropped top
+        # scorer must not tighten the cutoff).
         # MAX_CANDIDATES (samdict.h:9) stays as the hard valve.
+        n_rows_o = oriented.shape[0]
+        lead_score = np.full(n_rows_o, np.iinfo(np.int32).min, np.int64)
+        np.maximum.at(lead_score, co[ok], sw["score"][ok].astype(np.int64))
+        per_edit = max(params.match + params.mismatch,
+                       params.gap_open + params.gap_extend + params.match)
+        margin = (config.EXTRA_SEARCH_DEPTH * per_edit
+                  + 2 * params.gap_open + 2 * params.clip_penalty)
+        ok &= sw["score"] >= lead_score[co] - margin
+        # rank among surviving candidates per read (array is score-sorted)
         first = np.ones(co.shape[0], bool)
         first[1:] = co[1:] != co[:-1]
-        idx_all = np.arange(co.shape[0])
-        lead_idx = np.maximum.accumulate(np.where(first, idx_all, 0))
-        rank = idx_all - lead_idx
-        margin = (config.EXTRA_SEARCH_DEPTH
-                  * (params.match + params.mismatch)
-                  + 2 * params.gap_open + 2 * params.clip_penalty)
-        ok &= sw["score"] >= sw["score"][lead_idx] - margin
-        ok &= rank < config.MAX_CANDIDATES
+        c_ok = np.cumsum(ok.astype(np.int64))
+        seg_base = np.maximum.accumulate(
+            np.where(first, c_ok - ok.astype(np.int64), 0))
+        ok &= (c_ok - 1 - seg_base) < config.MAX_CANDIDATES
         co, win_lo, win_len = co[ok], win_lo[ok], win_len[ok]
         seedcov, weight, clip = seedcov[ok], weight[ok], clip[ok]
         sw = {k: v[ok] for k, v in sw.items()}
@@ -511,10 +520,30 @@ class Aligner:
             return _empty_candidate_set()
 
         # --- traceback for survivors: gapless shortcut + C++ DP ---------
-        Wmax = int(win_len.max())
-        wins = idx.text[np.minimum(
-            win_lo[:, None] + np.arange(Wmax)[None, :], idx.n - 1)]
-        nat = _traceback(oriented[co], olens[co], wins, win_len, sw, params)
+        # chunked: deep-repeat batches can keep ~10^6 near-tie survivors,
+        # and the [N, Wmax] window gather would otherwise spike host RSS
+        # by gigabytes (the SW/locate device calls are chunked for the
+        # same reason)
+        N_tb = co.shape[0]
+        if N_tb > TB_CHUNK:
+            nat_parts = []
+            for s in range(0, N_tb, TB_CHUNK):
+                e = min(s + TB_CHUNK, N_tb)
+                Wc = int(win_len[s:e].max())
+                wins_c = idx.text[np.minimum(
+                    win_lo[s:e, None] + np.arange(Wc)[None, :], idx.n - 1)]
+                nat_parts.append(_traceback(
+                    oriented[co[s:e]], olens[co[s:e]], wins_c,
+                    win_len[s:e], {k: v[s:e] for k, v in sw.items()},
+                    params))
+            nat = {k: np.concatenate([p[k] for p in nat_parts])
+                   for k in nat_parts[0]}
+        else:
+            Wmax = int(win_len.max())
+            wins = idx.text[np.minimum(
+                win_lo[:, None] + np.arange(Wmax)[None, :], idx.n - 1)]
+            nat = _traceback(oriented[co], olens[co], wins, win_len, sw,
+                             params)
 
         gpos = win_lo + nat["pos"]
         nm = nat["nm"].astype(np.int32)
@@ -1132,9 +1161,7 @@ def locate_rows_bucketed(fma, rows: np.ndarray, put=jnp.asarray) -> np.ndarray:
     if H == 0:
         return np.zeros(0, np.int64)
     if H <= LOCATE_CHUNK:
-        Hp = HIT_BUCKET
-        while Hp < H:
-            Hp *= 2
+        Hp = _pow2_rows(H, LOCATE_CHUNK, lo=HIT_BUCKET)
         rp = np.zeros(Hp, np.int32)
         rp[:H] = rows
         return np.asarray(fmindex.locate(fma, put(rp)))[:H].astype(np.int64)

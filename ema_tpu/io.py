@@ -146,6 +146,8 @@ def iter_fastq_pair_groups(fq1_path: str, fq2_path: str | None,
         pair_it = pairs2()
 
     cur_bc = None
+    seen: set = set()
+    warned = False
     ids: List[str] = []
     bcs: List[int] = []
     s1: List[str] = []
@@ -162,6 +164,18 @@ def iter_fastq_pair_groups(fq1_path: str, fq2_path: str | None,
         if cur_bc is not None and bc != cur_bc and ids:
             yield ids, bcs, s1, q1, s2, q2
             ids, bcs, s1, q1, s2, q2 = [], [], [], [], [], []
+            seen.add(cur_bc)
+            if not warned and bc in seen:
+                # the reference requires barcode-sorted FASTQs too
+                # (README.md:73) and would silently fragment the group
+                # the same way; at least say so
+                import sys
+                sys.stderr.write(
+                    "ema_tpu: WARNING: input FASTQ is not barcode-"
+                    "grouped (barcode seen again after a gap); cloud "
+                    "EM runs per contiguous run — sort the FASTQ by "
+                    "barcode for correct linked-read output\n")
+                warned = True
         cur_bc = bc
         ids.append(ident)
         bcs.append(bc)

@@ -258,22 +258,31 @@ def correct(whitelist_path: str, input_prefixes: List[str], output_dir: str,
         out_bc, out_type = corrector.correct_block(keys, counts)
         return keys, counts, out_bc, out_type
 
-    if n_threads > 1:
-        from concurrent.futures import ThreadPoolExecutor
-        ex = ThreadPoolExecutor(max_workers=n_threads)
-        results = ex.map(run_one, split_chunks(all_blocks()))
-    else:
-        ex = None
-        results = map(run_one, all_blocks())
-    for keys, counts, out_bc, out_type in results:
+    def merge(keys, counts, out_bc, out_type):
         ok = out_bc != 0
         idx, found = corrector._lookup(out_bc[ok].astype(np.uint32))
         np.add.at(n_reads_per_bc, idx[found], counts[ok][found])
         changed = ok & ((out_type == 1) | (out_type == 2))
         for k, b in zip(keys[changed], out_bc[changed]):
             corrected[k.tobytes()] = int(b)
-    if ex is not None:
-        ex.shutdown()
+
+    if n_threads > 1:
+        # bounded submission window: Executor.map would consume the whole
+        # block iterator up front, holding every fcnt block in memory
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=n_threads) as ex:
+            futs = deque()
+            it = split_chunks(all_blocks())
+            for kc in it:
+                futs.append(ex.submit(run_one, kc))
+                if len(futs) >= 2 * n_threads:
+                    merge(*futs.popleft().result())
+            while futs:
+                merge(*futs.popleft().result())
+    else:
+        for kc in all_blocks():
+            merge(*run_one(kc))
 
     # 3. greedy bucket assignment (correct.cc:374-411)
     bucket_of = np.zeros(wl.shape[0], np.int64)

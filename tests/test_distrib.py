@@ -236,3 +236,13 @@ def test_concurrent_buckets_equal_serial(tmp_path):
             if "MI" in tags and "BX" in tags:
                 mi, bx = tags["MI"], tags["BX"]
                 assert seen.setdefault(mi, bx) == bx, (mi, bx)
+
+
+def test_mi_shift_fits_int32():
+    """MI namespace bases must fit SAM's int32 'i' tag for any bucket
+    count (the width adapts: 500 buckets -> 2^22 each, 1000 -> 2^21)."""
+    for n in (1, 2, 500, 512, 513, 1000, 4096):
+        shift = max(31 - max(n - 1, 1).bit_length(), 10)
+        assert (n - 1) << shift <= 2**31 - 1, (n, shift)
+        if n > 1:
+            assert (1 << shift) >= 2**10       # still a usable namespace
