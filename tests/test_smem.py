@@ -125,3 +125,31 @@ def test_smem_reseeding_splits_long_unique_mems():
     assert int(n1[0]) > int(n0[0])
     widths = (s_hi[0, :n1[0]] - s_lo[0, :n1[0]])
     assert widths.max() >= 20            # a seed hitting all the copies
+
+def test_pipeline_with_smem_seeding_matches_greedy():
+    """End-to-end: the smem seeder drives the same pipeline and places
+    reads identically to greedy on clean data."""
+    import dataclasses
+
+    from ema_tpu import config
+    from ema_tpu.core.pipeline import Aligner, ReadBatch
+    from tests.simulate import parse_sam_line, simulate_pairs
+
+    rng = np.random.default_rng(23)
+    g = rand_genome(rng, 120_000)
+    idx = build_index({"c1": g})
+    ids, bc_strs, bcs, s1, q1, s2, q2, truth = simulate_pairs(
+        rng, to_str(g), n_barcodes=4)
+    batch = ReadBatch.from_pairs(ids, bcs, s1, q1, s2, q2)
+    outs = {}
+    for mode in ("greedy", "smem"):
+        params = dataclasses.replace(config.DEFAULT_ALIGNER_PARAMS,
+                                     seeding=mode)
+        al = Aligner(idx, config.RunConfig(batch_size=64, aligner=params))
+        outs[mode] = {}
+        for ln in al.align_batch_to_sam(batch):
+            d = parse_sam_line(ln)
+            outs[mode][(d["qname"], d["flag"] & 0xC0)] = (
+                d["rname"], d["pos"], d["cigar"])
+    assert outs["greedy"] == outs["smem"]
+    assert len(outs["smem"]) >= 2 * len(ids) * 0.98
