@@ -342,7 +342,7 @@ def main(argv=None) -> int:
         from ema_tpu.utils.backend import ensure_backend
         from ema_tpu.utils.metrics import Metrics, device_trace
 
-        ensure_backend()
+        ensure_backend(probe=True)
         met = Metrics()
         with met.stage("index_load"):
             idx = _load_or_build_index(a.ref)

@@ -14,12 +14,20 @@ import sys
 import time
 
 
-def ensure_backend(retries: int = 3, delay_s: float = 3.0):
+def ensure_backend(retries: int = 3, delay_s: float = 3.0,
+                   probe: bool = False):
     """Return jax.devices(), retrying init and falling back to CPU.
 
     ``EMA_TPU_PLATFORM=cpu`` (or any platform name) pins the backend via
     jax.config — needed because the attached-TPU plugin ignores the
     JAX_PLATFORMS environment variable.
+
+    ``probe=True`` additionally runs a real device roundtrip in a
+    subprocess under a deadline before this process initializes its own
+    backend: an attached-TPU tunnel can wedge in a state where init
+    succeeds but the first transfer never completes, which would hang a
+    long align job at startup.  On probe failure the process pins CPU.
+    Disable with EMA_TPU_NO_PROBE=1.
     """
     import os
 
@@ -28,6 +36,21 @@ def ensure_backend(retries: int = 3, delay_s: float = 3.0):
     plat = os.environ.get("EMA_TPU_PLATFORM")
     if plat:
         jax.config.update("jax_platforms", plat)
+    elif (probe and not os.environ.get("EMA_TPU_NO_PROBE")
+            and not str(jax.config.jax_platforms or "").startswith("cpu")):
+        import subprocess
+        try:
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp, numpy as np; "
+                 "np.asarray(jnp.arange(8) + 1)"],
+                timeout=int(os.environ.get("EMA_TPU_PROBE_TIMEOUT", "180")),
+                check=True, capture_output=True)
+        except Exception as e:
+            sys.stderr.write(
+                f"ema_tpu: device probe failed ({type(e).__name__}); "
+                "pinning this run to CPU\n")
+            jax.config.update("jax_platforms", "cpu")
 
     last = None
     for i in range(retries):
