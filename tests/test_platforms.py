@@ -299,3 +299,22 @@ def test_align_interleaved_single_file(world):
     tb = {ids[i]: truth[i] for i in range(len(ids))}
     bc = {ids[i]: bc_strs[i] for i in range(len(ids))}
     _check_sam(out, tb, bc, lambda b: b + "-1")
+
+
+def test_align_pair_mode_dbs(world):
+    """dbs: 20bp barcodes from the trailing :<bc> of the read ID
+    (reference techs.c:18-29 extractor shared with 10x; profile
+    techs.c:106-112)."""
+    tmp, fa, ids, bc_strs, s1, q1, s2, q2, truth = world
+    rng = np.random.default_rng(41)
+    bases = "ACGT"
+    bc20 = {b: "".join(bases[int(c)] for c in rng.integers(0, 4, 20))
+            for b in set(bc_strs)}
+    rids = [f"{ids[i]}:{bc20[bc_strs[i]]}" for i in range(len(ids))]
+    f1, f2 = _write_pair_fastqs(tmp, "dbs", rids, s1, q1, s2, q2)
+    out = str(tmp / "dbs.sam")
+    assert cli.main(["align", "-r", str(fa), "-1", f1, "-2", f2,
+                     "-o", out, "-p", "dbs"]) == 0
+    tb = {ids[i]: truth[i] for i in range(len(ids))}
+    bc = {ids[i]: bc20[bc_strs[i]] for i in range(len(ids))}
+    _check_sam(out, tb, bc, lambda b: b + "-1")
