@@ -257,7 +257,7 @@ def main(argv=None) -> int:
         ap.add_argument("-d", dest="dens", action="store_true")
         ap.add_argument("-p", dest="platform", default="10x")
         ap.add_argument("-i", dest="bx_index", default="1")
-        ap.add_argument("-t", dest="threads", type=int, default=4,
+        ap.add_argument("-t", dest="threads", type=int, default=5,
                         help="in-flight device chunks (1 disables overlap)")
         ap.add_argument("-j", dest="jobs", type=int, default=2,
                         help="concurrent bucket files in -x mode (the "

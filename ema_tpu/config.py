@@ -170,10 +170,12 @@ class RunConfig:
     read_group: Optional[str] = "@RG\tID:rg1\tSM:sample1"
     bx_index: str = "1"
     seed: int = 0                       # RNG seed (reference -d uses time())
-    batch_size: int = 4096              # read pairs per device batch
-    inflight_chunks: int = 4            # device chunks in flight (CLI -t)
-                                        # (sweep: 4 hides device latency
-                                        # better than 3, +8% on the bench)
+    batch_size: int = 2048              # read pairs per device batch
+    inflight_chunks: int = 5            # device chunks in flight (CLI -t)
+                                        # (sweep at bench shapes: 2048/5 =
+                                        # 9310 pairs/s vs 4096/3 = 7717 —
+                                        # smaller chunks + deeper overlap
+                                        # hide device latency best)
     device_em: bool = False             # run EM iterations on device
     data_parallel_chips: bool = True    # shard device calls over all local
                                         # chips (auto-off with one device)
