@@ -71,6 +71,24 @@ def _pow2_rows(n: int, cap: int, lo: int = 256) -> int:
     return _round_up(n, ROW_BUCKET)
 
 
+@jax.jit
+def _orient_device(spad, slpad):
+    """[R, L] forward codes -> [2R, L] forward+revcomp rows on device.
+
+    The SW scorer needs both orientations; deriving the reverse
+    complement on device halves the host->device upload per chunk
+    (the read matrix is the largest transfer).
+    """
+    L = spad.shape[1]
+    pos = slpad[:, None] - 1 - jnp.arange(L, dtype=jnp.int32)[None, :]
+    valid = pos >= 0
+    src = jnp.take_along_axis(spad, jnp.maximum(pos, 0), axis=1)
+    rc = jnp.where(src < 4, 3 - jnp.minimum(src, 3), 4).astype(spad.dtype)
+    rc = jnp.where(valid, rc, jnp.asarray(4, spad.dtype))
+    return (jnp.concatenate([spad, rc], axis=0),
+            jnp.concatenate([slpad, slpad]))
+
+
 @functools.partial(jax.jit, static_argnames=(
     "w_max", "match", "mismatch", "gap_open", "gap_extend", "clip",
     "use_pallas"))
@@ -242,8 +260,22 @@ class Aligner:
         # --- seed ---------------------------------------------------------
         # both strands live in the FM text, so only the FORWARD read is
         # seeded (half the rows); reverse-strand hits land in the upper
-        # half of the FM coordinate space.  The oriented (fw+rc) arrays
-        # below exist for SW scoring against forward-text windows.
+        # half of the FM coordinate space.  The padded forward rows are
+        # uploaded ONCE; the reverse-complement rows the SW scorer needs
+        # are derived on device (_orient_device) instead of uploaded.
+        rows_pad = _pow2_rows(n_reads, 2 * self.cfg.batch_size)
+        spad = np.full((rows_pad, L), 4, np.uint8)
+        spad[:n_reads] = codes
+        slpad = np.zeros(rows_pad, np.int32)
+        slpad[:n_reads] = lens
+        spad_dev = self._shard_rows(spad)
+        slpad_dev = self._shard_rows(slpad)
+        # device rows for SW: [0, rows_pad) forward, [rows_pad, 2*rows_pad)
+        # revcomp — logical oriented read r maps to device row
+        # r if r < n_reads else rows_pad + (r - n_reads)
+        opad_dev, lpad_dev = _orient_device(spad_dev, slpad_dev)
+        row_map = (n_reads, rows_pad)
+
         if params.seeding == "smem":
             # full SMEM enumeration + re-seeding in threaded host C++
             # (bwt_smem1 semantics); overlaps with device SW of the
@@ -258,31 +290,14 @@ class Aligner:
             seed_stack = np.stack(sm[:4]).astype(np.int64)
             nsd = sm[4]
         else:
-            # greedy maximal-suffix chop as a batched device scan.  Rows
-            # pad to pow2 buckets capped at the device-chunk shape, so
-            # XLA compiles a handful of seeding programs and tiny -x
-            # buckets don't pay for the full chunk.
-            rows_pad = _pow2_rows(n_reads, 2 * self.cfg.batch_size)
-            spad = np.full((rows_pad, L), 4, np.uint8)
-            spad[:n_reads] = codes
-            slpad = np.zeros(rows_pad, np.int32)
-            slpad[:n_reads] = lens
+            # greedy maximal-suffix chop as a batched device scan over the
+            # already-uploaded forward rows
             s_lo, s_hi, s_qb, s_len, n_seeds = fmindex.seed_reads(
-                self.fma, self._shard_rows(spad), self._shard_rows(slpad),
+                self.fma, spad_dev, slpad_dev,
                 max_seeds=16, min_seed_len=params.seed_len)
             seed_stack = np.asarray(jnp.stack(
                 [s_lo, s_hi, s_qb, s_len]))[:, :n_reads].astype(np.int64)
             nsd = np.asarray(n_seeds)[:n_reads]
-
-        # oriented rows for the SW scorer (windows are forward-text only)
-        n_rows = oriented.shape[0]
-        rows_pad2 = _pow2_rows(n_rows, 4 * self.cfg.batch_size)
-        opad = np.full((rows_pad2, L), 4, np.uint8)
-        opad[:n_rows] = oriented
-        lpad = np.zeros(rows_pad2, np.int32)
-        lpad[:n_rows] = olens
-        opad_dev = self._shard_rows(opad)
-        lpad_dev = self._shard_rows(lpad)
 
         # --- host: compact seed hits; device: locate only real rows ------
         # (one small stacked transfer; most SA intervals hold 1-2 rows, so
@@ -331,13 +346,15 @@ class Aligner:
         weight = cands.weight
 
         # --- device: score all candidate windows -----------------------
-        sw = self._score_windows(opad_dev, lpad_dev, co, win_lo, win_len)
+        sw = self._score_windows(opad_dev, lpad_dev, co, win_lo, win_len,
+                                 row_map)
 
         # --- mate rescue ------------------------------------------------
         ro, rlo, rlen = self._rescue_windows(
             n_reads, olens, co, win_lo, sw["score"], params)
         if ro.shape[0]:
-            rsw = self._score_windows(opad_dev, lpad_dev, ro, rlo, rlen)
+            rsw = self._score_windows(opad_dev, lpad_dev, ro, rlo, rlen,
+                                      row_map)
             min_rescue = params.min_seed_len * params.match
             keep_r = rsw["score"] >= min_rescue
             co = np.concatenate([co, ro[keep_r]])
@@ -354,13 +371,15 @@ class Aligner:
             seedcov, weight, sw, params, frac_rep_read)
 
     def _score_windows(self, oriented_dev, olens_dev, owners, win_lo,
-                       win_len):
+                       win_len, row_map=None):
         """Score candidate (read, window) pairs.
 
         ``oriented_dev``/``olens_dev`` are the device-resident padded read
-        arrays from the seeding step; only the small per-candidate index
-        vectors cross the host->device boundary — reads and ref windows are
-        gathered on device (the genome lives in HBM, self.text_dev).
+        arrays (forward rows then device-derived revcomp rows); only the
+        small per-candidate index vectors cross the host->device boundary
+        — reads and ref windows are gathered on device (the genome lives
+        in HBM, self.text_dev).  ``row_map = (n_reads, rows_pad)`` maps
+        logical oriented-read ids to device rows.
         """
         N = owners.shape[0]
         if N == 0:
@@ -373,9 +392,14 @@ class Aligner:
         if N > SW_CHUNK:
             outs = [self._score_windows(
                         oriented_dev, olens_dev, owners[s:s + SW_CHUNK],
-                        win_lo[s:s + SW_CHUNK], win_len[s:s + SW_CHUNK])
+                        win_lo[s:s + SW_CHUNK], win_len[s:s + SW_CHUNK],
+                        row_map)
                     for s in range(0, N, SW_CHUNK)]
             return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+        if row_map is not None:
+            n_fw, rpad = row_map
+            owners = np.where(owners < n_fw, owners,
+                              owners - n_fw + rpad)
         # bucket both the batch and window axes to bound compile shapes
         Wmax = _round_up(int(win_len.max()), WIN_BUCKET)
         Npad = _round_up(N, CAND_BUCKET)
