@@ -3,9 +3,10 @@
 Stage layout (host <-> device choreography; compare the reference call
 stack in SURVEY.md §3.1):
 
-  1. encode + orient reads (host)            [read_fastq_* in the reference]
+  1. encode reads (host); revcomp rows derived on device
+                                             [read_fastq_* in the reference]
   2. seeding: FM backward search + locate    [mem_align1_core seeding, L0]
-     (device, batched over 4P oriented reads)
+     (device, batched over forward rows; or SMEM in threaded host C++)
   3. chaining (host, vectorized numpy)       [mem_chain]
   4. SW scoring of all candidate windows     [banded extension]
      (device, one batched wavefront)
