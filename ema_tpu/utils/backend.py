@@ -33,6 +33,22 @@ def ensure_backend(retries: int = 3, delay_s: float = 3.0,
 
     import jax
 
+    # persistent compilation cache: repeated CLI invocations (bucket
+    # loops, bench reruns) skip recompiles; harmless no-op where the
+    # backend doesn't support executable serialization
+    try:
+        if not jax.config.jax_compilation_cache_dir:
+            jax.config.update("jax_compilation_cache_dir",
+                              os.environ.get("EMA_TPU_CACHE_DIR",
+                                             "/tmp/ema_tpu_jax_cache"))
+            jax.config.update("jax_enable_compilation_cache", True)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+            jax.config.update(
+                "jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
     plat = os.environ.get("EMA_TPU_PLATFORM")
     if plat:
         jax.config.update("jax_platforms", plat)
