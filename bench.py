@@ -72,23 +72,10 @@ def _bench() -> None:
     from ema_tpu.index import build_index
     from ema_tpu.utils.backend import ensure_backend
 
-    # probe the device with a real roundtrip under a deadline IN A
-    # SUBPROCESS: the attached-TPU tunnel can wedge (accepts the
-    # connection but never completes a transfer), which would hang the
-    # benchmark forever.  On probe failure, pin this process to CPU
-    # *before* its own backend initializes and still report a number.
-    import subprocess
-    try:
-        subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp, numpy as np; "
-             "np.asarray(jnp.arange(8) + 1)"],
-            timeout=180, check=True, capture_output=True)
-    except Exception as e:
-        log(f"device probe failed ({type(e).__name__}); "
-            "falling back to CPU")
-        jax.config.update("jax_platforms", "cpu")
-    ensure_backend()
+    # wedge-probe + CPU fallback live in ensure_backend (shared with the
+    # CLI); it pins this process to CPU before its backend initializes
+    # if the tunnel accepts connections but never completes a transfer
+    ensure_backend(probe=True)
     log(f"devices: {jax.devices()}")
     rng = np.random.default_rng(2026)
     t0 = time.time()

@@ -49,24 +49,40 @@ def ensure_backend(retries: int = 3, delay_s: float = 3.0,
     except Exception:
         pass
 
+    no_probe = os.environ.get("EMA_TPU_NO_PROBE", "").lower() \
+        in ("1", "true", "yes")
     plat = os.environ.get("EMA_TPU_PLATFORM")
     if plat:
         jax.config.update("jax_platforms", plat)
-    elif (probe and not os.environ.get("EMA_TPU_NO_PROBE")
+    elif (probe and not no_probe
             and not str(jax.config.jax_platforms or "").startswith("cpu")):
+        # a recent successful probe is cached: back-to-back CLI runs
+        # (per-bucket shell loops) skip the extra init through the
+        # one-client tunnel
         import subprocess
+        marker = os.environ.get("EMA_TPU_PROBE_MARKER",
+                                "/tmp/ema_tpu_probe_ok")
+        ttl = float(os.environ.get("EMA_TPU_PROBE_TTL", "600"))
         try:
-            subprocess.run(
-                [sys.executable, "-c",
-                 "import jax, jax.numpy as jnp, numpy as np; "
-                 "np.asarray(jnp.arange(8) + 1)"],
-                timeout=int(os.environ.get("EMA_TPU_PROBE_TIMEOUT", "180")),
-                check=True, capture_output=True)
-        except Exception as e:
-            sys.stderr.write(
-                f"ema_tpu: device probe failed ({type(e).__name__}); "
-                "pinning this run to CPU\n")
-            jax.config.update("jax_platforms", "cpu")
+            fresh = (time.time() - os.path.getmtime(marker)) < ttl
+        except OSError:
+            fresh = False
+        if not fresh:
+            try:
+                subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax, jax.numpy as jnp, numpy as np; "
+                     "np.asarray(jnp.arange(8) + 1)"],
+                    timeout=int(os.environ.get("EMA_TPU_PROBE_TIMEOUT",
+                                               "180")),
+                    check=True, capture_output=True)
+                with open(marker, "w"):
+                    pass
+            except Exception as e:
+                sys.stderr.write(
+                    f"ema_tpu: device probe failed ({type(e).__name__}); "
+                    "pinning this run to CPU\n")
+                jax.config.update("jax_platforms", "cpu")
 
     last = None
     for i in range(retries):
