@@ -651,7 +651,8 @@ class Aligner:
             cs.sw.astype(np.int64), cs.sub.astype(np.int64),
             (cs.qe - cs.qb).astype(np.int64), cs.seedcov.astype(np.int64),
             cs.sub_n.astype(np.int64), cs.frac_rep.astype(np.float64),
-            self.cfg.aligner)
+            self.cfg.aligner,
+            rspan=_cigar_ref_len(cs.cigars, cs.n_cigar).astype(np.int64))
         recs["clip"] = cs.clip
         recs["clip_edit_dist"] = cs.nm + cs.clip
         recs["edit_dist"] = cs.nm

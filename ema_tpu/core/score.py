@@ -61,15 +61,16 @@ def score_alignments(cigars: np.ndarray, n_cigar: np.ndarray,
 def approx_mapq(sw_score: np.ndarray, sub: np.ndarray, qspan: np.ndarray,
                 seedcov: np.ndarray, sub_n: np.ndarray,
                 frac_rep: np.ndarray,
-                params: config.AlignerParams = config.DEFAULT_ALIGNER_PARAMS
-                ) -> np.ndarray:
+                params: config.AlignerParams = config.DEFAULT_ALIGNER_PARAMS,
+                rspan: np.ndarray | None = None) -> np.ndarray:
     """BWA-shaped approximate single-end mapq (align.c:958-984)."""
     a, b = params.match, params.mismatch
-    sub = np.maximum(sub, params.min_seed_len * a)
-    out = np.zeros(sw_score.shape[0], dtype=np.int64)
+    # the min_seed_len*a floor applies only when sub == 0 (align.c:961)
+    sub = np.where(sub == 0, params.min_seed_len * a, sub)
 
     ok = sub < sw_score
-    l = np.maximum(qspan, 1).astype(np.float64)
+    span = qspan if rspan is None else np.maximum(qspan, rspan)
+    l = np.maximum(span, 1).astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
         identity = 1.0 - (l * a - sw_score) / (a + b) / l
         tmp = np.where(l < params.mapq_coef_len, 1.0,

@@ -80,6 +80,18 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_char), ctypes.c_int64,
         ]
 
+        lib.umap_order_u32.restype = ctypes.c_int64
+        lib.umap_order_u32.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+
+        lib.bucket_assign_pq.restype = None
+        lib.bucket_assign_pq.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+        ]
+
         lib.em_run_flat.restype = None
         lib.em_run_flat.argtypes = [
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
@@ -356,6 +368,35 @@ def smem_seed_batch(occ_blocks, counts, primary, fm_n, reads, lens,
         _ptr(s_qb, ctypes.c_int32), _ptr(s_len, ctypes.c_int32),
         _ptr(n_seeds, ctypes.c_int32))
     return s_lo, s_hi, s_qb, s_len, n_seeds
+
+
+def umap_order_u32(keys: np.ndarray) -> np.ndarray:
+    """Reference-compatible emission order (see ema_native.cpp).
+
+    Replays the key insertion sequence into a real libstdc++
+    std::unordered_map and returns, in map-iteration order, the index of
+    each distinct key's first occurrence — the order the reference uses
+    for .ema-ncnt emission and bucket assignment (count.cc:160-170,
+    correct.cc:407-412).
+    """
+    keys = np.ascontiguousarray(keys, np.uint32)
+    out = np.empty(keys.shape[0], np.int64)
+    n = get_lib().umap_order_u32(
+        _ptr(keys, ctypes.c_uint32), ctypes.c_int64(keys.shape[0]),
+        _ptr(out, ctypes.c_int64))
+    return out[:n]
+
+
+def bucket_assign_pq(sizes: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Greedy (size, file-index) min-heap bucket assignment over sizes in
+    emission order (reference correct.cc:389-412); returns file indices
+    1..n_buckets per entry."""
+    sizes = np.ascontiguousarray(sizes, np.int64)
+    out = np.empty(sizes.shape[0], np.int32)
+    get_lib().bucket_assign_pq(
+        _ptr(sizes, ctypes.c_int64), ctypes.c_int64(sizes.shape[0]),
+        ctypes.c_int32(int(n_buckets)), _ptr(out, ctypes.c_int32))
+    return out
 
 
 def em_run_flat(cand_off, cloud, chrom, pos, rev, score, active,

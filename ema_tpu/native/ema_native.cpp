@@ -1026,3 +1026,52 @@ extern "C" void em_run_flat(
         }
     }
 }
+
+// ---------------------------------------------------------------------------
+// Reference-compatible emission order + bucket assignment
+// ---------------------------------------------------------------------------
+// The reference preprocessor emits .ema-ncnt entries and assigns barcodes
+// to buckets by iterating a std::unordered_map<uint32_t, ...>
+// (cpp/count.cc:160-170, cpp/correct.cc:407-412) — an order that is
+// implementation-defined but deterministic for a given libstdc++ and key
+// insertion sequence.  To make our outputs byte-identical we replay the
+// same insertion sequence into a real std::unordered_map built with the
+// same libstdc++, and emit its iteration order.  Value type does not
+// affect libstdc++ hashtable layout, so one replay serves both count
+// (uint32->int64) and correct (uint32->Count).
+
+#include <unordered_map>
+#include <queue>
+#include <tuple>
+
+// keys: insertion sequence (duplicates keep the first occurrence, like
+// map[k] = 0).  out_idx receives, in map-iteration order, the index of
+// each distinct key's first occurrence in `keys`.  Returns the number of
+// distinct keys written.
+extern "C" int64_t umap_order_u32(const uint32_t *keys, int64_t n,
+                                  int64_t *out_idx) {
+    std::unordered_map<uint32_t, int64_t> m;  // default growth policy
+    for (int64_t i = 0; i < n; i++) m.emplace(keys[i], i);
+    int64_t w = 0;
+    for (auto &kv : m) out_idx[w++] = kv.second;
+    return w;
+}
+
+// Greedy min-heap bucket assignment (correct.cc:389-412): buckets are file
+// indices 1..n_buckets (0 is ema-nobc); the priority queue orders by
+// (current size, file index) and each barcode — visited in map-iteration
+// order, i.e. sizes[] must already be in that order — goes to the top.
+extern "C" void bucket_assign_pq(const int64_t *sizes, int64_t n,
+                                 int32_t n_buckets, int32_t *out_bucket) {
+    typedef std::pair<int64_t, int32_t> SB;
+    std::priority_queue<SB, std::vector<SB>, std::greater<SB> > pq;
+    for (int32_t i = 0; i < n_buckets; i++)
+        pq.push(SB(0, i + 1));
+    for (int64_t i = 0; i < n; i++) {
+        SB top = pq.top();
+        pq.pop();
+        out_bucket[i] = top.second;
+        top.first += sizes[i];
+        pq.push(top);
+    }
+}

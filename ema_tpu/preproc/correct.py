@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import heapq
 import os
+import re
 import struct
 from typing import Dict, List
 
@@ -35,6 +36,16 @@ from ema_tpu.preproc.count import (
 QO = config.ILLUMINA_QUAL_OFFSET
 
 _PHRED = 10.0 ** (-np.minimum(np.arange(128), QUAL_BASE - 1) / 10.0)
+
+
+_SHORT_RE = re.compile(rb"[^ \t\n\x0b\x0c\r]*")
+
+
+def _short(name: bytes) -> bytes:
+    """Name truncated at the first whitespace char, like the reference's
+    per-char isspace break (correct.cc:517-520) — unlike bytes.split(),
+    a leading-whitespace name truncates to empty."""
+    return _SHORT_RE.match(name).group()
 
 
 def _keys_decompose(keys: np.ndarray):
@@ -225,7 +236,11 @@ def correct(whitelist_path: str, input_prefixes: List[str], output_dir: str,
                                  do_bx_format, n_buckets)
 
     # 1. whitelist + priors
-    wl = load_whitelist_preproc(whitelist_path)
+    from ema_tpu import native
+    from ema_tpu.preproc.count import load_whitelist_file_order
+    wl_file = load_whitelist_file_order(whitelist_path)
+    sort_idx = np.argsort(wl_file, kind="stable")
+    wl = wl_file[sort_idx]
     prior_counts = np.zeros(wl.shape[0], np.float64)
     for prefix in input_prefixes:
         bcs, cnts = read_ncnt(prefix if prefix.endswith(".ema-ncnt")
@@ -284,16 +299,16 @@ def correct(whitelist_path: str, input_prefixes: List[str], output_dir: str,
         for kc in all_blocks():
             merge(*run_one(kc))
 
-    # 3. greedy bucket assignment (correct.cc:374-411)
-    bucket_of = np.zeros(wl.shape[0], np.int64)
-    heap = [(0, i + 1) for i in range(n_buckets)]   # (size, file idx); 0=nobc
-    heapq.heapify(heap)
-    sizes = {i + 1: 0 for i in range(n_buckets)}
-    order = np.argsort(-n_reads_per_bc, kind="stable")
-    for wi in order:
-        size, fidx = heapq.heappop(heap)
-        bucket_of[wi] = fidx
-        heapq.heappush(heap, (size + int(n_reads_per_bc[wi]), fidx))
+    # 3. greedy bucket assignment (correct.cc:389-412): every whitelist
+    # barcode, visited in the reference's map-iteration order over the
+    # whitelist insertion sequence, goes to the currently smallest bucket
+    sizes_file = np.zeros_like(n_reads_per_bc)
+    sizes_file[sort_idx] = n_reads_per_bc
+    order = native.umap_order_u32(wl_file)
+    assigned = native.bucket_assign_pq(sizes_file[order], n_buckets)
+    bucket_file = np.zeros(wl_file.shape[0], np.int64)
+    bucket_file[order] = assigned
+    bucket_of = bucket_file[sort_idx]       # indexed by sorted-wl position
 
     # 4. re-stream FASTQ into buckets, vectorized in chunks: barcode
     # extraction / corrected-key lookup / whitelist routing run as batch
@@ -354,8 +369,8 @@ def correct(whitelist_path: str, input_prefixes: List[str], output_dir: str,
             name2, r2, q2 = p[4], p[5], p[7]
             fi = int(fidx[k])
             f = files[fi]
-            short1 = name1.split()[0]
-            short2 = name2.split()[0]
+            short1 = _short(name1)
+            short2 = _short(name2)
             if fi and not do_bx_format:
                 bcs = decode_bc_preproc_str(int(bc[k])).encode()
                 f.write(bcs + b" " + short1 + b" " + r1[trim:] + b" "
@@ -366,6 +381,14 @@ def correct(whitelist_path: str, input_prefixes: List[str], output_dir: str,
                         + b"\n+\n" + q1[trim:] + b"\n")
                 f.write(short2 + b" BX:Z:" + bcs + b"-1\n" + r2
                         + b"\n+\n" + q2 + b"\n")
+            elif do_bx_format:
+                # nobc under -b: read 1 header is plain but read 2 gets a
+                # bare " BX:Z:-1" — the reference prints the BX prefix and
+                # "-1" suffix unconditionally and PRINT_BCD emits nothing
+                # for barcode 0 (correct.cc:580-590)
+                f.write(short1 + b"\n" + r1[trim:] + b"\n+\n"
+                        + q1[trim:] + b"\n")
+                f.write(short2 + b" BX:Z:-1\n" + r2 + b"\n+\n" + q2 + b"\n")
             else:
                 f.write(short1 + b"\n" + r1[trim:] + b"\n+\n"
                         + q1[trim:] + b"\n")
@@ -393,11 +416,22 @@ def _correct_haplotag(input_prefixes: List[str], output_dir: str, stream,
     """Haplotag preproc: bucket by the BX:Z:AxxCxxBxxDxx header code.
 
     No correction phase (the reference skips phase 2 for haplotag,
-    correct.cc:342); reads without a BX tag go to ema-nobc; read 1 is NOT
-    barcode-trimmed (correct.cc:543-551); bucket lines carry the 12-char
-    haplotag code (correct.cc:500-503).
+    correct.cc:342).  Bucket assignment covers the FULL generated 96^4
+    code space in the reference's map-iteration order (common.h:72,
+    correct.cc:407-412), so unseen-but-valid codes get deterministic,
+    reference-identical buckets.  Read 1 is NOT barcode-trimmed
+    (correct.cc:543-551); bucket lines carry the 12-char haplotag code
+    from the header (correct.cc:500-503).  Reference quirks replicated
+    for byte parity: the BX 'room for the tag' check compares against a
+    stale string (empty before the first pair, then the previous pair's
+    mate-qual line, correct.cc:441-444), so the first pair is always
+    dropped; pairs without a parseable BX are dropped entirely, not
+    routed to ema-nobc; under -b the nobc read-2 header gets a bare
+    ' BX:Z:'.
     """
-    from ema_tpu.utils.barcodes import decode_bc_haplotag, encode_bc_haplotag
+    from ema_tpu import native
+    from ema_tpu.preproc.count import (
+        haplotag_all_codes, haplotag_emission_order, parse_haplotag_bx)
 
     # 1. merge observed counts from all .ema-ncnt inputs
     merged: Dict[int, int] = {}
@@ -407,53 +441,64 @@ def _correct_haplotag(input_prefixes: List[str], output_dir: str, stream,
         for b, c in zip(bcs, cnts):
             merged[int(b)] = merged.get(int(b), 0) + int(c)
 
-    # 2. greedy min-heap bucket assignment over observed barcodes;
-    # unseen-but-valid codes hash round-robin (the reference pre-generates
-    # every possible code with count 0 instead)
-    heap = [(0, i + 1) for i in range(n_buckets)]
-    heapq.heapify(heap)
-    bucket_of: Dict[int, int] = {}
-    for bc in sorted(merged, key=lambda b: -merged[b]):
-        size, fidx = heapq.heappop(heap)
-        bucket_of[bc] = fidx
-        heapq.heappush(heap, (size + merged[bc], fidx))
+    # 2. greedy assignment over the whole generated code space, in the
+    # reference's map-iteration order
+    ordered = haplotag_all_codes()[haplotag_emission_order()]
+    sizes = np.zeros(ordered.shape[0], np.int64)
+    if merged:
+        obs = np.fromiter(merged.keys(), np.uint32, len(merged))
+        cnt = np.fromiter(merged.values(), np.int64, len(merged))
+        si = np.argsort(obs)
+        obs, cnt = obs[si], cnt[si]
+        idxc, hit = lookup_sorted(obs, ordered)
+        sizes = np.where(hit, cnt[idxc], 0).astype(np.int64)
+    assigned = native.bucket_assign_pq(sizes, n_buckets)
+    # sorted lookup table code -> bucket for phase 4
+    csort = np.argsort(ordered)
+    codes_sorted = ordered[csort]
+    bucket_sorted = assigned[csort]
+    del sizes, assigned
 
     files = [open(os.path.join(output_dir, "ema-nobc"), "wb")]
     for i in range(n_buckets):
         files.append(open(os.path.join(output_dir, f"ema-bin-{i:03d}"), "wb"))
 
     stats = {"nochange": 0, "h1": 0, "h2": 0, "nobucket": 0,
-             "routed_pairs": 0}
+             "routed_pairs": 0, "dropped_pairs": 0}
+    stale_len = 0    # the reference's `s` is empty at phase-4 entry
     for pair in iter_fastq_pairs(stream):
         name1, r1, q1 = pair[0], pair[1], pair[3]
         name2, r2, q2 = pair[4], pair[5], pair[7]
-        if len(r1) < config.MIN_READ_SIZE:
+        bc, bc_str = parse_haplotag_bx(name1, len_check=stale_len)
+        stale_len = len(q2)   # the reference's `s` after this iteration
+        if bc is None or len(r1) < config.MIN_READ_SIZE:
+            stats["dropped_pairs"] += 1
             continue
-        name_s = name1.decode()
-        bx = name_s.find("BX:Z:")
-        bc_str = None
-        if bx >= 0 and bx + 17 <= len(name_s):
-            bc_str = name_s[bx + 5:bx + 17]
-            bc = encode_bc_haplotag(bc_str)
-            fidx = bucket_of.get(bc)
-            if fidx is None:
-                fidx = (bc % n_buckets) + 1
+        i = int(np.searchsorted(codes_sorted, bc))
+        if i < codes_sorted.shape[0] and codes_sorted[i] == bc:
+            fidx = int(bucket_sorted[i])
         else:
+            bc_str = b""      # barcode = 0: PRINT_BCD emits nothing
             fidx = 0
-        short1 = name1.split()[0]
-        short2 = name2.split()[0]
+        short1 = _short(name1)
+        short2 = _short(name2)
         f = files[fidx]
         if fidx and not do_bx_format:
-            f.write(bc_str.encode() + b" " + short1 + b" " + r1 + b" "
+            f.write(bc_str + b" " + short1 + b" " + r1 + b" "
                     + q1 + b" " + r2 + b" " + q2 + b"\n")
             stats["nochange"] += 1
-        elif fidx and do_bx_format:
-            # haplotag BX has no "-1" suffix (correct.cc:527-536)
-            f.write(short1 + b" BX:Z:" + bc_str.encode() + b"\n" + r1
-                    + b"\n+\n" + q1 + b"\n")
-            f.write(short2 + b" BX:Z:" + bc_str.encode() + b"\n" + r2
+        elif do_bx_format:
+            # haplotag BX has no "-1" suffix (correct.cc:527-536); for
+            # nobc the read-1 header is plain and read-2 gets ' BX:Z:'
+            if fidx:
+                f.write(short1 + b" BX:Z:" + bc_str + b"\n" + r1
+                        + b"\n+\n" + q1 + b"\n")
+                stats["nochange"] += 1
+            else:
+                f.write(short1 + b"\n" + r1 + b"\n+\n" + q1 + b"\n")
+                stats["nobucket"] += 1
+            f.write(short2 + b" BX:Z:" + bc_str + b"\n" + r2
                     + b"\n+\n" + q2 + b"\n")
-            stats["nochange"] += 1
         else:
             f.write(short1 + b"\n" + r1 + b"\n+\n" + q1 + b"\n")
             f.write(short2 + b"\n" + r2 + b"\n+\n" + q2 + b"\n")

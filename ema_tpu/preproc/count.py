@@ -58,9 +58,12 @@ def lookup_sorted(wl: np.ndarray, keys: np.ndarray):
     return idxc, found
 
 
-def load_whitelist_preproc(path: str) -> np.ndarray:
-    """Whitelist barcodes in preproc encoding, sorted uint32 (vectorized:
-    10x-scale whitelists hold millions of lines)."""
+def load_whitelist_file_order(path: str) -> np.ndarray:
+    """Whitelist barcodes in preproc encoding, in FILE order with
+    duplicates dropped (first occurrence wins, like the reference's
+    ``counts[barcode] = 0`` inserts, count.cc:58-63).  File order matters:
+    it determines the reference-compatible .ema-ncnt emission and bucket
+    assignment order (see native.umap_order_u32)."""
     rows = []
     with open(path, "rb") as f:
         for line in f:
@@ -71,10 +74,17 @@ def load_whitelist_preproc(path: str) -> np.ndarray:
     if not rows:
         return np.zeros(0, np.uint32)
     block = np.frombuffer(b"".join(rows), np.uint8).reshape(-1, BC_LEN)
-    bcs = encode_bc_preproc(HASH_DNA[block])
+    bcs = encode_bc_preproc(HASH_DNA[block]).astype(np.uint32)
     if (bcs == 0).any():
         raise ValueError("Invalid barcode AAA...AA whitelisted")
-    return np.sort(bcs.astype(np.uint32))
+    _, first = np.unique(bcs, return_index=True)
+    return bcs[np.sort(first)]
+
+
+def load_whitelist_preproc(path: str) -> np.ndarray:
+    """Whitelist barcodes in preproc encoding, sorted uint32 (vectorized:
+    10x-scale whitelists hold millions of lines)."""
+    return np.sort(load_whitelist_file_order(path))
 
 
 def iter_fastq_pairs(stream) -> Iterator[List[bytes]]:
@@ -119,18 +129,18 @@ class FullCountMap:
             self.spill()
 
     def spill(self):
-        if not self.map:
-            return
+        # blocks are written sorted by the 16 key bytes — the reference's
+        # std::map<string, int64_t> iteration order (count.cc:16-34)
         self.out.write(struct.pack("<q", len(self.map)))
-        for k, v in self.map.items():
+        for k in sorted(self.map):
             self.out.write(k)
-            self.out.write(struct.pack("<q", v))
+            self.out.write(struct.pack("<q", self.map[k]))
         self.out.flush()
         self.map.clear()
 
     def close(self):
         if self.out is not None:
-            self.spill()
+            self.spill()   # final block is written even when empty
             self.out.close()
 
 
@@ -144,7 +154,9 @@ def count(whitelist_path: str, output_prefix: str, stream,
     if is_haplotag:
         return _count_haplotag(output_prefix, stream, chunk_pairs)
 
-    wl = load_whitelist_preproc(whitelist_path)
+    wl_file = load_whitelist_file_order(whitelist_path)
+    sort_idx = np.argsort(wl_file, kind="stable")
+    wl = wl_file[sort_idx]                  # sorted view for lookups
     counts = np.zeros(wl.shape[0], dtype=np.int64)
     fc = FullCountMap(f"{output_prefix}.ema-fcnt", max_map_entries)
 
@@ -182,18 +194,29 @@ def count(whitelist_path: str, output_prefix: str, stream,
     flush()
     fc.close()
 
-    _write_ncnt(f"{output_prefix}.ema-ncnt", wl, counts)
+    # map sorted-order counts back to file order for reference-compatible
+    # emission (count.cc:160-170 iterates the unordered_map)
+    counts_file = np.zeros_like(counts)
+    counts_file[sort_idx] = counts
+    _write_ncnt(f"{output_prefix}.ema-ncnt", wl_file, counts_file)
     return {"total": total, "nice": nice, "ignored": ignored}
 
 
-def _write_ncnt(path: str, barcodes: np.ndarray, counts: np.ndarray):
-    nz = counts > 0
+def _write_ncnt(path: str, barcodes_file_order: np.ndarray,
+                counts: np.ndarray):
+    """Emit nonzero (barcode, count) pairs in the reference's map-iteration
+    order over the insertion (file-order) sequence."""
+    from ema_tpu import native
+    order = native.umap_order_u32(barcodes_file_order)
+    bcs = barcodes_file_order[order]
+    cnts = counts[order]
+    nz = cnts > 0
     with open(path, "wb") as f:
         f.write(struct.pack("<q", int(nz.sum())))
         inter = np.empty(int(nz.sum()), dtype=np.dtype(
             [("bc", "<u4"), ("cnt", "<i8")]))
-        inter["bc"] = barcodes[nz]
-        inter["cnt"] = counts[nz]
+        inter["bc"] = bcs[nz]
+        inter["cnt"] = cnts[nz]
         f.write(inter.tobytes())
 
 
@@ -218,23 +241,103 @@ def read_fcnt_blocks(path: str) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
             yield rec["key"].copy(), rec["cnt"].copy()
 
 
+_HAPLOTAG_CACHE: dict = {}
+
+
+def haplotag_all_codes() -> np.ndarray:
+    """The full 96^4 haplotag code space in the reference's generation
+    order (common.h:72 GenerateAllHaplotagBC: nested a, b, c, d loops over
+    1..96 inserting a<<24 | c<<16 | b<<8 | d)."""
+    if "codes" not in _HAPLOTAG_CACHE:
+        r = np.arange(1, 97, dtype=np.uint32)
+        keys = ((r[:, None, None, None] << 24)
+                | (r[None, None, :, None] << 16)    # axis 2 = c field
+                | (r[None, :, None, None] << 8)     # axis 1 = b field
+                | r[None, None, None, :])           # axis 3 = d field
+        _HAPLOTAG_CACHE["codes"] = keys.ravel()
+    return _HAPLOTAG_CACHE["codes"]
+
+
+def haplotag_emission_order() -> np.ndarray:
+    """Reference map-iteration order over the generated haplotag space.
+    The 85M-key libstdc++ replay costs ~a minute; cached per process."""
+    if "order" not in _HAPLOTAG_CACHE:
+        from ema_tpu import native
+        _HAPLOTAG_CACHE["order"] = native.umap_order_u32(
+            haplotag_all_codes())
+    return _HAPLOTAG_CACHE["order"]
+
+
+def parse_haplotag_bx(name: bytes, len_check: int | None = None):
+    """BX:Z: haplotag code from a read name, reference-style: search only
+    after the first whitespace and require 12 code chars (count.cc:89-102).
+
+    ``len_check`` overrides the length the 'room for the tag' test is made
+    against (correct.cc phase 4 checks against a stale variable,
+    correct.cc:441-444 — callers replicate that bug for byte parity).
+    Returns (packed code or None, 12-char code bytes).  Packing follows
+    the reference's TwoCharToInt arithmetic exactly, including the
+    garbage-in-garbage-out behavior on non-digit characters and uint32
+    shift wraparound (common.h:68-71)."""
+    ws = -1
+    for i, ch in enumerate(name):
+        if ch in (0x20, 0x09):
+            ws = i
+            break
+    if ws < 0:
+        return None, b""
+    bx = name.find(b"BX:Z:", ws)
+    if bx < 0:
+        return None, b""
+    limit = len(name) if len_check is None else len_check
+    if not (bx + 16 < limit):
+        return None, b""
+    # a truncated tag can pass the stale-length check; NUL padding mirrors
+    # std::string's terminator reads in TwoCharToInt
+    code = name[bx + 5:bx + 17].ljust(12, b"\x00")
+
+    def two(i):
+        return 10 * (code[i] - 48) + (code[i + 1] - 48)
+    M = 0xFFFFFFFF
+    a, cf, b, d = two(1), two(4), two(7), two(10)
+    packed = ((((a & M) << 24) & M) | (((cf & M) << 16) & M)
+              | (((b & M) << 8) & M) | (d & M))
+    return packed, code
+
+
 def _count_haplotag(output_prefix: str, stream, chunk_pairs: int) -> dict:
-    """Haplotag mode: count BX:Z:AxxCxxBxxDxx tags (count.cc:89-103)."""
-    from ema_tpu.utils.barcodes import encode_bc_haplotag
+    """Haplotag mode: count BX:Z:AxxCxxBxxDxx tags against the full 96^4
+    generated code space (count.cc:68, 89-103); codes outside the space
+    are streamed through uncounted, like the reference's counts.find miss."""
     counts: Dict[int, int] = {}
-    total = ignored = 0
+    total = nice = ignored = 0
     for pair in iter_fastq_pairs(stream):
-        name = pair[0].decode()
         seq1 = pair[1]
-        bx = name.find("BX:Z:")
-        if bx >= 0 and bx + 17 <= len(name) and len(seq1) >= config.MIN_READ_SIZE:
-            bc = encode_bc_haplotag(name[bx + 5:bx + 17])
-            counts[bc] = counts.get(bc, 0) + 1
-            total += 1
-        else:
+        bc, _ = parse_haplotag_bx(pair[0])
+        if bc is None or len(seq1) < config.MIN_READ_SIZE:
             ignored += 1
+            continue
+        total += 1
+        if all(1 <= ((bc >> s) & 0xFF) <= 96 for s in (24, 16, 8, 0)):
+            counts[bc] = counts.get(bc, 0) + 1
+            nice += 1
+    # reference-order emission over the whole generated code space
+    ordered = haplotag_all_codes()[haplotag_emission_order()]
+    if counts:
+        obs = np.fromiter(counts.keys(), np.uint32, len(counts))
+        cnt = np.fromiter(counts.values(), np.int64, len(counts))
+        si = np.argsort(obs)
+        obs, cnt = obs[si], cnt[si]
+        idxc, hit = lookup_sorted(obs, ordered)
+        ocnt = np.where(hit, cnt[idxc], 0)
+    else:
+        ocnt = np.zeros(ordered.shape[0], np.int64)
+    nz = ocnt > 0
     with open(f"{output_prefix}.ema-ncnt", "wb") as f:
-        f.write(struct.pack("<q", len(counts)))
-        for bc, cnt in counts.items():
-            f.write(struct.pack("<Iq", bc, cnt))
-    return {"total": total, "nice": total, "ignored": ignored}
+        f.write(struct.pack("<q", int(nz.sum())))
+        inter = np.empty(int(nz.sum()), dtype=np.dtype(
+            [("bc", "<u4"), ("cnt", "<i8")]))
+        inter["bc"] = ordered[nz]
+        inter["cnt"] = ocnt[nz]
+        f.write(inter.tobytes())
+    return {"total": total, "nice": nice, "ignored": ignored}
