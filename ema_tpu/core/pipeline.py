@@ -181,6 +181,10 @@ class Aligner:
         self._id_lock = threading.Lock()   # MI ids under concurrent buckets
         self._contig_blob = None
         self._defer_dist_window = False
+        # optional (batch, CandidateSet) tap for the reference-oracle
+        # replay (utils/replay.ReplayWriter.add); called from chunk
+        # workers, so a sink must be thread-safe
+        self.replay_sink = None
         self._use_pallas = self._probe_pallas()
         self._init_mesh()
 
@@ -714,6 +718,8 @@ class Aligner:
                 seqs=batch.seqs[2 * s:2 * e], quals=batch.quals[2 * s:2 * e],
                 codes=batch.codes[2 * s:2 * e], lens=batch.lens[2 * s:2 * e])
             cs = self.generate_candidates(sub)
+            if self.replay_sink is not None:
+                self.replay_sink(sub, cs)
             recs, idents, part_pool = self.candidates_to_records(sub, cs, s)
             # bc-sort within the chunk (candidate order interleaves the
             # forward and reverse orientations); stable, so within one
@@ -878,7 +884,10 @@ class Aligner:
             if at >= 0:
                 rg_id = self.cfg.read_group[at + 3:].split("\t")[0]
         is_hap = self.cfg.platform.name == "haplotag"
-        bc_len = self.cfg.platform.bc_len or 16
+        # bc_len 0 (tru/cpt) decodes to an empty string, so BX becomes a
+        # literal "-1" — the reference's own output for these platforms
+        # (decode_bc_default with BC_LEN=0, samrecord.c:252-256)
+        bc_len = self.cfg.platform.bc_len
         lr_tags = not self.cfg.nobc
         if lr_tags and len(R):
             from ema_tpu.utils.barcodes import decode_bc
@@ -895,7 +904,8 @@ class Aligner:
             if self._contig_blob is None:
                 self._contig_blob = samout.make_contig_blob(names)
             blob, coff = self._contig_blob
-            bx_full = bc_str if is_hap else (f"{bc_str}-1" if bc_str else "")
+            bx_full = bc_str if is_hap else (
+                f"{bc_str}-1" if lr_tags and len(R) else "")
             rg_tag = rg_id.split()[0] if rg_id else None
             return samout.emit_group_lines(
                 res, pool, MAX_CIGAR_OPS, batch.seqs, batch.quals,

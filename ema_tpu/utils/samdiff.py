@@ -33,6 +33,9 @@ class SamDiffStats:
     bx_match: int = 0
     xg_close: int = 0            # |delta| <= 0.01
     mi_consistent: int = 0
+    mate_match: int = 0          # RNEXT/PNEXT/TLEN triple
+    seq_match: int = 0           # SEQ+QUAL (incl. revcomp orientation)
+    xa_match: int = 0            # XA alt string
     mismatches: List[str] = dataclasses.field(default_factory=list)
 
     def concordance(self) -> float:
@@ -58,6 +61,9 @@ class SamDiffStats:
             f"BX:     {self.bx_match}/{self.shared}",
             f"XG~:    {self.xg_close}/{self.shared}",
             f"MI map: {self.mi_consistent}/{self.shared}",
+            f"mate:   {self.mate_match}/{self.shared}",
+            f"seq:    {self.seq_match}/{self.shared}",
+            f"XA:     {self.xa_match}/{self.shared}",
             f"concordance (pos+flag+cigar): "
             f"{100.0 * self.concordance():.3f}%",
         ])
@@ -80,7 +86,8 @@ def _parse(path: str) -> Dict[Tuple[str, int], dict]:
                 tags[k] = v
             out[(fld[0], mate)] = dict(
                 flag=flag, rname=fld[2], pos=int(fld[3]), mapq=int(fld[4]),
-                cigar=fld[5], tags=tags)
+                cigar=fld[5], rnext=fld[6], pnext=fld[7], tlen=fld[8],
+                seq=fld[9], qual=fld[10], tags=tags)
     return out
 
 
@@ -134,6 +141,21 @@ def diff_sams(path_a: str, path_b: str, pos_tol: int = 0,
                 st.xg_close += 1
         except ValueError:
             pass
+        if (ra["rnext"], ra["pnext"], ra["tlen"]) \
+                == (rb["rnext"], rb["pnext"], rb["tlen"]):
+            st.mate_match += 1
+        else:
+            report(key, "mate-fields",
+                   (ra["rnext"], ra["pnext"], ra["tlen"]),
+                   (rb["rnext"], rb["pnext"], rb["tlen"]))
+        if (ra["seq"], ra["qual"]) == (rb["seq"], rb["qual"]):
+            st.seq_match += 1
+        else:
+            report(key, "seq/qual", ra["seq"][:20], rb["seq"][:20])
+        if ta.get("XA") == tb_.get("XA"):
+            st.xa_match += 1
+        else:
+            report(key, "XA", ta.get("XA"), tb_.get("XA"))
         mia, mib = ta.get("MI"), tb_.get("MI")
         if mia is None and mib is None:
             st.mi_consistent += 1

@@ -107,8 +107,19 @@ def run_align_oracle(replay, special_fastq, out_sam, platform="10x",
     binary = build_align_oracle()
     assert binary is not None
     subprocess.run(
-        [str(binary), str(replay), str(special_fastq), str(out_sam),
-         platform, str(int(apply_opt))],
+        [str(binary), str(replay), "s", str(special_fastq), "-",
+         str(out_sam), platform, str(int(apply_opt))],
+        check=True, capture_output=True, text=True)
+
+
+def run_align_oracle_paired(replay, fq1, fq2, out_sam, platform="10x",
+                            apply_opt=0) -> None:
+    binary = build_align_oracle()
+    assert binary is not None
+    subprocess.run(
+        [str(binary), str(replay), "p", str(fq1),
+         str(fq2) if fq2 else "-", str(out_sam), platform,
+         str(int(apply_opt))],
         check=True, capture_output=True, text=True)
 
 

@@ -81,39 +81,53 @@ static void load_chroms_from_replay(const char *path)
 
 int main(int argc, char **argv)
 {
-    if (argc != 6) {
+    if (argc != 8) {
         fprintf(stderr,
-                "usage: %s <replay> <special_fastq> <out_sam> <platform>"
-                " <apply_opt>\n", argv[0]);
+                "usage: %s <replay> <mode s|p> <in1> <in2|-> <out_sam>"
+                " <platform> <apply_opt>\n", argv[0]);
         return 2;
     }
     pg_argv = argv;
     pg_argc = argc;
 
     const char *replay = argv[1];
-    const char *fqx_path = argv[2];
-    const char *out_path = argv[3];
+    const char mode = argv[2][0];
+    const char *in1 = argv[3];
+    const char *in2 = argv[4];
+    const char *out_path = argv[5];
 
-    tech = get_platform_profile_by_name(argv[4]);
+    tech = get_platform_profile_by_name(argv[6]);
     if (!tech) {
-        fprintf(stderr, "unknown platform %s\n", argv[4]);
+        fprintf(stderr, "unknown platform %s\n", argv[6]);
         return 2;
     }
     BC_LEN = (int)tech->bc_len;
-    const int apply_opt = atoi(argv[5]);
+    const int apply_opt = atoi(argv[7]);
 
     load_chroms_from_replay(replay);
     bwa_init(replay);
 
-    FILE *fqx = fopen(fqx_path, "r");
-    if (!fqx) IOERROR(fqx_path);
     FILE *out = fopen(out_path, "w");
     if (!out) IOERROR(out_path);
-
     write_sam_header(out);
-    find_clouds_and_align(NULL, NULL, fqx, out, apply_opt, NULL, NULL);
+
+    if (mode == 's') {
+        FILE *fqx = fopen(in1, "r");
+        if (!fqx) IOERROR(in1);
+        find_clouds_and_align(NULL, NULL, fqx, out, apply_opt, NULL, NULL);
+        fclose(fqx);
+    } else {
+        /* standard bc-sorted paired FASTQs (main.c:373-381 semantics;
+         * -2 omitted => interleaved single file) */
+        FILE *fq1 = fopen(in1, "r");
+        if (!fq1) IOERROR(in1);
+        FILE *fq2 = strcmp(in2, "-") == 0 ? fq1 : fopen(in2, "r");
+        if (!fq2) IOERROR(in2);
+        find_clouds_and_align(fq1, fq2, NULL, out, apply_opt, NULL, NULL);
+        if (fq2 != fq1) fclose(fq2);
+        fclose(fq1);
+    }
 
     fclose(out);
-    fclose(fqx);
     return 0;
 }

@@ -1,0 +1,176 @@
+"""Record-level concordance vs the reference's OWN compiled align core.
+
+The reference EM/selection/SAM stack (align.c, samdict.c, samrecord.c)
+is compiled against a candidate-replay bwabridge stub
+(tests/oracle/bwabridge_stub.c) and fed the exact candidates our
+pipeline generated.  Both stacks then run their full cloud sweep + EM +
+selection + duplicate marking + SAM emission on identical inputs, and
+the outputs are diffed record-by-record (order-insensitive,
+MI-as-bijection) — the measured concordance the north-star metric in
+BASELINE.md asks for (run with -t1, no -d, per SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests import oracle
+
+pytestmark = pytest.mark.skipif(
+    not oracle.reference_available(),
+    reason="reference tree not available")
+
+
+def _world(seed=1234, n_barcodes=8, repeat_copies=0):
+    from tests.simulate import rand_genome, simulate_pairs, to_str
+
+    rng = np.random.default_rng(seed)
+    g1 = rand_genome(rng, 120_000)
+    g2 = rand_genome(rng, 60_000)
+    g2[10_000:14_000] = g1[20_000:24_000]      # duplicated segment
+    if repeat_copies:
+        # heavy repeat family -> collision clouds, low-gamma ties, XA alts
+        unit = g1[40_000:41_500].copy()
+        for k in range(repeat_copies):
+            at = 45_000 + k * 1_600
+            g1[at:at + 1_500] = unit
+    contigs = {"cA": g1, "cB": g2}
+    gs = to_str(np.concatenate([g1, g2]))
+
+    ids, bc_strs, bcs, s1, q1, s2, q2, truth = simulate_pairs(
+        rng, gs, n_barcodes=n_barcodes, frags_per_bc=(2, 3),
+        pairs_per_frag=(14, 22), frag_len=20_000, read_len=90, err=0.004)
+    # an unalignable mate + an N-containing read (unmapped-record paths)
+    ids.append("nn0")
+    bcs.append(bcs[0])
+    bc_strs.append(bc_strs[0])
+    s1.append(gs[500:590])
+    q1.append("I" * 90)
+    s2.append("N" * 90)
+    q2.append("I" * 90)
+    return contigs, ids, bc_strs, bcs, s1, q1, s2, q2
+
+
+def _run_concordance(tmp_path, apply_opt=False, platform="10x",
+                     repeat_copies=0, seed=1234, n_barcodes=8):
+    from ema_tpu import config
+    from ema_tpu.core.pipeline import Aligner, ReadBatch
+    from ema_tpu.index import build_index
+    from ema_tpu.utils import samdiff
+    from ema_tpu.utils.replay import ReplayWriter
+
+    contigs, ids, bc_strs, bcs, s1, q1, s2, q2 = _world(
+        seed=seed, n_barcodes=n_barcodes, repeat_copies=repeat_copies)
+
+    # special-format bucket file consumed by the reference oracle
+    # (bc id read1 qual1 read2 qual2; preproc writes ids with '@')
+    bucket = tmp_path / "bucket"
+    with open(bucket, "w") as f:
+        for i in range(len(ids)):
+            f.write(f"{bc_strs[i]} @{ids[i]} {s1[i]} {q1[i]} "
+                    f"{s2[i]} {q2[i]}\n")
+
+    idx = build_index(contigs)
+    plat = config.get_platform_profile(platform)
+    cfg = config.RunConfig(batch_size=512, seed=7, platform=plat,
+                           apply_density_opt=apply_opt)
+    aligner = Aligner(idx, cfg)
+    writer = ReplayWriter(str(tmp_path / "replay"),
+                          idx.names, [int(x) for x in idx.lengths])
+    aligner.replay_sink = writer.add
+    batch = ReadBatch.from_pairs(ids, bcs, s1, q1, s2, q2)
+    lines = aligner.align_batch_to_sam(batch)
+    writer.close()
+
+    ours = tmp_path / "ours.sam"
+    ours.write_text("".join(l if l.endswith("\n") else l + "\n"
+                            for l in lines))
+
+    ref = tmp_path / "ref.sam"
+    oracle.run_align_oracle(tmp_path / "replay", bucket, ref,
+                            platform=platform, apply_opt=apply_opt)
+    st = samdiff.diff_sams(str(ours), str(ref))
+    return st
+
+
+class TestAlignConcordance:
+    def test_em_selection_sam_concordance(self, tmp_path):
+        st = _run_concordance(tmp_path)
+        print(st.summary())
+        assert st.shared > 400
+        # every record one side emits, the other must too
+        assert st.only_a == 0 and st.only_b == 0, st.mismatches[:10]
+        assert st.concordance() >= 0.999, "\n".join(
+            [st.summary()] + st.mismatches)
+        # secondary metrics: gammas, MI structure, mapq
+        assert st.xg_close / st.shared >= 0.999, st.summary()
+        assert st.mi_consistent / st.shared >= 0.999, st.summary()
+        assert st.bx_match == st.shared
+        assert st.mapq_match / st.shared >= 0.95, st.summary()
+        assert st.mapq_close / st.shared >= 0.999, st.summary()
+        # full-record parity: mate fields, SEQ/QUAL, XA alts
+        assert st.mate_match == st.shared, st.mismatches[:10]
+        assert st.seq_match == st.shared, st.mismatches[:10]
+        assert st.xa_match / st.shared >= 0.999, st.mismatches[:10]
+
+    def test_repeat_heavy_collisions_and_alts(self, tmp_path):
+        """Collision (bad) clouds, low-gamma ties, XA alts: the hard half
+        of samdict/split-adjacent selection semantics."""
+        st = _run_concordance(tmp_path, repeat_copies=20, seed=77)
+        print(st.summary())
+        assert st.shared > 400
+        assert st.only_a == 0 and st.only_b == 0, st.mismatches[:10]
+        assert st.concordance() >= 0.999, "\n".join(
+            [st.summary()] + st.mismatches)
+        assert st.xg_close / st.shared >= 0.995, st.summary()
+        assert st.xa_match / st.shared >= 0.995, st.mismatches[:10]
+        assert st.mapq_match / st.shared >= 0.95, st.summary()
+
+    def test_many_clouds_platform(self, tmp_path):
+        """tru profile through the reference's -1/-2 standard-FASTQ path:
+        many_clouds weight normalization (align.c:469-480) and numeric
+        read-id barcodes (techs.c:57-60).  (-s is out of contract for
+        BC_LEN=0 platforms: the reference smashes its own 1-byte bc_str.)
+        """
+        from ema_tpu import config
+        from ema_tpu.core.pipeline import Aligner, ReadBatch
+        from ema_tpu.index import build_index
+        from ema_tpu.utils import samdiff
+        from ema_tpu.utils.replay import ReplayWriter
+
+        contigs, ids, bc_strs, bcs, s1, q1, s2, q2 = _world(seed=5)
+        # numeric tru barcodes; pairs already grouped by barcode
+        bc_num = {b: 1000 + i for i, b in enumerate(dict.fromkeys(bc_strs))}
+        rids = [f"{bc_num[bc_strs[i]]}-{ids[i]}" for i in range(len(ids))]
+        nbcs = [bc_num[bc_strs[i]] for i in range(len(ids))]
+        fq1 = tmp_path / "r1.fq"
+        fq2 = tmp_path / "r2.fq"
+        with open(fq1, "w") as f1, open(fq2, "w") as f2:
+            for i in range(len(ids)):
+                f1.write(f"@{rids[i]}\n{s1[i]}\n+\n{q1[i]}\n")
+                f2.write(f"@{rids[i]}\n{s2[i]}\n+\n{q2[i]}\n")
+
+        idx = build_index(contigs)
+        cfg = config.RunConfig(batch_size=512, seed=7,
+                               platform=config.get_platform_profile("tru"))
+        aligner = Aligner(idx, cfg)
+        writer = ReplayWriter(str(tmp_path / "replay"),
+                              idx.names, [int(x) for x in idx.lengths])
+        aligner.replay_sink = writer.add
+        batch = ReadBatch.from_pairs(rids, nbcs, s1, q1, s2, q2)
+        lines = aligner.align_batch_to_sam(batch)
+        writer.close()
+        ours = tmp_path / "ours.sam"
+        ours.write_text("".join(l if l.endswith("\n") else l + "\n"
+                                for l in lines))
+        ref = tmp_path / "ref.sam"
+        oracle.run_align_oracle_paired(tmp_path / "replay", fq1, fq2, ref,
+                                       platform="tru")
+        st = samdiff.diff_sams(str(ours), str(ref))
+        print(st.summary())
+        assert st.shared > 400
+        assert st.only_a == 0 and st.only_b == 0, st.mismatches[:10]
+        assert st.concordance() >= 0.999, "\n".join(
+            [st.summary()] + st.mismatches)
+        assert st.xg_close / st.shared >= 0.999, st.summary()
