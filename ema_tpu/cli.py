@@ -197,6 +197,13 @@ def main(argv=None) -> int:
         ap.add_argument("-b", dest="bx", action="store_true")
         ap.add_argument("-t", dest="threads", type=int, default=1)
         ap.add_argument("-p", dest="haplotag", action="store_true")
+        ap.add_argument("--coordinator", default=None,
+                        help="multi-host: jax.distributed coordinator "
+                             "address host:port")
+        ap.add_argument("--nprocs", type=int, default=None,
+                        help="multi-host: total number of processes")
+        ap.add_argument("--procid", type=int, default=None,
+                        help="multi-host: this process's id (0-based)")
         ap.add_argument("inputs", nargs="*")
         a = ap.parse_args(rest)
         if not a.wl and not a.haplotag:
@@ -206,11 +213,24 @@ def main(argv=None) -> int:
             sys.stderr.write("warning: no input files specified; "
                              "nothing to do\n")
             return 0
+        distributed = a.coordinator is not None
+        out_dir = a.out
+        if distributed:
+            # one jax process per host; each host streams its own FASTQ
+            # chunk + local count outputs, allreduces priors/totals so
+            # bucket routing is globally consistent, and writes its
+            # bucket files under a per-host subdirectory (concatenating
+            # host files of one bucket index yields the exact logical
+            # bucket a single-process run produces)
+            from ema_tpu.parallel.distrib import init_distributed
+            pid, _ = init_distributed(a.coordinator, a.nprocs, a.procid)
+            out_dir = os.path.join(a.out, f"host{pid:02d}")
         from ema_tpu.preproc.correct import correct
-        stats = correct(a.wl, a.inputs, a.out, sys.stdin.buffer,
+        stats = correct(a.wl, a.inputs, out_dir, sys.stdin.buffer,
                         do_h2=a.h2, do_bx_format=a.bx,
                         n_buckets=a.nbuckets, is_haplotag=a.haplotag,
-                        n_threads=max(a.threads, 1))
+                        n_threads=max(a.threads, 1),
+                        distributed=distributed)
         sys.stderr.write(
             f":: Stats: no change: {stats['nochange']}\n"
             f"         no barcode: {stats['nobucket']}\n"
@@ -271,6 +291,14 @@ def main(argv=None) -> int:
                              "device batches instead of coalescing small "
                              "buckets (coalescing keeps per-bucket "
                              "outputs, MI namespaces and resume)")
+        ap.add_argument("--coordinator", default=None,
+                        help="multi-host: jax.distributed coordinator "
+                             "address host:port (implies --shard/"
+                             "--nshards from the process topology)")
+        ap.add_argument("--nprocs", type=int, default=None,
+                        help="multi-host: total number of processes")
+        ap.add_argument("--procid", type=int, default=None,
+                        help="multi-host: this process's id (0-based)")
         ap.add_argument("--shard", type=int, default=None,
                         help="this host's shard id (0-based)")
         ap.add_argument("--nshards", type=int, default=None,
@@ -334,6 +362,19 @@ def main(argv=None) -> int:
             sys.stderr.write(f"error: invalid platform name: '{a.platform}'\n")
             return 1
 
+        if a.coordinator is not None:
+            # multi-host -x: one jax process per host; bucket shards
+            # default to the process topology (SURVEY §5.8: buckets over
+            # DCN, batches over the host's local chips via ICI)
+            from ema_tpu.parallel.distrib import init_distributed
+            pid, pcount = init_distributed(a.coordinator, a.nprocs,
+                                           a.procid)
+            if a.nshards is None:
+                a.shard, a.nshards = pid, pcount
+            if a.out and a.nshards > 1:
+                from ema_tpu.parallel.distrib import shard_path
+                a.out = shard_path(a.out, a.shard or 0, a.nshards)
+
         import time
 
         from ema_tpu import io as io_mod
@@ -355,7 +396,8 @@ def main(argv=None) -> int:
                                aligner=aligner_params,
                                apply_density_opt=a.dens,
                                inflight_chunks=max(a.threads, 1),
-                               device_em=a.device_em, nobc=a.nobc)
+                               device_em=True if a.device_em else None,
+                               nobc=a.nobc)
         from ema_tpu.index import ShardedIndex
         if isinstance(idx, ShardedIndex):
             from ema_tpu.core.pipeline import ShardedAligner

@@ -137,7 +137,11 @@ class AlignerParams:
     #              Exact reference seeding parity; on repeat-heavy
     #              genomes it is also ~2x faster end-to-end (fewer junk
     #              hits), and it overlaps with device SW given cores.
-    seeding: str = "greedy"
+    #   None     — auto: smem on multi-core hosts (reference parity AND
+    #              faster given threads, NOTES round-2 measurements),
+    #              greedy on single-core hosts where the C++ seeder
+    #              would starve the device.
+    seeding: Optional[str] = None
     seed_len: int = 19
     seed_stride: int = 7
     split_width: int = 10       # BWA opt->split_width (re-seed occ gate)
@@ -176,7 +180,8 @@ class RunConfig:
                                         # 9310 pairs/s vs 4096/3 = 7717 —
                                         # smaller chunks + deeper overlap
                                         # hide device latency best)
-    device_em: bool = False             # run EM iterations on device
+    device_em: Optional[bool] = None    # run EM on device (auto: True on
+                                        # TPU backends, False on CPU)
     data_parallel_chips: bool = True    # shard device calls over all local
                                         # chips (auto-off with one device)
     nobc: bool = False                  # no-barcode mode: each pair is its

@@ -91,21 +91,33 @@ def _orient_device(spad, slpad):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "w_max", "match", "mismatch", "gap_open", "gap_extend", "clip",
-    "use_pallas"))
+    "w_max", "w_band", "match", "mismatch", "gap_open", "gap_extend",
+    "clip", "sw_impl"))
 def _gather_score(text, oriented, olens, owners, win_lo, win_len, *,
-                  w_max, match, mismatch, gap_open, gap_extend, clip,
-                  use_pallas=False):
-    """Gather reads + ref windows on device, then batched SW scoring."""
+                  w_max, w_band, match, mismatch, gap_open, gap_extend,
+                  clip, sw_impl="banded"):
+    """Gather reads + ref windows on device, then batched SW scoring.
+
+    Window columns outside the text mask to sentinel 5 (win_lo may be
+    negative at a contig start — ops/chaining.py keeps window diagonals
+    >= 0 that way, the banded kernel's corridor invariant).
+    """
     n = text.shape[0]
     reads = oriented[owners].astype(jnp.int32)
     rlens = olens[owners]
-    cols = jnp.minimum(
-        win_lo[:, None] + jnp.arange(w_max, dtype=jnp.int32), n - 1)
-    wins = text[cols].astype(jnp.int32)
-    if use_pallas:
-        from ema_tpu.ops.sw_pallas import sw_score_batch_pallas
-        sw_fn = sw_score_batch_pallas
+    cols = win_lo[:, None] + jnp.arange(w_max, dtype=jnp.int32)
+    gathered = text[jnp.clip(cols, 0, n - 1)].astype(jnp.int32)
+    wins = jnp.where((cols < 0) | (cols >= n), 5, gathered)
+    if sw_impl == "banded16":
+        from ema_tpu.ops.sw_pallas import sw_score_banded_pallas16
+        sw_fn = functools.partial(sw_score_banded_pallas16,
+                                  w_band=w_band)
+    elif sw_impl == "banded_pallas":
+        from ema_tpu.ops.sw_pallas import sw_score_banded_pallas
+        sw_fn = functools.partial(sw_score_banded_pallas, w_band=w_band)
+    elif sw_impl == "banded":
+        from ema_tpu.ops.sw import sw_score_banded
+        sw_fn = functools.partial(sw_score_banded, w_band=w_band)
     else:
         sw_fn = sw_score_batch
     return sw_fn(reads, rlens, wins, win_len,
@@ -132,13 +144,17 @@ class ReadBatch:
         for i in range(P):
             seqs.extend((seq1[i], seq2[i]))
             quals.extend((qual1[i], qual2[i]))
-        L = max((len(s) for s in seqs), default=1)
+        # vectorized code-matrix fill: one blob decode + scatter (the
+        # per-read loop dominated host time at bench shapes)
+        lens = np.fromiter((len(s) for s in seqs), np.int32, 2 * P)
+        L = max(int(lens.max()) if P else 1, 1)
         codes = np.full((2 * P, L), 4, np.uint8)
-        lens = np.zeros(2 * P, np.int32)
-        for r, s in enumerate(seqs):
-            b = np.frombuffer(s.encode(), np.uint8)
-            codes[r, :len(b)] = _BASE_LUT[b]
-            lens[r] = len(b)
+        if P:
+            flat = np.frombuffer("".join(seqs).encode(), np.uint8)
+            rows = np.repeat(np.arange(2 * P), lens)
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            cols = np.arange(flat.shape[0]) - np.repeat(starts, lens)
+            codes[rows, cols] = _BASE_LUT[flat]
         return cls(list(ids), np.asarray(bcs, np.uint64), seqs, quals,
                    codes, lens)
 
@@ -174,6 +190,21 @@ class Aligner:
         ensure_backend()
         self.index = index
         self.cfg = cfg or config.RunConfig()
+        # resolve auto defaults: smem seeding on multi-core hosts (the
+        # reference's own seeding semantics AND faster given threads —
+        # bwabridge.c:236-237, NOTES round-2 measurements), device EM on
+        # TPU backends
+        import os as _os
+        _dc = dataclasses
+        if self.cfg.aligner.seeding is None or self.cfg.device_em is None:
+            seeding = self.cfg.aligner.seeding or (
+                "smem" if (_os.cpu_count() or 1) > 1 else "greedy")
+            device_em = self.cfg.device_em
+            if device_em is None:
+                device_em = jax.default_backend() in ("tpu", "axon")
+            self.cfg = _dc.replace(
+                self.cfg, device_em=device_em,
+                aligner=_dc.replace(self.cfg.aligner, seeding=seeding))
         self.fma = fmindex.FMIndexArrays.from_index(index)
         self.text_dev = jnp.asarray(index.text)   # device-resident genome
         import threading
@@ -185,7 +216,7 @@ class Aligner:
         # replay (utils/replay.ReplayWriter.add); called from chunk
         # workers, so a sink must be thread-safe
         self.replay_sink = None
-        self._use_pallas = self._probe_pallas()
+        self._sw_impl = self._probe_sw_impl()
         self._init_mesh()
 
     def _init_mesh(self) -> None:
@@ -218,27 +249,35 @@ class Aligner:
         return jnp.asarray(x)
 
     @staticmethod
-    def _probe_pallas() -> bool:
-        """Opt-in Pallas SW kernel (EMA_TPU_PALLAS_SW=1).
+    def _probe_sw_impl() -> str:
+        """Pick the SW scorer implementation.
 
-        The Pallas wavefront wins over the XLA scan from ~16k candidate
-        pairs per call (5.8 vs 3.6 Gcell/s); at this pipeline's default
-        chunking both are equal and the scan compiles much faster, so the
-        scan is the default.
+        Default: the banded row-sweep (ops/sw.sw_score_banded), as the
+        int16 Pallas kernel on TPU and as the XLA scan elsewhere —
+        measured on a v5e chip the banded Pallas kernels beat the old
+        anti-diagonal scan ~2-3x at pipeline shapes (tools/bench_sw.py).
+        Override with EMA_TPU_SW_IMPL=scan|banded|banded_pallas|banded16.
         """
         import os
-        if os.environ.get("EMA_TPU_PALLAS_SW") != "1":
-            return False
+        env = os.environ.get("EMA_TPU_SW_IMPL")
+        if env in ("scan", "banded", "banded_pallas", "banded16"):
+            return env
         if jax.default_backend() not in ("tpu", "axon"):
-            return False
-        try:
-            from ema_tpu.ops.sw_pallas import sw_score_batch_pallas
-            sw_score_batch_pallas(
-                jnp.zeros((8, 8), jnp.int32), jnp.full(8, 8, jnp.int32),
-                jnp.zeros((8, 16), jnp.int32), jnp.full(8, 16, jnp.int32))
-            return True
-        except Exception:                        # pragma: no cover
-            return False
+            return "banded"
+        for impl in ("banded16", "banded_pallas"):
+            try:
+                from ema_tpu.ops.sw_pallas import (
+                    sw_score_banded_pallas, sw_score_banded_pallas16)
+                fn = {"banded16": sw_score_banded_pallas16,
+                      "banded_pallas": sw_score_banded_pallas}[impl]
+                fn(jnp.zeros((8, 8), jnp.int32),
+                   jnp.full(8, 8, jnp.int32),
+                   jnp.zeros((8, 144), jnp.int32),
+                   jnp.full(8, 144, jnp.int32), 128)
+                return impl
+            except Exception:                    # pragma: no cover
+                continue
+        return "banded"
 
     # ------------------------------------------------------------------
     # candidate generation
@@ -352,14 +391,14 @@ class Aligner:
 
         # --- device: score all candidate windows -----------------------
         sw = self._score_windows(opad_dev, lpad_dev, co, win_lo, win_len,
-                                 row_map)
+                                 row_map, olens_host=olens)
 
         # --- mate rescue ------------------------------------------------
         ro, rlo, rlen = self._rescue_windows(
             n_reads, olens, co, win_lo, sw["score"], params)
         if ro.shape[0]:
             rsw = self._score_windows(opad_dev, lpad_dev, ro, rlo, rlen,
-                                      row_map)
+                                      row_map, olens_host=olens)
             min_rescue = params.min_seed_len * params.match
             keep_r = rsw["score"] >= min_rescue
             co = np.concatenate([co, ro[keep_r]])
@@ -376,7 +415,7 @@ class Aligner:
             seedcov, weight, sw, params, frac_rep_read)
 
     def _score_windows(self, oriented_dev, olens_dev, owners, win_lo,
-                       win_len, row_map=None):
+                       win_len, row_map=None, olens_host=None):
         """Score candidate (read, window) pairs.
 
         ``oriented_dev``/``olens_dev`` are the device-resident padded read
@@ -398,15 +437,25 @@ class Aligner:
             outs = [self._score_windows(
                         oriented_dev, olens_dev, owners[s:s + SW_CHUNK],
                         win_lo[s:s + SW_CHUNK], win_len[s:s + SW_CHUNK],
-                        row_map)
+                        row_map, olens_host=olens_host)
                     for s in range(0, N, SW_CHUNK)]
             return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+        # banded-corridor width: widest (window - read) diagonal range in
+        # this call, lane-aligned (ops/sw.sw_score_banded) — computed on
+        # LOGICAL oriented ids, before the device-row remap
+        Wmax = _round_up(int(win_len.max()), WIN_BUCKET)
+        if self._sw_impl.startswith("banded") and olens_host is not None:
+            spread = win_len.astype(np.int64) \
+                - olens_host[owners].astype(np.int64)
+            w_band = _round_up(max(int(spread.max()) + 2, 1), 128)
+            w_band = min(w_band, _round_up(Wmax, 128))
+        else:
+            w_band = _round_up(Wmax, 128)
         if row_map is not None:
             n_fw, rpad = row_map
             owners = np.where(owners < n_fw, owners,
                               owners - n_fw + rpad)
         # bucket both the batch and window axes to bound compile shapes
-        Wmax = _round_up(int(win_len.max()), WIN_BUCKET)
         Npad = _round_up(N, CAND_BUCKET)
         own = np.zeros(Npad, np.int32)
         own[:N] = owners
@@ -419,9 +468,10 @@ class Aligner:
             self.text_dev, oriented_dev, olens_dev,
             self._shard_rows(own), self._shard_rows(wlo),
             self._shard_rows(wlen),
-            w_max=Wmax, match=p.match, mismatch=p.mismatch,
+            w_max=Wmax, w_band=w_band, match=p.match,
+            mismatch=p.mismatch,
             gap_open=p.gap_open, gap_extend=p.gap_extend,
-            clip=p.clip_penalty, use_pallas=self._use_pallas)
+            clip=p.clip_penalty, sw_impl=self._sw_impl)
         out = jax.device_get(out)
         return {k: np.asarray(v)[:N] for k, v in out.items()}
 
@@ -455,7 +505,8 @@ class Aligner:
                       g_end - params.pes_high - lb - pad2)
         hi = np.where(fwd, g + params.pes_high + lb + pad2,
                       g_end - params.pes_low + pad2)
-        lo = np.maximum(lo, 0)
+        # lo unclamped: out-of-text columns mask to a sentinel in the
+        # window gathers (keeps window diagonals >= 0 for the banded SW)
         hi = np.minimum(hi, self.index.n)
         rlen = (hi - lo).astype(np.int32)
         ok = rlen > params.min_seed_len
@@ -559,8 +610,10 @@ class Aligner:
             for s in range(0, N_tb, TB_CHUNK):
                 e = min(s + TB_CHUNK, N_tb)
                 Wc = int(win_len[s:e].max())
-                wins_c = idx.text[np.minimum(
-                    win_lo[s:e, None] + np.arange(Wc)[None, :], idx.n - 1)]
+                cols_c = win_lo[s:e, None] + np.arange(Wc)[None, :]
+                wins_c = np.where(
+                    (cols_c < 0) | (cols_c >= idx.n), np.uint8(5),
+                    idx.text[np.clip(cols_c, 0, idx.n - 1)])
                 nat_parts.append(_traceback(
                     oriented[co[s:e]], olens[co[s:e]], wins_c,
                     win_len[s:e], {k: v[s:e] for k, v in sw.items()},
@@ -569,8 +622,9 @@ class Aligner:
                    for k in nat_parts[0]}
         else:
             Wmax = int(win_len.max())
-            wins = idx.text[np.minimum(
-                win_lo[:, None] + np.arange(Wmax)[None, :], idx.n - 1)]
+            cols = win_lo[:, None] + np.arange(Wmax)[None, :]
+            wins = np.where((cols < 0) | (cols >= idx.n), np.uint8(5),
+                            idx.text[np.clip(cols, 0, idx.n - 1)])
             nat = _traceback(oriented[co], olens[co], wins, win_len, sw,
                              params)
 
@@ -593,7 +647,8 @@ class Aligner:
         chrom = idx.contig_of(gpos).astype(np.int32)
         ref_len = _cigar_ref_len(nat["cigars"], nat["n_cigar"])
         ends = gpos + ref_len - 1
-        ok &= (chrom == idx.contig_of(np.maximum(ends, gpos))) & (nat["pos"] >= 0)
+        ok &= (gpos >= 0) & (chrom == idx.contig_of(np.maximum(ends, gpos))) \
+            & (nat["pos"] >= 0)
 
         co, win_lo = co[ok], win_lo[ok]
         seedcov, weight, clip = seedcov[ok], weight[ok], clip[ok]
@@ -983,10 +1038,13 @@ class ShardedAligner(Aligner):
         self.subs = [Aligner(sh, self.cfg) for sh in index.shards]
         for sub in self.subs:
             sub._defer_dist_window = True     # window applied at merge
+        if self.subs:
+            self.cfg = self.subs[0].cfg       # auto defaults resolved
         self._cloud_id = 0
         self._id_lock = threading.Lock()
         self._contig_blob = None
         self._defer_dist_window = False
+        self.replay_sink = None
 
     def generate_candidates(self, batch: ReadBatch) -> CandidateSet:
         css = [sub.generate_candidates(batch) for sub in self.subs]

@@ -311,20 +311,19 @@ def emit_group_lines(res, pool, max_cigar_ops, seqs, quals,
     else:
         lr = np.where(mapped, 1, 2).astype(np.int32)
 
-    # string blobs: names per row; seq/qual row = pair*2 + mate#
-    name_list = []
-    seq_list = []
-    qual_list = []
-    for k in range(M):
-        if rec[k] >= 0:
-            src = int(rec[k])
-            row = int(R["pair"][src]) * 2 + int(R["mate"][src])
-        else:
-            src = int(mate[k])
-            row = int(R["pair"][src]) * 2 + (1 - int(R["mate"][src]))
-        name_list.append(str(RI[src]))
-        seq_list.append(seqs[row])
-        qual_list.append(quals[row])
+    # string blobs: names per row; seq/qual row = pair*2 + mate# —
+    # vectorized source/row selection, strings gathered via object-array
+    # fancy indexing (no per-record Python bookkeeping)
+    is_rec = rec >= 0
+    src_v = np.where(is_rec, rec, mate).astype(np.int64)
+    mate_col = R["mate"][src_v].astype(np.int64)
+    row_v = (R["pair"][src_v].astype(np.int64) * 2
+             + np.where(is_rec, mate_col, 1 - mate_col))
+    name_list = RI[src_v].tolist()
+    seq_arr = np.asarray(seqs, dtype=object)
+    qual_arr = np.asarray(quals, dtype=object)
+    seq_list = seq_arr[row_v].tolist()
+    qual_list = qual_arr[row_v].tolist()
     names_blob = "".join(name_list).encode()
     seqs_blob = "".join(seq_list).encode()
     quals_blob = "".join(qual_list).encode()

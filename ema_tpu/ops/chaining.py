@@ -121,7 +121,11 @@ def chain_hits(owner: np.ndarray, qb: np.ndarray, seed_len: np.ndarray,
     anchor = c_anchor[keep]
     d_lo = np.maximum(c_diag_min[keep], anchor - band_width)
     d_hi = np.minimum(c_diag_max[keep], anchor + band_width)
-    lo = np.maximum(d_lo - pad, 0)
+    # lo may go NEGATIVE at the text start: window gathers mask
+    # out-of-text columns to a sentinel, which keeps every chained
+    # alignment's window diagonal j - i >= pad >= 0 — the invariant the
+    # banded row-sweep SW kernel needs (ops/sw.sw_score_banded)
+    lo = d_lo - pad
     hi = np.minimum(d_hi + rl + pad, text_len)
 
     return Candidates(

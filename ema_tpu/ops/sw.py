@@ -166,3 +166,127 @@ def sw_score_batch(reads: jax.Array, read_lens: jax.Array,
         "qe": bi,
         "ref_end": bd - bi,   # 1-based window col of last aligned ref base
     }
+
+
+@functools.partial(jax.jit, static_argnames=("w_band", "match", "mismatch",
+                                             "gap_open", "gap_extend",
+                                             "clip"))
+def sw_score_banded(reads: jax.Array, read_lens: jax.Array,
+                    refs: jax.Array, ref_lens: jax.Array,
+                    w_band: int,
+                    match: int = 1, mismatch: int = 4,
+                    gap_open: int = 6, gap_extend: int = 1, clip: int = 5):
+    """Banded SW scorer: row sweep over diagonal-offset lanes.
+
+    Same outputs/semantics as sw_score_batch restricted to alignments
+    whose window diagonal j - i lies in [0, w_band) — which the chaining
+    window construction guarantees for every chained hit (ops/chaining.py
+    clamps windows to the chain diagonal range +- pad), mirroring the
+    reference's banded extension (BWA w=100; SURVEY §2.3).
+
+    Complexity: m sequential steps over [B, w_band] lanes (the
+    anti-diagonal sweep needs m+n steps over [B, m] lanes).  The
+    horizontal affine-gap dependency within a row is resolved with a
+    log2(w_band) max-plus prefix scan — exact because a gap chain
+    E->H->E is always dominated by one longer gap (gap_open > 0).
+    """
+    B, m = reads.shape
+    _, n = refs.shape
+    W = w_band
+    reads = reads.astype(jnp.int32)
+    goe = gap_open + gap_extend
+
+    k_idx = jnp.arange(W, dtype=jnp.int32)[None, :]              # [1, W]
+    rl = read_lens[:, None].astype(jnp.int32)
+    nl = ref_lens[:, None].astype(jnp.int32)
+
+    # window cols padded so the per-row slice [i-1, i-1+W) is in-bounds
+    ref_pad = jnp.pad(refs.astype(jnp.int32), ((0, 0), (0, m + W)),
+                      constant_values=5)
+    read_pad = jnp.pad(reads, ((0, 0), (0, 1)), constant_values=4)
+
+    NEGc = jnp.full((B, W), NEG, jnp.int32)
+    zero = jnp.zeros((B, W), jnp.int32)
+
+    def shift_left(x, fill):
+        """x[k] <- x[k+1] (lane k takes its right neighbor)."""
+        return jnp.concatenate(
+            [x[:, 1:], jnp.full((B, 1), fill, jnp.int32)], axis=1)
+
+    def shift_right(x, s, fill):
+        return jnp.concatenate(
+            [jnp.full((B, s), fill, jnp.int32), x[:, :-s]], axis=1)
+
+    ke = k_idx * gap_extend
+
+    def step(carry, i):
+        Hp, Fp, SHp, SFp, bestv, besti, bests = carry
+
+        ref_row = jax.lax.dynamic_slice_in_dim(ref_pad, i - 1, W, axis=1)
+        read_col = jax.lax.dynamic_slice_in_dim(read_pad, i - 1, 1, axis=1)
+        valid = (i <= rl) & (i + k_idx <= nl)
+
+        sub = jnp.where((read_col >= 4) | (ref_row >= 4), -1,
+                        jnp.where(read_col == ref_row, match, -mismatch))
+        fresh = jnp.where(i == 1, 0, -clip)
+        fresh_s = i - 1
+
+        Hd = jnp.maximum(Hp, fresh) + sub
+        Sd = jnp.where(Hp >= fresh, SHp, fresh_s)
+
+        f_open = shift_left(Hp, NEG) - goe
+        f_ext = shift_left(Fp, NEG) - gap_extend
+        F = jnp.maximum(f_open, f_ext)
+        SF = jnp.where(f_open >= f_ext,
+                       shift_left(SHp, 0), shift_left(SFp, 0))
+
+        # horizontal gaps: exclusive max-plus prefix scan over the row
+        H0 = jnp.maximum(Hd, F)
+        S0 = jnp.where(Hd >= F, Sd, SF)
+        A = jnp.where(valid, H0 + ke, NEG)
+        P = shift_right(A, 1, NEG)
+        PS = shift_right(S0, 1, 0)
+        s = 1
+        while s < W:
+            P2 = shift_right(P, s, NEG)
+            PS2 = shift_right(PS, s, 0)
+            PS = jnp.where(P2 > P, PS2, PS)
+            P = jnp.maximum(P, P2)
+            s *= 2
+        E = P - ke - gap_open
+        # merge with the reference tie priority: diag >= horizontal >= vert
+        H = jnp.maximum(H0, E)
+        SH = jnp.where(Hd >= jnp.maximum(E, F), Sd,
+                       jnp.where(E >= F, PS, SF))
+        H = jnp.where(valid, H, NEG)
+        F = jnp.where(valid, F, NEG)
+
+        end_adj = jnp.where(i == rl, 0, -clip)
+        cand = jnp.where(valid, H + end_adj, NEG)
+        improve = cand > bestv
+        bestv = jnp.where(improve, cand, bestv)
+        besti = jnp.where(improve, i, besti)
+        bests = jnp.where(improve, SH, bests)
+
+        return (H, F, SH, SF, bestv, besti, bests), None
+
+    carry0 = (NEGc, NEGc, zero, zero, NEGc, zero, zero)
+    carry, _ = jax.lax.scan(step, carry0,
+                            jnp.arange(1, m + 1, dtype=jnp.int32))
+    bestv, besti, bests = carry[-3:]
+
+    # best lane; ties minimize d = i + j = 2i + k, then i — the order the
+    # ascending-d anti-diagonal sweep produces
+    maxv = jnp.max(bestv, axis=1, keepdims=True)
+    d_key = (2 * besti + k_idx) * 1024 + besti
+    key = jnp.where(bestv == maxv, d_key, jnp.int32(1 << 30))
+    bk = jnp.argmin(key, axis=1).astype(jnp.int32)
+    bi = jnp.take_along_axis(besti, bk[:, None], axis=1)[:, 0]
+    bs = jnp.take_along_axis(bests, bk[:, None], axis=1)[:, 0]
+
+    return {
+        "score": maxv[:, 0],
+        "qb": bs,
+        "qe": bi,
+        "ref_end": bi + bk,
+    }

@@ -225,3 +225,344 @@ def sw_score_batch_auto(reads, read_lens, refs, ref_lens, **kw):
     if use_pallas:
         return sw_score_batch_pallas(reads, read_lens, refs, ref_lens, **kw)
     return sw_scan.sw_score_batch(reads, read_lens, refs, ref_lens, **kw)
+
+
+def _banded_kernel(reads_ref, rlen_ref, refs_ref, nlen_ref, out_ref, *,
+                   m, n_pad, W, match, mismatch, gap_open, gap_extend,
+                   clip):
+    """Banded row-sweep (see sw.sw_score_banded for the recurrences).
+
+    Lanes hold diagonal offsets k = j - i in [0, W); rows i = 1..m run in
+    a fori_loop.  The per-row window slice and read base come from
+    left-rotating VMEM buffers (Mosaic only lowers 128-aligned dynamic
+    lane slices), and the horizontal-gap prefix scan is log2(W) masked
+    rolls.
+    """
+    B = reads_ref.shape[0]
+    goe = gap_open + gap_extend
+
+    k_idx = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+    rl = rlen_ref[:, 0][:, None]
+    nl = nlen_ref[:, 0][:, None]
+    ke = k_idx * gap_extend
+
+    # rolling buffers: lane 0 of read_roll is read[i-1]; lanes [0, W) of
+    # ref_roll are ref[i-1 .. i-1+W)
+    m_pad = _round_up(m + 1, 128)
+    reads = reads_ref[:].astype(jnp.int32)
+    read_roll0 = jnp.concatenate(
+        [reads, jnp.full((B, m_pad - m), 4, jnp.int32)], axis=1)
+    rlane0 = jax.lax.broadcasted_iota(jnp.int32, (B, m_pad), 1) == 0
+    ref_roll0 = refs_ref[:].astype(jnp.int32)
+
+    def shift_left(x, fill):
+        r = pltpu.roll(x, shift=W - 1, axis=1)
+        return jnp.where(k_idx == W - 1, fill, r)
+
+    def shift_right(x, s, fill):
+        r = pltpu.roll(x, shift=s, axis=1)
+        return jnp.where(k_idx < s, fill, r)
+
+    zero = jnp.zeros((B, W), jnp.int32)
+    negv = zero + NEG
+    carry0 = (negv, negv, zero, zero,          # Hp, Fp, SHp, SFp
+              negv, zero, zero,                # bestv, besti, bests
+              read_roll0, ref_roll0)
+
+    def step(i, carry):
+        (Hp, Fp, SHp, SFp, bestv, besti, bests,
+         read_roll, ref_roll) = carry
+
+        read_col = jnp.sum(jnp.where(rlane0, read_roll, 0), axis=1,
+                           keepdims=True, dtype=jnp.int32)
+        ref_row = ref_roll[:, :W]
+        valid = (i <= rl) & (i + k_idx <= nl)
+
+        sub = jnp.where((read_col >= 4) | (ref_row >= 4), -1,
+                        jnp.where(read_col == ref_row, match, -mismatch))
+        fresh = jnp.where(i == 1, 0, -clip)
+
+        Hd = jnp.maximum(Hp, fresh) + sub
+        Sd = jnp.where(Hp >= fresh, SHp, i - 1)
+
+        f_open = shift_left(Hp, NEG) - goe
+        f_ext = shift_left(Fp, NEG) - gap_extend
+        F = jnp.maximum(f_open, f_ext)
+        SF = jnp.where(f_open >= f_ext,
+                       shift_left(SHp, 0), shift_left(SFp, 0))
+
+        H0 = jnp.maximum(Hd, F)
+        S0 = jnp.where(Hd >= F, Sd, SF)
+        A = jnp.where(valid, H0 + ke, NEG)
+        P = shift_right(A, 1, NEG)
+        PS = shift_right(S0, 1, 0)
+        s = 1
+        while s < W:
+            P2 = shift_right(P, s, NEG)
+            PS2 = shift_right(PS, s, 0)
+            PS = jnp.where(P2 > P, PS2, PS)
+            P = jnp.maximum(P, P2)
+            s *= 2
+        E = P - ke - gap_open
+        H = jnp.maximum(H0, E)
+        SH = jnp.where(Hd >= jnp.maximum(E, F), Sd,
+                       jnp.where(E >= F, PS, SF))
+        H = jnp.where(valid, H, NEG)
+        F = jnp.where(valid, F, NEG)
+
+        end_adj = jnp.where(i == rl, 0, -clip)
+        cand = jnp.where(valid, H + end_adj, NEG)
+        improve = cand > bestv
+        bestv = jnp.where(improve, cand, bestv)
+        besti = jnp.where(improve, i, besti)
+        bests = jnp.where(improve, SH, bests)
+
+        read_roll = pltpu.roll(read_roll, shift=m_pad - 1, axis=1)
+        ref_roll = pltpu.roll(ref_roll, shift=n_pad - 1, axis=1)
+        return (H, F, SH, SF, bestv, besti, bests, read_roll, ref_roll)
+
+    carry = jax.lax.fori_loop(1, m + 1, step, carry0)
+    bestv, besti, bests = carry[4:7]
+
+    maxv = jnp.max(bestv, axis=1, keepdims=True)
+    d_key = (2 * besti + k_idx) * 1024 + besti
+    key = jnp.where(bestv == maxv, d_key, jnp.int32(1 << 30))
+    minkey = jnp.min(key, axis=1, keepdims=True)
+    bk = jnp.min(jnp.where(key == minkey, k_idx, W), axis=1)
+    sel = k_idx == bk[:, None]
+    bi = jnp.sum(jnp.where(sel, besti, 0), axis=1, dtype=jnp.int32)
+    bs = jnp.sum(jnp.where(sel, bests, 0), axis=1, dtype=jnp.int32)
+
+    out_ref[:, 0] = maxv[:, 0]
+    out_ref[:, 1] = bs
+    out_ref[:, 2] = bi
+    out_ref[:, 3] = bi + bk
+    out_ref[:, 4:] = jnp.zeros((B, 4), jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "w_band", "match", "mismatch", "gap_open", "gap_extend", "clip",
+    "interpret"))
+def sw_score_banded_pallas(reads, read_lens, refs, ref_lens, w_band,
+                           match: int = 1, mismatch: int = 4,
+                           gap_open: int = 6, gap_extend: int = 1,
+                           clip: int = 5, interpret: bool = False):
+    """Pallas banded SW scorer; drop-in for sw.sw_score_banded."""
+    B, m = reads.shape
+    _, n = refs.shape
+    W = w_band
+    assert W % 128 == 0, "w_band must be lane-aligned"
+    n_pad = _round_up(m + W, 128)
+    Bp = _round_up(max(B, 1), TILE_B)
+    reads = jnp.pad(reads.astype(jnp.int32), ((0, Bp - B), (0, 0)),
+                    constant_values=4)
+    refs = jnp.pad(refs.astype(jnp.int32),
+                   ((0, Bp - B), (0, n_pad - n)), constant_values=5)
+    read_lens = jnp.pad(read_lens.astype(jnp.int32), (0, Bp - B))
+    ref_lens = jnp.pad(ref_lens.astype(jnp.int32), (0, Bp - B))
+
+    kernel = functools.partial(
+        _banded_kernel, m=m, n_pad=n_pad, W=W, match=match,
+        mismatch=mismatch, gap_open=gap_open, gap_extend=gap_extend,
+        clip=clip)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Bp // TILE_B,),
+        in_specs=[
+            pl.BlockSpec((TILE_B, m), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B, n_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_B, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, 8), jnp.int32),
+        interpret=interpret,
+    )(reads, read_lens[:, None], refs, ref_lens[:, None])
+
+    return {
+        "score": out[:B, 0],
+        "qb": out[:B, 1],
+        "qe": out[:B, 2],
+        "ref_end": out[:B, 3],
+    }
+
+
+NEG16 = -16384   # int16 sentinel; worst-case per-row decrements stay > -32768
+
+
+def _banded_kernel16(reads_ref, rlen_ref, refs_ref, nlen_ref, out_ref, *,
+                     m, n_pad, W, match, mismatch, gap_open, gap_extend,
+                     clip):
+    """int16 variant of _banded_kernel: scores/trackers fit comfortably
+    in int16 (|score| <= read_len * match + slack; positions <= 512),
+    which doubles VPU lanes per op.  The final cross-lane reduce runs in
+    int32 (the tie key exceeds int16)."""
+    B = reads_ref.shape[0]
+    i16 = jnp.int16
+    goe = jnp.int16(gap_open + gap_extend)
+    ge = jnp.int16(gap_extend)
+    go = jnp.int16(gap_open)
+    mt = jnp.int16(match)
+    mm = jnp.int16(mismatch)
+    cl = jnp.int16(clip)
+    neg = jnp.int16(NEG16)
+
+    k_idx = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+    rl = rlen_ref[:, 0][:, None].astype(jnp.int32)
+    nl = nlen_ref[:, 0][:, None].astype(jnp.int32)
+    ke = (k_idx * gap_extend).astype(i16)
+
+    m_pad = _round_up(m + 1, 128)
+    reads = reads_ref[:].astype(i16)
+    read_roll0 = jnp.concatenate(
+        [reads, jnp.full((B, m_pad - m), 4, i16)], axis=1)
+    rlane0 = jax.lax.broadcasted_iota(jnp.int32, (B, m_pad), 1) == 0
+    ref_roll0 = refs_ref[:].astype(i16)
+
+    def shift_left(x, fill):
+        r = pltpu.roll(x, shift=W - 1, axis=1)
+        return jnp.where(k_idx == W - 1, fill, r)
+
+    def shift_right(x, s, fill):
+        r = pltpu.roll(x, shift=s, axis=1)
+        return jnp.where(k_idx < s, fill, r)
+
+    zero = jnp.zeros((B, W), i16)
+    negv = zero + neg
+    carry0 = (negv, negv, zero, zero,
+              negv, zero, zero,
+              read_roll0, ref_roll0)
+
+    def step(i, carry):
+        (Hp, Fp, SHp, SFp, bestv, besti, bests,
+         read_roll, ref_roll) = carry
+
+        read_col = jnp.sum(
+            jnp.where(rlane0, read_roll, 0), axis=1, keepdims=True,
+            dtype=jnp.int32).astype(i16)
+        ref_row = ref_roll[:, :W]
+        valid = (i <= rl) & (i + k_idx <= nl)
+
+        sub = jnp.where((read_col >= 4) | (ref_row >= 4), jnp.int16(-1),
+                        jnp.where(read_col == ref_row, mt, -mm))
+        fresh = jnp.where(i == 1, jnp.int16(0), -cl)
+        i16_i = jnp.int16(0) + i.astype(i16)
+
+        Hd = jnp.maximum(Hp, fresh) + sub
+        Sd = jnp.where(Hp >= fresh, SHp, i16_i - 1)
+
+        f_open = shift_left(Hp, neg) - goe
+        f_ext = shift_left(Fp, neg) - ge
+        F = jnp.maximum(f_open, f_ext)
+        SF = jnp.where(f_open >= f_ext,
+                       shift_left(SHp, jnp.int16(0)),
+                       shift_left(SFp, jnp.int16(0)))
+
+        H0 = jnp.maximum(Hd, F)
+        S0 = jnp.where(Hd >= F, Sd, SF)
+        A = jnp.where(valid, H0 + ke, neg)
+        P = shift_right(A, 1, neg)
+        PS = shift_right(S0, 1, jnp.int16(0))
+        s = 1
+        while s < W:
+            P2 = shift_right(P, s, neg)
+            PS2 = shift_right(PS, s, jnp.int16(0))
+            PS = jnp.where(P2 > P, PS2, PS)
+            P = jnp.maximum(P, P2)
+            s *= 2
+        E = P - ke - go
+        H = jnp.maximum(H0, E)
+        SH = jnp.where(Hd >= jnp.maximum(E, F), Sd,
+                       jnp.where(E >= F, PS, SF))
+        H = jnp.where(valid, H, neg)
+        F = jnp.where(valid, F, neg)
+
+        end_adj = jnp.where(i == rl, jnp.int16(0), -cl)
+        cand = jnp.where(valid, H + end_adj, neg)
+        improve = cand > bestv
+        bestv = jnp.where(improve, cand, bestv)
+        besti = jnp.where(improve, i16_i, besti)
+        bests = jnp.where(improve, SH, bests)
+
+        read_roll = pltpu.roll(read_roll, shift=m_pad - 1, axis=1)
+        ref_roll = pltpu.roll(ref_roll, shift=n_pad - 1, axis=1)
+        return (H, F, SH, SF, bestv, besti, bests, read_roll, ref_roll)
+
+    carry = jax.lax.fori_loop(1, m + 1, step, carry0)
+    bestv, besti, bests = (c.astype(jnp.int32) for c in carry[4:7])
+
+    maxv = jnp.max(bestv, axis=1, keepdims=True)
+    d_key = (2 * besti + k_idx) * 1024 + besti
+    key = jnp.where(bestv == maxv, d_key, jnp.int32(1 << 30))
+    minkey = jnp.min(key, axis=1, keepdims=True)
+    bk = jnp.min(jnp.where(key == minkey, k_idx, W), axis=1)
+    sel = k_idx == bk[:, None]
+    bi = jnp.sum(jnp.where(sel, besti, 0), axis=1, dtype=jnp.int32)
+    bs = jnp.sum(jnp.where(sel, bests, 0), axis=1, dtype=jnp.int32)
+
+    out_ref[:, 0] = maxv[:, 0]
+    out_ref[:, 1] = bs
+    out_ref[:, 2] = bi
+    out_ref[:, 3] = bi + bk
+    out_ref[:, 4:] = jnp.zeros((B, 4), jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "w_band", "match", "mismatch", "gap_open", "gap_extend", "clip",
+    "interpret"))
+def sw_score_banded_pallas16(reads, read_lens, refs, ref_lens, w_band,
+                             match: int = 1, mismatch: int = 4,
+                             gap_open: int = 6, gap_extend: int = 1,
+                             clip: int = 5, interpret: bool = False):
+    """int16 Pallas banded SW scorer (NEG reported as the int32 NEG so
+    outputs remain drop-in comparable)."""
+    B, m = reads.shape
+    _, n = refs.shape
+    W = w_band
+    assert W % 128 == 0
+    n_pad = _round_up(m + W, 128)
+    Bp = _round_up(max(B, 1), TILE_B)
+    reads = jnp.pad(reads.astype(jnp.int16), ((0, Bp - B), (0, 0)),
+                    constant_values=4)
+    refs = jnp.pad(refs.astype(jnp.int16),
+                   ((0, Bp - B), (0, n_pad - n)), constant_values=5)
+    read_lens = jnp.pad(read_lens.astype(jnp.int32), (0, Bp - B))
+    ref_lens = jnp.pad(ref_lens.astype(jnp.int32), (0, Bp - B))
+
+    kernel = functools.partial(
+        _banded_kernel16, m=m, n_pad=n_pad, W=W, match=match,
+        mismatch=mismatch, gap_open=gap_open, gap_extend=gap_extend,
+        clip=clip)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Bp // TILE_B,),
+        in_specs=[
+            pl.BlockSpec((TILE_B, m), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B, n_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_B, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, 8), jnp.int32),
+        interpret=interpret,
+    )(reads, read_lens[:, None], refs, ref_lens[:, None])
+
+    score = out[:B, 0]
+    # normalize the int16 sentinel to the common NEG for no-alignment rows
+    score = jnp.where(score <= NEG16 // 2, NEG, score)
+    return {
+        "score": score,
+        "qb": out[:B, 1],
+        "qe": out[:B, 2],
+        "ref_end": out[:B, 3],
+    }

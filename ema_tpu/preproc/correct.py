@@ -221,12 +221,24 @@ def _reduce_neighbors(nb_bc, nb_p, nb_valid):
 def correct(whitelist_path: str, input_prefixes: List[str], output_dir: str,
             stream, do_h2: bool = False, do_bx_format: bool = False,
             n_buckets: int = config.DEFAULT_N_BUCKETS,
-            is_haplotag: bool = False, n_threads: int = 1) -> dict:
+            is_haplotag: bool = False, n_threads: int = 1,
+            distributed: bool = False) -> dict:
     """Run the full preproc stage; returns stats.
 
     ``n_threads`` > 1 corrects fcnt blocks in a thread pool (the numpy
     neighbor math releases the GIL) — the analog of the reference's
     std::thread chunks (correct.cc:244-261); merging stays sequential.
+
+    ``distributed``: multi-host mode (one jax process per host, each
+    given only its LOCAL count outputs and FASTQ chunk).  Whitelist
+    priors and per-barcode read totals are summed across processes with
+    in-network allreduces (parallel/distrib.allreduce_counts), so the
+    H1/H2 decisions and the greedy bucket assignment are globally
+    identical — every host routes a given barcode to the same bucket
+    index, and per-host bucket files concatenate into the exact logical
+    buckets a single-process run produces.  This replaces the
+    reference's single-host preproc reading every .ema-ncnt from disk
+    (correct.cc:288-337; SURVEY §5.8 (i)).
     """
     os.makedirs(output_dir, exist_ok=True)
     if is_haplotag:
@@ -247,6 +259,9 @@ def correct(whitelist_path: str, input_prefixes: List[str], output_dir: str,
                               else prefix + ".ema-ncnt")
         idxc, hit = lookup_sorted(wl, bcs)
         np.add.at(prior_counts, idxc[hit], cnts[hit])
+    if distributed:
+        from ema_tpu.parallel.distrib import allreduce_counts
+        prior_counts = allreduce_counts(prior_counts)
     total_counts = (prior_counts + 1.0).sum()
     priors = (prior_counts + 1.0) / total_counts
 
@@ -298,6 +313,10 @@ def correct(whitelist_path: str, input_prefixes: List[str], output_dir: str,
     else:
         for kc in all_blocks():
             merge(*run_one(kc))
+
+    if distributed:
+        from ema_tpu.parallel.distrib import allreduce_counts
+        n_reads_per_bc = allreduce_counts(n_reads_per_bc)
 
     # 3. greedy bucket assignment (correct.cc:389-412): every whitelist
     # barcode, visited in the reference's map-iteration order over the

@@ -1,0 +1,158 @@
+"""Banded row-sweep SW scorer vs the anti-diagonal scan and a numpy DP.
+
+Two oracles:
+  1. planted in-corridor alignments: the banded kernel must equal
+     sw_score_batch exactly (the corridor covers every alignment the
+     chaining window was built for);
+  2. a direct numpy banded DP on random inputs (exact recurrences,
+     including the max-plus prefix-scan equivalence for horizontal gaps).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ema_tpu.ops import sw
+
+
+def _np_banded(reads, rlens, refs, nlens, W, match=1, mismatch=4,
+               go=6, ge=1, clip=5):
+    """Reference banded DP (cell-by-cell, with full E recurrence)."""
+    B, m = reads.shape
+    NEG = -(1 << 28)
+    out = {k: np.zeros(B, np.int32) for k in ("score", "qb", "qe",
+                                              "ref_end")}
+    out["score"][:] = NEG
+    for b in range(B):
+        rl, nl = int(rlens[b]), int(nlens[b])
+        H = np.full((rl + 1, W + 2), NEG, np.int64)   # H[i][k]
+        F = np.full_like(H, NEG)
+        SH = np.zeros_like(H)
+        SF = np.zeros_like(H)
+        best = (NEG, 0, 0, 0, 0)   # score, d, i, start, k
+        for i in range(1, rl + 1):
+            E = NEG
+            SE = 0
+            for k in range(W):
+                j = i + k
+                if j > nl:
+                    break
+                rc = reads[b, i - 1]
+                fc = refs[b, j - 1]
+                s = -1 if (rc >= 4 or fc >= 4) else \
+                    (match if rc == fc else -mismatch)
+                fresh = 0 if i == 1 else -clip
+                hp = H[i - 1][k]
+                hd = max(hp, fresh) + s
+                sd = SH[i - 1][k] if hp >= fresh else i - 1
+                fo = H[i - 1][k + 1] - go - ge
+                fe = F[i - 1][k + 1] - ge
+                f = max(fo, fe)
+                sf = SH[i - 1][k + 1] if fo >= fe else SF[i - 1][k + 1]
+                h = max(hd, E, f)
+                sh = sd if hd >= max(E, f) else (SE if E >= f else sf)
+                H[i][k] = h
+                F[i][k] = f
+                SH[i][k] = sh
+                SF[i][k] = sf
+                adj = h + (0 if i == rl else -clip)
+                cand = (adj, 2 * i + k, i, sh, k)
+                if cand[0] > best[0] or (
+                        cand[0] == best[0]
+                        and (cand[1], cand[2]) < (best[1], best[2])):
+                    best = cand
+                # E for the NEXT k in this row opens from this full H
+                eo = h - go - ge
+                ee = E - ge
+                if eo >= ee:
+                    E, SE = eo, sh
+                else:
+                    E = ee
+        out["score"][b] = best[0]
+        out["qb"][b] = best[3]
+        out["qe"][b] = best[2]
+        out["ref_end"][b] = best[2] + best[4]
+    return out
+
+
+def _run_banded(reads, rlens, refs, nlens, W):
+    o = sw.sw_score_banded(jnp.asarray(reads), jnp.asarray(rlens),
+                           jnp.asarray(refs), jnp.asarray(nlens), W)
+    return {k: np.asarray(v) for k, v in o.items()}
+
+
+class TestBandedVsNumpy:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_random_exact(self, seed):
+        rng = np.random.default_rng(seed)
+        B, m, n, W = 16, 40, 96, 64
+        reads = rng.integers(0, 4, (B, m)).astype(np.int32)
+        refs = rng.integers(0, 4, (B, n)).astype(np.int32)
+        rlens = rng.integers(20, m + 1, B).astype(np.int32)
+        nlens = rng.integers(50, n + 1, B).astype(np.int32)
+        # plant partial copies so positive alignments exist
+        for b in range(B):
+            off = rng.integers(0, 30)
+            ln = min(int(rlens[b]), int(nlens[b]) - off)
+            refs[b, off:off + ln] = reads[b, :ln]
+            if rng.random() < 0.7:
+                p = rng.integers(0, ln)
+                refs[b, off + p] = (refs[b, off + p] + 1) % 4
+        got = _run_banded(reads, rlens, refs, nlens, W)
+        want = _np_banded(reads, rlens, refs, nlens, W)
+        for k in ("score", "qb", "qe", "ref_end"):
+            np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+    def test_with_ns_and_indels(self):
+        rng = np.random.default_rng(9)
+        B, m, n, W = 12, 50, 128, 96
+        reads = rng.integers(0, 4, (B, m)).astype(np.int32)
+        refs = rng.integers(0, 4, (B, n)).astype(np.int32)
+        rlens = np.full(B, m, np.int32)
+        nlens = np.full(B, n, np.int32)
+        for b in range(B):
+            r = list(reads[b, :m])
+            # indel: delete/insert a block in the planted copy
+            cut = rng.integers(10, 30)
+            gap = rng.integers(1, 6)
+            if b % 2:
+                planted = r[:cut] + r[cut + gap:]
+            else:
+                planted = r[:cut] + list(rng.integers(0, 4, gap)) + r[cut:]
+            off = rng.integers(0, 20)
+            ln = min(len(planted), n - off)
+            refs[b, off:off + ln] = planted[:ln]
+        reads[3, 7] = 4   # N in read
+        refs[5, 30] = 4   # N in ref
+        got = _run_banded(reads, rlens, refs, nlens, W)
+        want = _np_banded(reads, rlens, refs, nlens, W)
+        for k in ("score", "qb", "qe", "ref_end"):
+            np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+
+class TestBandedVsUnbanded:
+    def test_in_corridor_equals_unbanded(self):
+        """When every optimal alignment's diagonal is in [0, W), banded
+        and anti-diagonal kernels agree exactly."""
+        rng = np.random.default_rng(4)
+        B, m = 24, 60
+        W = 64
+        n = m + W - 1   # corridor covers the whole window
+        reads = rng.integers(0, 4, (B, m)).astype(np.int32)
+        refs = rng.integers(0, 4, (B, n)).astype(np.int32)
+        rlens = rng.integers(40, m + 1, B).astype(np.int32)
+        nlens = np.full(B, n, np.int32)
+        for b in range(B):
+            off = rng.integers(0, W - 8)
+            ln = min(int(rlens[b]), n - off)
+            refs[b, off:off + ln] = reads[b, :ln]
+            for _ in range(rng.integers(0, 3)):
+                p = rng.integers(0, ln)
+                refs[b, off + p] = (refs[b, off + p] + rng.integers(1, 4)) % 4
+        got = _run_banded(reads, rlens, refs, nlens, W)
+        want = {k: np.asarray(v) for k, v in sw.sw_score_batch(
+            jnp.asarray(reads), jnp.asarray(rlens), jnp.asarray(refs),
+            jnp.asarray(nlens)).items()}
+        for k in ("score", "qb", "qe", "ref_end"):
+            np.testing.assert_array_equal(got[k], want[k], err_msg=k)
