@@ -404,11 +404,15 @@ def main(argv=None) -> int:
             aligner = ShardedAligner(idx, cfg)
         else:
             aligner = Aligner(idx, cfg)
+        if os.environ.get("EMA_TPU_STAGE_TIMERS") == "1":
+            aligner.metrics = met      # publish the host/device split
         cmd = "ema_tpu align " + " ".join(rest)
         header = write_sam_header(idx.names, idx.lengths, rg,
                                   __version__, cmd)
         is_hap = profile.name == "haplotag"
-        bc_len = profile.bc_len or 16
+        # bc_len 0 (tru/cpt) must stay 0: BX decodes to '' -> 'BX:Z:-1',
+        # the reference's own output for these platforms
+        bc_len = profile.bc_len
 
         def align_one_input(path_or_pair, out_fh, cloud_base=None):
             n = 0

@@ -216,6 +216,10 @@ class Aligner:
         # replay (utils/replay.ReplayWriter.add); called from chunk
         # workers, so a sink must be thread-safe
         self.replay_sink = None
+        # optional fine-grained stage timers (utils/metrics.Metrics):
+        # set to publish the host/device time split; chunk workers run
+        # concurrently, so stage sums are thread-seconds, not wall
+        self.metrics = None
         self._sw_impl = self._probe_sw_impl()
         self._init_mesh()
 
@@ -253,10 +257,12 @@ class Aligner:
         """Pick the SW scorer implementation.
 
         Default: the banded row-sweep (ops/sw.sw_score_banded), as the
-        int16 Pallas kernel on TPU and as the XLA scan elsewhere —
-        measured on a v5e chip the banded Pallas kernels beat the old
-        anti-diagonal scan ~2-3x at pipeline shapes (tools/bench_sw.py).
-        Override with EMA_TPU_SW_IMPL=scan|banded|banded_pallas|banded16.
+        Pallas kernel on TPU and as the XLA scan elsewhere — measured on
+        a v5e chip the banded Pallas kernel beats the old anti-diagonal
+        scan ~2x at pipeline shapes (tools/bench_sw.py).  Override with
+        EMA_TPU_SW_IMPL=scan|banded|banded_pallas|banded16.  (banded16
+        stays env-only: Mosaic currently lacks i16 dynamic_rotate, and
+        TPU VPU int16 is not 2x ALU throughput anyway.)
         """
         import os
         env = os.environ.get("EMA_TPU_SW_IMPL")
@@ -264,24 +270,24 @@ class Aligner:
             return env
         if jax.default_backend() not in ("tpu", "axon"):
             return "banded"
-        for impl in ("banded16", "banded_pallas"):
-            try:
-                from ema_tpu.ops.sw_pallas import (
-                    sw_score_banded_pallas, sw_score_banded_pallas16)
-                fn = {"banded16": sw_score_banded_pallas16,
-                      "banded_pallas": sw_score_banded_pallas}[impl]
-                fn(jnp.zeros((8, 8), jnp.int32),
-                   jnp.full(8, 8, jnp.int32),
-                   jnp.zeros((8, 144), jnp.int32),
-                   jnp.full(8, 144, jnp.int32), 128)
-                return impl
-            except Exception:                    # pragma: no cover
-                continue
-        return "banded"
+        try:
+            from ema_tpu.ops.sw_pallas import sw_score_banded_pallas
+            sw_score_banded_pallas(
+                jnp.zeros((8, 8), jnp.int32), jnp.full(8, 8, jnp.int32),
+                jnp.zeros((8, 144), jnp.int32),
+                jnp.full(8, 144, jnp.int32), 128)
+            return "banded_pallas"
+        except Exception:                        # pragma: no cover
+            return "banded"
 
     # ------------------------------------------------------------------
     # candidate generation
     # ------------------------------------------------------------------
+
+    def _mst(self, name: str, n_items: int = 0):
+        import contextlib
+        return (self.metrics.stage(name, n_items) if self.metrics
+                else contextlib.nullcontext())
 
     def generate_candidates(self, batch: ReadBatch) -> CandidateSet:
         params = self.cfg.aligner
@@ -324,24 +330,26 @@ class Aligner:
             # full SMEM enumeration + re-seeding in threaded host C++
             # (bwt_smem1 semantics); overlaps with device SW of the
             # previous in-flight chunk
-            sm = native.smem_seed_batch(
+            with self._mst("seed[smem,host]", n_reads):
+                sm = native.smem_seed_batch(
                 idx.occ_blocks, idx.counts, idx.primary, idx.fm_n,
                 codes, lens,
                 min_seed_len=params.min_seed_len,
                 split_len=int(params.min_seed_len * 1.5 + 0.499),
                 split_width=params.split_width,
-                max_mem_intv=params.max_mem_intv)
-            seed_stack = np.stack(sm[:4]).astype(np.int64)
-            nsd = sm[4]
+                    max_mem_intv=params.max_mem_intv)
+                seed_stack = np.stack(sm[:4]).astype(np.int64)
+                nsd = sm[4]
         else:
             # greedy maximal-suffix chop as a batched device scan over the
             # already-uploaded forward rows
-            s_lo, s_hi, s_qb, s_len, n_seeds = fmindex.seed_reads(
-                self.fma, spad_dev, slpad_dev,
-                max_seeds=16, min_seed_len=params.seed_len)
-            seed_stack = np.asarray(jnp.stack(
-                [s_lo, s_hi, s_qb, s_len]))[:, :n_reads].astype(np.int64)
-            nsd = np.asarray(n_seeds)[:n_reads]
+            with self._mst("seed[device]", n_reads):
+                s_lo, s_hi, s_qb, s_len, n_seeds = fmindex.seed_reads(
+                    self.fma, spad_dev, slpad_dev,
+                    max_seeds=16, min_seed_len=params.seed_len)
+                seed_stack = np.asarray(jnp.stack(
+                    [s_lo, s_hi, s_qb, s_len]))[:, :n_reads].astype(np.int64)
+                nsd = np.asarray(n_seeds)[:n_reads]
 
         # --- host: compact seed hits; device: locate only real rows ------
         # (one small stacked transfer; most SA intervals hold 1-2 rows, so
@@ -359,7 +367,8 @@ class Aligner:
 
         owner, qb, slen, rows_flat = _compact_seed_hits(
             seed_stack, nsd, params.max_hits_per_seed)
-        hp = locate_rows_bucketed(self.fma, rows_flat, self._shard_rows)
+        with self._mst("locate[device]", rows_flat.shape[0]):
+            hp = locate_rows_bucketed(self.fma, rows_flat, self._shard_rows)
 
         # map both-strands hits to (oriented read, forward-text pos):
         # a hit at fm pos p >= n is the reverse strand — the REVCOMP of the
@@ -378,10 +387,11 @@ class Aligner:
                                    tpos[keep])
 
         read_lens2 = olens.astype(np.int64)
-        cands = chaining.chain_hits(
-            owner2, qb2, slen, tpos, 2 * n_reads, read_lens2, idx.n,
-            band_width=params.band_width, pad=WINDOW_PAD,
-            max_candidates=params.max_candidates_per_read)
+        with self._mst("chain[host]", owner2.shape[0]):
+            cands = chaining.chain_hits(
+                owner2, qb2, slen, tpos, 2 * n_reads, read_lens2, idx.n,
+                band_width=params.band_width, pad=WINDOW_PAD,
+                max_candidates=params.max_candidates_per_read)
 
         co = cands.owner
         win_lo = cands.win_lo
@@ -390,15 +400,17 @@ class Aligner:
         weight = cands.weight
 
         # --- device: score all candidate windows -----------------------
-        sw = self._score_windows(opad_dev, lpad_dev, co, win_lo, win_len,
-                                 row_map, olens_host=olens)
+        with self._mst("sw[device]", co.shape[0]):
+            sw = self._score_windows(opad_dev, lpad_dev, co, win_lo,
+                                     win_len, row_map, olens_host=olens)
 
         # --- mate rescue ------------------------------------------------
         ro, rlo, rlen = self._rescue_windows(
             n_reads, olens, co, win_lo, sw["score"], params)
         if ro.shape[0]:
-            rsw = self._score_windows(opad_dev, lpad_dev, ro, rlo, rlen,
-                                      row_map, olens_host=olens)
+            with self._mst("sw[device]", ro.shape[0]):
+                rsw = self._score_windows(opad_dev, lpad_dev, ro, rlo,
+                                          rlen, row_map, olens_host=olens)
             min_rescue = params.min_seed_len * params.match
             keep_r = rsw["score"] >= min_rescue
             co = np.concatenate([co, ro[keep_r]])
@@ -410,9 +422,10 @@ class Aligner:
                 [weight, rsw["score"][keep_r].astype(np.int32)])
             sw = {k: np.concatenate([sw[k], rsw[k][keep_r]]) for k in sw}
 
-        return self._finalize_candidates(
-            batch, oriented, olens, n_reads, co, win_lo, win_len,
-            seedcov, weight, sw, params, frac_rep_read)
+        with self._mst("traceback+finalize[host]", co.shape[0]):
+            return self._finalize_candidates(
+                batch, oriented, olens, n_reads, co, win_lo, win_len,
+                seedcov, weight, sw, params, frac_rep_read)
 
     def _score_windows(self, oriented_dev, olens_dev, owners, win_lo,
                        win_len, row_map=None, olens_host=None):
@@ -828,12 +841,14 @@ class Aligner:
                     recs[s:e], idents[s:e].astype(str), self.cfg.platform,
                     apply_opt=self.cfg.apply_density_opt, rng=rng,
                     n_pairs_in_group=n_pairs))
-            if self.cfg.device_em:
-                # one padded device call for all EM-gated groups
-                groups_mod.run_em_device_batch(states)
-            else:
-                # one padded numpy pass for all EM-gated groups
-                groups_mod.run_em_host_batch(states)
+            with self._mst("em[device]" if self.cfg.device_em
+                           else "em[host]", len(states)):
+                if self.cfg.device_em:
+                    # one padded device call for all EM-gated groups
+                    groups_mod.run_em_device_batch(states)
+                else:
+                    # one padded numpy pass for all EM-gated groups
+                    groups_mod.run_em_host_batch(states)
             for st in states:
                 # reserve a cloud-id range atomically: unlike the
                 # reference's racy static cloud_id++ (align.c:19-23),
@@ -848,8 +863,9 @@ class Aligner:
                     with self._id_lock:
                         base = self._cloud_id
                         self._cloud_id += st.n_clouds
-                res = groups_mod.finish_group(st, base)
-                glines = self._emit_group(batch, res, pool)
+                with self._mst("select+emit[host]", st.n):
+                    res = groups_mod.finish_group(st, base)
+                    glines = self._emit_group(batch, res, pool)
                 if group_sink is not None:
                     group_sink(g_bc, glines)
                 else:

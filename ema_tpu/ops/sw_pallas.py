@@ -342,18 +342,20 @@ def _banded_kernel(reads_ref, rlen_ref, refs_ref, nlen_ref, out_ref, *,
 
 @functools.partial(jax.jit, static_argnames=(
     "w_band", "match", "mismatch", "gap_open", "gap_extend", "clip",
-    "interpret"))
+    "interpret", "tile_b"))
 def sw_score_banded_pallas(reads, read_lens, refs, ref_lens, w_band,
                            match: int = 1, mismatch: int = 4,
                            gap_open: int = 6, gap_extend: int = 1,
-                           clip: int = 5, interpret: bool = False):
+                           clip: int = 5, interpret: bool = False,
+                           tile_b: int = TILE_B):
     """Pallas banded SW scorer; drop-in for sw.sw_score_banded."""
     B, m = reads.shape
     _, n = refs.shape
     W = w_band
     assert W % 128 == 0, "w_band must be lane-aligned"
     n_pad = _round_up(m + W, 128)
-    Bp = _round_up(max(B, 1), TILE_B)
+    TB = tile_b
+    Bp = _round_up(max(B, 1), TB)
     reads = jnp.pad(reads.astype(jnp.int32), ((0, Bp - B), (0, 0)),
                     constant_values=4)
     refs = jnp.pad(refs.astype(jnp.int32),
@@ -367,18 +369,18 @@ def sw_score_banded_pallas(reads, read_lens, refs, ref_lens, w_band,
         clip=clip)
     out = pl.pallas_call(
         kernel,
-        grid=(Bp // TILE_B,),
+        grid=(Bp // TB,),
         in_specs=[
-            pl.BlockSpec((TILE_B, m), lambda i: (i, 0),
+            pl.BlockSpec((TB, m), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_B, 1), lambda i: (i, 0),
+            pl.BlockSpec((TB, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_B, n_pad), lambda i: (i, 0),
+            pl.BlockSpec((TB, n_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_B, 1), lambda i: (i, 0),
+            pl.BlockSpec((TB, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE_B, 8), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((TB, 8), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, 8), jnp.int32),
         interpret=interpret,
@@ -400,17 +402,12 @@ def _banded_kernel16(reads_ref, rlen_ref, refs_ref, nlen_ref, out_ref, *,
                      clip):
     """int16 variant of _banded_kernel: scores/trackers fit comfortably
     in int16 (|score| <= read_len * match + slack; positions <= 512),
-    which doubles VPU lanes per op.  The final cross-lane reduce runs in
-    int32 (the tie key exceeds int16)."""
+    which doubles VPU lanes per op.  Mosaic supports only i32 SCALARS,
+    so every scalar stays int32 and per-row values materialize as [B, 1]
+    int16 columns; the final cross-lane reduce runs in int32."""
     B = reads_ref.shape[0]
     i16 = jnp.int16
-    goe = jnp.int16(gap_open + gap_extend)
-    ge = jnp.int16(gap_extend)
-    go = jnp.int16(gap_open)
-    mt = jnp.int16(match)
-    mm = jnp.int16(mismatch)
-    cl = jnp.int16(clip)
-    neg = jnp.int16(NEG16)
+    goe = gap_open + gap_extend
 
     k_idx = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
     rl = rlen_ref[:, 0][:, None].astype(jnp.int32)
@@ -418,22 +415,25 @@ def _banded_kernel16(reads_ref, rlen_ref, refs_ref, nlen_ref, out_ref, *,
     ke = (k_idx * gap_extend).astype(i16)
 
     m_pad = _round_up(m + 1, 128)
-    reads = reads_ref[:].astype(i16)
+    reads = reads_ref[:].astype(jnp.int32)
     read_roll0 = jnp.concatenate(
-        [reads, jnp.full((B, m_pad - m), 4, i16)], axis=1)
+        [reads, jnp.full((B, m_pad - m), 4, jnp.int32)], axis=1)
     rlane0 = jax.lax.broadcasted_iota(jnp.int32, (B, m_pad), 1) == 0
-    ref_roll0 = refs_ref[:].astype(i16)
-
-    def shift_left(x, fill):
-        r = pltpu.roll(x, shift=W - 1, axis=1)
-        return jnp.where(k_idx == W - 1, fill, r)
-
-    def shift_right(x, s, fill):
-        r = pltpu.roll(x, shift=s, axis=1)
-        return jnp.where(k_idx < s, fill, r)
+    ref_roll0 = refs_ref[:].astype(jnp.int32)
 
     zero = jnp.zeros((B, W), i16)
-    negv = zero + neg
+    negv = zero + NEG16
+    zcol = jnp.zeros((B, 1), i16)
+    ncol = zcol + NEG16
+
+    def shift_left(x, fillcol):
+        r = pltpu.roll(x, shift=W - 1, axis=1)
+        return jnp.where(k_idx == W - 1, fillcol, r)
+
+    def shift_right(x, s, fillcol):
+        r = pltpu.roll(x, shift=s, axis=1)
+        return jnp.where(k_idx < s, fillcol, r)
+
     carry0 = (negv, negv, zero, zero,
               negv, zero, zero,
               read_roll0, ref_roll0)
@@ -442,51 +442,52 @@ def _banded_kernel16(reads_ref, rlen_ref, refs_ref, nlen_ref, out_ref, *,
         (Hp, Fp, SHp, SFp, bestv, besti, bests,
          read_roll, ref_roll) = carry
 
-        read_col = jnp.sum(
-            jnp.where(rlane0, read_roll, 0), axis=1, keepdims=True,
-            dtype=jnp.int32).astype(i16)
+        read_col = jnp.sum(jnp.where(rlane0, read_roll, 0), axis=1,
+                           keepdims=True, dtype=jnp.int32)
         ref_row = ref_roll[:, :W]
         valid = (i <= rl) & (i + k_idx <= nl)
+        icol = jnp.full((B, 1), 0, jnp.int32) + i    # [B,1] row index
 
-        sub = jnp.where((read_col >= 4) | (ref_row >= 4), jnp.int16(-1),
-                        jnp.where(read_col == ref_row, mt, -mm))
-        fresh = jnp.where(i == 1, jnp.int16(0), -cl)
-        i16_i = jnp.int16(0) + i.astype(i16)
+        sub = jnp.where(
+            (read_col >= 4) | (ref_row >= 4), -1,
+            jnp.where(read_col == ref_row, match, -mismatch)
+        ).astype(i16)
+        fresh = jnp.where(icol == 1, 0, -clip).astype(i16)
+        row16 = icol.astype(i16)
 
         Hd = jnp.maximum(Hp, fresh) + sub
-        Sd = jnp.where(Hp >= fresh, SHp, i16_i - 1)
+        Sd = jnp.where(Hp >= fresh, SHp, row16 - jnp.full((B, 1), 1, i16))
 
-        f_open = shift_left(Hp, neg) - goe
-        f_ext = shift_left(Fp, neg) - ge
+        f_open = shift_left(Hp, ncol) - jnp.full((B, 1), goe, i16)
+        f_ext = shift_left(Fp, ncol) - jnp.full((B, 1), gap_extend, i16)
         F = jnp.maximum(f_open, f_ext)
         SF = jnp.where(f_open >= f_ext,
-                       shift_left(SHp, jnp.int16(0)),
-                       shift_left(SFp, jnp.int16(0)))
+                       shift_left(SHp, zcol), shift_left(SFp, zcol))
 
         H0 = jnp.maximum(Hd, F)
         S0 = jnp.where(Hd >= F, Sd, SF)
-        A = jnp.where(valid, H0 + ke, neg)
-        P = shift_right(A, 1, neg)
-        PS = shift_right(S0, 1, jnp.int16(0))
+        A = jnp.where(valid, H0 + ke, negv)
+        P = shift_right(A, 1, ncol)
+        PS = shift_right(S0, 1, zcol)
         s = 1
         while s < W:
-            P2 = shift_right(P, s, neg)
-            PS2 = shift_right(PS, s, jnp.int16(0))
+            P2 = shift_right(P, s, ncol)
+            PS2 = shift_right(PS, s, zcol)
             PS = jnp.where(P2 > P, PS2, PS)
             P = jnp.maximum(P, P2)
             s *= 2
-        E = P - ke - go
+        E = P - ke - jnp.full((B, 1), gap_open, i16)
         H = jnp.maximum(H0, E)
         SH = jnp.where(Hd >= jnp.maximum(E, F), Sd,
                        jnp.where(E >= F, PS, SF))
-        H = jnp.where(valid, H, neg)
-        F = jnp.where(valid, F, neg)
+        H = jnp.where(valid, H, negv)
+        F = jnp.where(valid, F, negv)
 
-        end_adj = jnp.where(i == rl, jnp.int16(0), -cl)
-        cand = jnp.where(valid, H + end_adj, neg)
+        end_adj = jnp.where(icol == rl, 0, -clip).astype(i16)
+        cand = jnp.where(valid, H + end_adj, negv)
         improve = cand > bestv
         bestv = jnp.where(improve, cand, bestv)
-        besti = jnp.where(improve, i16_i, besti)
+        besti = jnp.where(improve, row16, besti)
         bests = jnp.where(improve, SH, bests)
 
         read_roll = pltpu.roll(read_roll, shift=m_pad - 1, axis=1)
@@ -527,9 +528,9 @@ def sw_score_banded_pallas16(reads, read_lens, refs, ref_lens, w_band,
     assert W % 128 == 0
     n_pad = _round_up(m + W, 128)
     Bp = _round_up(max(B, 1), TILE_B)
-    reads = jnp.pad(reads.astype(jnp.int16), ((0, Bp - B), (0, 0)),
+    reads = jnp.pad(reads.astype(jnp.int32), ((0, Bp - B), (0, 0)),
                     constant_values=4)
-    refs = jnp.pad(refs.astype(jnp.int16),
+    refs = jnp.pad(refs.astype(jnp.int32),
                    ((0, Bp - B), (0, n_pad - n)), constant_values=5)
     read_lens = jnp.pad(read_lens.astype(jnp.int32), (0, Bp - B))
     ref_lens = jnp.pad(ref_lens.astype(jnp.int32), (0, Bp - B))

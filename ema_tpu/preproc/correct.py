@@ -485,44 +485,68 @@ def _correct_haplotag(input_prefixes: List[str], output_dir: str, stream,
     stats = {"nochange": 0, "h1": 0, "h2": 0, "nobucket": 0,
              "routed_pairs": 0, "dropped_pairs": 0}
     stale_len = 0    # the reference's `s` is empty at phase-4 entry
-    for pair in iter_fastq_pairs(stream):
-        name1, r1, q1 = pair[0], pair[1], pair[3]
-        name2, r2, q2 = pair[4], pair[5], pair[7]
-        bc, bc_str = parse_haplotag_bx(name1, len_check=stale_len)
-        stale_len = len(q2)   # the reference's `s` after this iteration
-        if bc is None or len(r1) < config.MIN_READ_SIZE:
-            stats["dropped_pairs"] += 1
-            continue
-        i = int(np.searchsorted(codes_sorted, bc))
-        if i < codes_sorted.shape[0] and codes_sorted[i] == bc:
-            fidx = int(bucket_sorted[i])
-        else:
-            bc_str = b""      # barcode = 0: PRINT_BCD emits nothing
-            fidx = 0
-        short1 = _short(name1)
-        short2 = _short(name2)
-        f = files[fidx]
-        if fidx and not do_bx_format:
-            f.write(bc_str + b" " + short1 + b" " + r1 + b" "
-                    + q1 + b" " + r2 + b" " + q2 + b"\n")
-            stats["nochange"] += 1
-        elif do_bx_format:
-            # haplotag BX has no "-1" suffix (correct.cc:527-536); for
-            # nobc the read-1 header is plain and read-2 gets ' BX:Z:'
-            if fidx:
-                f.write(short1 + b" BX:Z:" + bc_str + b"\n" + r1
-                        + b"\n+\n" + q1 + b"\n")
+    CHUNK = 8192
+
+    def flush(chunk):
+        """Route one chunk: BX parses stay per-pair (the stale-length
+        chain is sequential), but bucket lookups batch through one
+        searchsorted and writes batch per bucket file."""
+        nonlocal stale_len
+        parsed = []                    # (pair, bc, bc_str) for kept pairs
+        for pair in chunk:
+            bc, bc_str = parse_haplotag_bx(pair[0], len_check=stale_len)
+            stale_len = len(pair[7])   # the reference's `s` afterwards
+            if bc is None or len(pair[1]) < config.MIN_READ_SIZE:
+                stats["dropped_pairs"] += 1
+                continue
+            parsed.append((pair, bc, bc_str))
+        if not parsed:
+            return
+        bcs = np.fromiter((p[1] for p in parsed), np.uint32, len(parsed))
+        idxc, hit = lookup_sorted(codes_sorted, bcs)
+        fidxs = np.where(hit, bucket_sorted[idxc], 0)
+        out: Dict[int, List[bytes]] = {}
+        for k, (pair, bc, bc_str) in enumerate(parsed):
+            name1, r1, q1 = pair[0], pair[1], pair[3]
+            name2, r2, q2 = pair[4], pair[5], pair[7]
+            fidx = int(fidxs[k])
+            if not hit[k]:
+                bc_str = b""   # barcode = 0: PRINT_BCD emits nothing
+            short1 = _short(name1)
+            short2 = _short(name2)
+            buf = out.setdefault(fidx, [])
+            if fidx and not do_bx_format:
+                buf.append(bc_str + b" " + short1 + b" " + r1 + b" "
+                           + q1 + b" " + r2 + b" " + q2 + b"\n")
                 stats["nochange"] += 1
+            elif do_bx_format:
+                # haplotag BX has no "-1" suffix (correct.cc:527-536);
+                # for nobc read-1 header is plain, read-2 gets ' BX:Z:'
+                if fidx:
+                    buf.append(short1 + b" BX:Z:" + bc_str + b"\n" + r1
+                               + b"\n+\n" + q1 + b"\n")
+                    stats["nochange"] += 1
+                else:
+                    buf.append(short1 + b"\n" + r1 + b"\n+\n" + q1
+                               + b"\n")
+                    stats["nobucket"] += 1
+                buf.append(short2 + b" BX:Z:" + bc_str + b"\n" + r2
+                           + b"\n+\n" + q2 + b"\n")
             else:
-                f.write(short1 + b"\n" + r1 + b"\n+\n" + q1 + b"\n")
+                buf.append(short1 + b"\n" + r1 + b"\n+\n" + q1 + b"\n")
+                buf.append(short2 + b"\n" + r2 + b"\n+\n" + q2 + b"\n")
                 stats["nobucket"] += 1
-            f.write(short2 + b" BX:Z:" + bc_str + b"\n" + r2
-                    + b"\n+\n" + q2 + b"\n")
-        else:
-            f.write(short1 + b"\n" + r1 + b"\n+\n" + q1 + b"\n")
-            f.write(short2 + b"\n" + r2 + b"\n+\n" + q2 + b"\n")
-            stats["nobucket"] += 1
-        stats["routed_pairs"] += 1
+            stats["routed_pairs"] += 1
+        for fidx, lines in out.items():
+            files[fidx].write(b"".join(lines))
+
+    pend: List[List[bytes]] = []
+    for pair in iter_fastq_pairs(stream):
+        pend.append(pair)
+        if len(pend) >= CHUNK:
+            flush(pend)
+            pend = []
+    flush(pend)
 
     for f in files:
         f.close()

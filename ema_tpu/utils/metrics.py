@@ -20,9 +20,11 @@ class Metrics:
     """Accumulates per-stage wall time and item counts."""
 
     def __init__(self) -> None:
+        import threading
         self.wall: Dict[str, float] = {}
         self.items: Dict[str, int] = {}
         self._t0 = time.time()
+        self._lock = threading.Lock()
 
     @contextlib.contextmanager
     def stage(self, name: str, n_items: int = 0):
@@ -30,12 +32,15 @@ class Metrics:
         try:
             yield
         finally:
-            self.wall[name] = self.wall.get(name, 0.0) + (time.time() - t)
-            if n_items:
-                self.items[name] = self.items.get(name, 0) + n_items
+            dt = time.time() - t
+            with self._lock:
+                self.wall[name] = self.wall.get(name, 0.0) + dt
+                if n_items:
+                    self.items[name] = self.items.get(name, 0) + n_items
 
     def add(self, name: str, n_items: int) -> None:
-        self.items[name] = self.items.get(name, 0) + n_items
+        with self._lock:
+            self.items[name] = self.items.get(name, 0) + n_items
 
     def summary(self) -> str:
         total = time.time() - self._t0

@@ -65,8 +65,7 @@ def main():
     print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}",
           file=sys.stderr)
     rng = np.random.default_rng(0)
-    shapes = [(4096, 100, 192, 128), (16384, 100, 192, 128),
-              (16384, 100, 320, 256)]
+    shapes = [(16384, 100, 192, 128)]
     for B, m, n, W in shapes:
         args = make_case(rng, B, m, n, W)
         cells = B * m * n
@@ -81,8 +80,15 @@ def main():
                 ("pallas", lambda a: sw_pallas.sw_score_batch_pallas(*a)),
                 ("banded-pallas",
                  lambda a: sw_pallas.sw_score_banded_pallas(*a, W)),
-                ("banded-pallas16",
-                 lambda a: sw_pallas.sw_score_banded_pallas16(*a, W)),
+                ("banded-pallas-t128",
+                 lambda a: sw_pallas.sw_score_banded_pallas(
+                     *a, W, tile_b=128)),
+                ("banded-pallas-t512",
+                 lambda a: sw_pallas.sw_score_banded_pallas(
+                     *a, W, tile_b=512)),
+                ("banded-pallas-t1024",
+                 lambda a: sw_pallas.sw_score_banded_pallas(
+                     *a, W, tile_b=1024)),
             ]
         for name, fn in variants:
             try:
