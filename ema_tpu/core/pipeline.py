@@ -233,7 +233,11 @@ class Aligner:
         counts.  Single chip: plain single-device dispatch.
         """
         self._data_sharding = None
-        devs = jax.devices()
+        # LOCAL devices only: under jax.distributed each host aligns its
+        # own bucket shard independently (buckets hashed to hosts over
+        # DCN, batches over the host's chips via ICI — SURVEY §5.8); a
+        # global mesh would demand identical per-process data
+        devs = jax.local_devices()
         if len(devs) <= 1 or not self.cfg.data_parallel_chips:
             return
         from jax.sharding import NamedSharding, PartitionSpec as P

@@ -53,7 +53,8 @@ def _world(seed=1234, n_barcodes=8, repeat_copies=0):
 
 
 def _run_concordance(tmp_path, apply_opt=False, platform="10x",
-                     repeat_copies=0, seed=1234, n_barcodes=8):
+                     repeat_copies=0, seed=1234, n_barcodes=8,
+                     device_em=None, bc_override=None):
     from ema_tpu import config
     from ema_tpu.core.pipeline import Aligner, ReadBatch
     from ema_tpu.index import build_index
@@ -62,6 +63,8 @@ def _run_concordance(tmp_path, apply_opt=False, platform="10x",
 
     contigs, ids, bc_strs, bcs, s1, q1, s2, q2 = _world(
         seed=seed, n_barcodes=n_barcodes, repeat_copies=repeat_copies)
+    if bc_override is not None:
+        bc_strs, bcs = bc_override(bc_strs)
 
     # special-format bucket file consumed by the reference oracle
     # (bc id read1 qual1 read2 qual2; preproc writes ids with '@')
@@ -74,7 +77,8 @@ def _run_concordance(tmp_path, apply_opt=False, platform="10x",
     idx = build_index(contigs)
     plat = config.get_platform_profile(platform)
     cfg = config.RunConfig(batch_size=512, seed=7, platform=plat,
-                           apply_density_opt=apply_opt)
+                           apply_density_opt=apply_opt,
+                           device_em=device_em)
     aligner = Aligner(idx, cfg)
     writer = ReplayWriter(str(tmp_path / "replay"),
                           idx.names, [int(x) for x in idx.lengths])
@@ -126,6 +130,46 @@ class TestAlignConcordance:
         assert st.xg_close / st.shared >= 0.995, st.summary()
         assert st.xa_match / st.shared >= 0.995, st.mismatches[:10]
         assert st.mapq_match / st.shared >= 0.95, st.summary()
+
+    def test_device_em_path(self, tmp_path):
+        """The device (em_jax) EM path must match the reference exactly
+        too — same 100% bar as the host path."""
+        st = _run_concordance(tmp_path, device_em=True, seed=21)
+        print(st.summary())
+        assert st.shared > 400
+        assert st.only_a == 0 and st.only_b == 0, st.mismatches[:10]
+        assert st.concordance() >= 0.999, "\n".join(
+            [st.summary()] + st.mismatches)
+        assert st.xg_close / st.shared >= 0.999, st.summary()
+        assert st.mapq_match / st.shared >= 0.95, st.summary()
+
+    def test_haplotag_platform(self, tmp_path):
+        """haplotag -s path: 12-char packed codes, haplotag BX emission
+        (no '-1' suffix), dist_thresh 50k (techs.c:71-127)."""
+        import numpy as np
+
+        from ema_tpu.utils.barcodes import encode_bc_haplotag
+
+        rng = np.random.default_rng(3)
+        codes = {}
+
+        def override(bc_strs):
+            out = []
+            for b in dict.fromkeys(bc_strs):
+                a, c, bb, d = rng.integers(1, 97, 4)
+                codes[b] = f"A{a:02d}C{c:02d}B{bb:02d}D{d:02d}"
+            strs = [codes[b] for b in bc_strs]
+            return strs, [encode_bc_haplotag(s) for s in strs]
+
+        st = _run_concordance(tmp_path, platform="haplotag", seed=13,
+                              bc_override=override)
+        print(st.summary())
+        assert st.shared > 400
+        assert st.only_a == 0 and st.only_b == 0, st.mismatches[:10]
+        assert st.concordance() >= 0.999, "\n".join(
+            [st.summary()] + st.mismatches)
+        assert st.bx_match == st.shared, st.mismatches[:10]
+        assert st.xg_close / st.shared >= 0.999, st.summary()
 
     def test_many_clouds_platform(self, tmp_path):
         """tru profile through the reference's -1/-2 standard-FASTQ path:
