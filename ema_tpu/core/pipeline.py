@@ -270,10 +270,13 @@ class Aligner:
         """
         import os
         env = os.environ.get("EMA_TPU_SW_IMPL")
-        if env in ("scan", "banded", "banded_pallas", "banded16"):
+        if env in ("scan", "banded", "banded_pallas", "banded16",
+                   "native"):
             return env
         if jax.default_backend() not in ("tpu", "axon"):
-            return "banded"
+            # CPU backend: the threaded host C++ DP beats the XLA:CPU
+            # scan by ~an order of magnitude at pipeline shapes
+            return "native"
         try:
             from ema_tpu.ops.sw_pallas import sw_score_banded_pallas
             sw_score_banded_pallas(
@@ -406,7 +409,8 @@ class Aligner:
         # --- device: score all candidate windows -----------------------
         with self._mst("sw[device]", co.shape[0]):
             sw = self._score_windows(opad_dev, lpad_dev, co, win_lo,
-                                     win_len, row_map, olens_host=olens)
+                                     win_len, row_map, olens_host=olens,
+                                     oriented_host=oriented)
 
         # --- mate rescue ------------------------------------------------
         ro, rlo, rlen = self._rescue_windows(
@@ -414,7 +418,8 @@ class Aligner:
         if ro.shape[0]:
             with self._mst("sw[device]", ro.shape[0]):
                 rsw = self._score_windows(opad_dev, lpad_dev, ro, rlo,
-                                          rlen, row_map, olens_host=olens)
+                                          rlen, row_map, olens_host=olens,
+                                          oriented_host=oriented)
             min_rescue = params.min_seed_len * params.match
             keep_r = rsw["score"] >= min_rescue
             co = np.concatenate([co, ro[keep_r]])
@@ -432,7 +437,8 @@ class Aligner:
                 seedcov, weight, sw, params, frac_rep_read)
 
     def _score_windows(self, oriented_dev, olens_dev, owners, win_lo,
-                       win_len, row_map=None, olens_host=None):
+                       win_len, row_map=None, olens_host=None,
+                       oriented_host=None):
         """Score candidate (read, window) pairs.
 
         ``oriented_dev``/``olens_dev`` are the device-resident padded read
@@ -450,11 +456,32 @@ class Aligner:
         # max_occ-scale hit caps) run in fixed-size chunks: bounds device
         # memory for the [N, Wmax] window gather and reuses one compiled
         # program for the big chunks
+        if self._sw_impl == "native" and oriented_host is not None \
+                and olens_host is not None:
+            # threaded host C++ banded DP straight off the packed text —
+            # the CPU-backend scorer (no device roundtrip, no padding).
+            # The corridor uses the same 128-lane rounding as the device
+            # kernels so outputs stay identical across backends.
+            spread = win_len.astype(np.int64) \
+                - olens_host[owners].astype(np.int64)
+            w_band = _round_up(max(int(spread.max()) + 2, 1), 128) \
+                if N else 128
+            w_band = min(w_band,
+                         _round_up(int(win_len.max()), 128) if N else 128)
+            return native.sw_banded_native(
+                oriented_host, olens_host, self.index.text, owners,
+                win_lo, win_len, w_band,
+                match=self.cfg.aligner.match,
+                mismatch=self.cfg.aligner.mismatch,
+                gap_open=self.cfg.aligner.gap_open,
+                gap_extend=self.cfg.aligner.gap_extend,
+                clip=self.cfg.aligner.clip_penalty)
         if N > SW_CHUNK:
             outs = [self._score_windows(
                         oriented_dev, olens_dev, owners[s:s + SW_CHUNK],
                         win_lo[s:s + SW_CHUNK], win_len[s:s + SW_CHUNK],
-                        row_map, olens_host=olens_host)
+                        row_map, olens_host=olens_host,
+                        oriented_host=oriented_host)
                     for s in range(0, N, SW_CHUNK)]
             return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
         # banded-corridor width: widest (window - read) diagonal range in
@@ -1065,6 +1092,8 @@ class ShardedAligner(Aligner):
         self._contig_blob = None
         self._defer_dist_window = False
         self.replay_sink = None
+        self.metrics = None
+        self._sw_impl = self.subs[0]._sw_impl if self.subs else "banded"
 
     def generate_candidates(self, batch: ReadBatch) -> CandidateSet:
         css = [sub.generate_candidates(batch) for sub in self.subs]

@@ -80,6 +80,21 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_char), ctypes.c_int64,
         ]
 
+        lib.sw_banded_native.restype = None
+        lib.sw_banded_native.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+        ]
+
         lib.umap_order_u32.restype = ctypes.c_int64
         lib.umap_order_u32.argtypes = [
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
@@ -368,6 +383,44 @@ def smem_seed_batch(occ_blocks, counts, primary, fm_n, reads, lens,
         _ptr(s_qb, ctypes.c_int32), _ptr(s_len, ctypes.c_int32),
         _ptr(n_seeds, ctypes.c_int32))
     return s_lo, s_hi, s_qb, s_len, n_seeds
+
+
+def sw_banded_native(oriented: np.ndarray, olens: np.ndarray,
+                     text: np.ndarray, owners: np.ndarray,
+                     win_lo: np.ndarray, win_len: np.ndarray,
+                     w_band: int, match=1, mismatch=4, gap_open=6,
+                     gap_extend=1, clip=5, n_threads=0):
+    """Threaded host banded-SW scorer (see ema_native.cpp); same outputs
+    and tie rules as ops/sw.sw_score_banded.  Windows are gathered from
+    ``text`` directly (win_lo may be negative; out-of-text columns read
+    as sentinel), so nothing crosses a device boundary."""
+    oriented = np.ascontiguousarray(oriented, np.uint8)
+    olens = np.ascontiguousarray(olens, np.int32)
+    text = np.ascontiguousarray(text, np.uint8)
+    owners = np.ascontiguousarray(owners, np.int64)
+    win_lo = np.ascontiguousarray(win_lo, np.int64)
+    win_len = np.ascontiguousarray(win_len, np.int32)
+    N = owners.shape[0]
+    score = np.empty(N, np.int32)
+    qb = np.empty(N, np.int32)
+    qe = np.empty(N, np.int32)
+    ref_end = np.empty(N, np.int32)
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 16)
+    get_lib().sw_banded_native(
+        _ptr(oriented, ctypes.c_uint8), ctypes.c_int64(oriented.shape[1]),
+        _ptr(olens, ctypes.c_int32),
+        _ptr(text, ctypes.c_uint8), ctypes.c_int64(text.shape[0]),
+        _ptr(owners, ctypes.c_int64), _ptr(win_lo, ctypes.c_int64),
+        _ptr(win_len, ctypes.c_int32),
+        ctypes.c_int64(N), ctypes.c_int32(int(w_band)),
+        ctypes.c_int32(match), ctypes.c_int32(mismatch),
+        ctypes.c_int32(gap_open), ctypes.c_int32(gap_extend),
+        ctypes.c_int32(clip),
+        _ptr(score, ctypes.c_int32), _ptr(qb, ctypes.c_int32),
+        _ptr(qe, ctypes.c_int32), _ptr(ref_end, ctypes.c_int32),
+        ctypes.c_int32(n_threads))
+    return {"score": score, "qb": qb, "qe": qe, "ref_end": ref_end}
 
 
 def umap_order_u32(keys: np.ndarray) -> np.ndarray:

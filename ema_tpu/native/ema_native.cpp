@@ -1075,3 +1075,182 @@ extern "C" void bucket_assign_pq(const int64_t *sizes, int64_t n,
         pq.push(top);
     }
 }
+
+// ---------------------------------------------------------------------------
+// Banded SW scoring on host (threaded scalar DP)
+// ---------------------------------------------------------------------------
+// Same recurrences, outputs, and tie rules as ops/sw.sw_score_banded (the
+// XLA kernel; see its docstring).  On CPU backends the XLA scan runs the
+// wavefront at ~0.01 Gcell/s; this scalar banded DP is ~2 orders of
+// magnitude faster per core and threads over candidates — it is the
+// CPU-path scorer (the TPU path keeps the Pallas kernel).  Windows are
+// gathered straight from the packed text with out-of-text columns read
+// as sentinel 5 (ops/chaining.py lets window lo go negative at contig
+// starts).
+
+namespace swb {
+
+constexpr int32_t NEGS = -(1 << 28);
+
+}  // namespace swb
+
+extern "C" void sw_banded_native(
+    const uint8_t *oriented, int64_t L,          // [R, L] read codes
+    const int32_t *olens,
+    const uint8_t *text, int64_t text_n,
+    const int64_t *owners, const int64_t *win_lo, const int32_t *win_len,
+    int64_t N, int32_t W,
+    int32_t match, int32_t mismatch, int32_t gap_open, int32_t gap_extend,
+    int32_t clip,
+    int32_t *out_score, int32_t *out_qb, int32_t *out_qe,
+    int32_t *out_ref_end, int32_t n_threads) {
+    const int32_t NEGS = swb::NEGS;
+    const int32_t goe = gap_open + gap_extend;
+
+    auto run = [&](int64_t s, int64_t e) {
+        // flat per-row state (W+2 to allow k+1 reads without bounds code)
+        std::vector<int32_t> hp(W + 2, NEGS), fp(W + 2, NEGS);
+        std::vector<int32_t> shp(W + 2, 0), sfp(W + 2, 0);
+        std::vector<int32_t> hd(W + 1), fv(W + 1), sd(W + 1), sf(W + 1);
+        std::vector<int32_t> h0(W + 1), s0(W + 1);
+        std::vector<uint8_t> wref;
+        for (int64_t c = s; c < e; c++) {
+            const uint8_t *read = oriented + owners[c] * L;
+            const int32_t rl = olens[owners[c]];
+            const int64_t lo = win_lo[c];
+            const int32_t nl = win_len[c];
+
+            // gather the window once (out-of-text -> sentinel 5)
+            wref.resize((size_t)nl);
+            {
+                int64_t a = lo < 0 ? 0 : lo;
+                int64_t b = lo + nl;
+                if (b > text_n) b = text_n;
+                for (int32_t j = 0; j < nl; j++) wref[(size_t)j] = 5;
+                if (b > a)
+                    memcpy(wref.data() + (a - lo), text + a,
+                           (size_t)(b - a));
+            }
+
+            std::fill(hp.begin(), hp.end(), NEGS);
+            std::fill(fp.begin(), fp.end(), NEGS);
+            std::fill(shp.begin(), shp.end(), 0);
+            std::fill(sfp.begin(), sfp.end(), 0);
+
+            int32_t bv = NEGS, bd = 0, bi = 0, bs = 0, bk = 0;
+            int32_t prev_kmax = W;   // rows shrink monotonically in k
+
+            for (int32_t i = 1; i <= rl; i++) {
+                const int32_t rc = read[i - 1];
+                const int32_t fresh = (i == 1) ? 0 : -clip;
+                const int32_t end_adj = (i == rl) ? 0 : -clip;
+                const int32_t fresh_s = i - 1;
+                int32_t kmax = nl - i < W - 1 ? nl - i : W - 1;
+                if (kmax < -1) kmax = -1;
+                const uint8_t *wrow = wref.data() + (i - 1);
+
+                // pass 1: diag + vertical, branch-free (vectorizable)
+                for (int32_t k = 0; k <= kmax; k++) {
+                    const int32_t fc = wrow[k];
+                    const int32_t sub =
+                        (rc >= 4 || fc >= 4)
+                            ? -1
+                            : (rc == (int32_t)fc ? match : -mismatch);
+                    const int32_t ph = hp[(size_t)k];
+                    const int32_t hdv =
+                        (ph >= fresh ? ph : fresh) + sub;
+                    const int32_t sdv =
+                        ph >= fresh ? shp[(size_t)k] : fresh_s;
+                    const int32_t fo = hp[(size_t)k + 1] - goe;
+                    const int32_t fe = fp[(size_t)k + 1] - gap_extend;
+                    const int32_t f = fo >= fe ? fo : fe;
+                    const int32_t sfv =
+                        fo >= fe ? shp[(size_t)k + 1] : sfp[(size_t)k + 1];
+                    hd[(size_t)k] = hdv;
+                    sd[(size_t)k] = sdv;
+                    fv[(size_t)k] = f;
+                    sf[(size_t)k] = sfv;
+                    h0[(size_t)k] = hdv >= f ? hdv : f;
+                    s0[(size_t)k] = hdv >= f ? sdv : sfv;
+                }
+
+                // pass 2: horizontal gaps as a running max-plus scan,
+                // merge with the diag>=E>=F tie priority, track best
+                int32_t P = NEGS, PS = 0;        // max of h0[k'] + k'*ge
+                int32_t rbv = NEGS, rbk = 0, rbs = 0;
+                for (int32_t k = 0; k <= kmax; k++) {
+                    const int32_t Ev = P - k * gap_extend - gap_open;
+                    const int32_t hdv = hd[(size_t)k];
+                    const int32_t f = fv[(size_t)k];
+                    const int32_t ef = Ev >= f ? Ev : f;
+                    int32_t h, sh;
+                    if (hdv >= ef) {
+                        h = hdv;
+                        sh = sd[(size_t)k];
+                    } else if (Ev >= f) {
+                        h = Ev;
+                        sh = PS;
+                    } else {
+                        h = f;
+                        sh = sf[(size_t)k];
+                    }
+                    hp[(size_t)k] = h;
+                    fp[(size_t)k] = f;
+                    shp[(size_t)k] = sh;
+                    sfp[(size_t)k] = sf[(size_t)k];
+                    // >=: on value ties the NEAREST source wins, like
+                    // the kernels' scans (d_open >= d_ext in the ref)
+                    const int32_t A = h0[(size_t)k] + k * gap_extend;
+                    if (A >= P) {
+                        P = A;
+                        PS = s0[(size_t)k];
+                    }
+                    const int32_t cand = h + end_adj;
+                    if (cand > rbv) {            // first max = smallest k
+                        rbv = cand;
+                        rbk = k;
+                        rbs = sh;
+                    }
+                }
+                // row merge: score desc, then d = 2i + k asc, then i asc
+                if (rbv > bv
+                    || (rbv == bv
+                        && (2 * i + rbk < bd
+                            || (2 * i + rbk == bd && i < bi)))) {
+                    bv = rbv;
+                    bd = 2 * i + rbk;
+                    bi = i;
+                    bs = rbs;
+                    bk = rbk;
+                }
+                // clear lanes the next row can still read (kmax shrinks
+                // by at most 1 per row, so one boundary cell suffices)
+                for (int32_t k = kmax + 1 > 0 ? kmax + 1 : 0;
+                     k <= prev_kmax + 1 && k <= W + 1; k++) {
+                    hp[(size_t)k] = NEGS;
+                    fp[(size_t)k] = NEGS;
+                    shp[(size_t)k] = 0;
+                    sfp[(size_t)k] = 0;
+                }
+                prev_kmax = kmax;
+            }
+            out_score[c] = bv;
+            out_qb[c] = bs;
+            out_qe[c] = bi;
+            out_ref_end[c] = bi + bk;
+        }
+    };
+
+    if (n_threads <= 1 || N < 2 * n_threads) {
+        run(0, N);
+        return;
+    }
+    std::vector<std::thread> ts;
+    int64_t chunk = (N + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; t++) {
+        int64_t s = t * chunk, e = std::min(N, s + chunk);
+        if (s >= e) break;
+        ts.emplace_back(run, s, e);
+    }
+    for (auto &t : ts) t.join();
+}

@@ -156,3 +156,44 @@ class TestBandedVsUnbanded:
             jnp.asarray(nlens)).items()}
         for k in ("score", "qb", "qe", "ref_end"):
             np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+
+class TestNativeScorer:
+    def test_native_equals_banded_scan(self):
+        """The threaded host C++ scorer must match the XLA banded kernel
+        bit-for-bit (same corridor, same tie rules) — it is the CPU
+        backend's default scorer."""
+        from ema_tpu import native
+
+        rng = np.random.default_rng(11)
+        R, L, n = 64, 80, 5000
+        oriented = rng.integers(0, 5, (R, L)).astype(np.uint8)
+        olens = rng.integers(40, L + 1, R).astype(np.int32)
+        text = rng.integers(0, 4, n).astype(np.uint8)
+        N, W = 200, 128
+        owners = rng.integers(0, R, N).astype(np.int64)
+        win_lo = rng.integers(-50, n - 100, N).astype(np.int64)
+        win_len = rng.integers(100, 220, N).astype(np.int32)
+        # plant real alignments for half the candidates
+        for c in range(0, N, 2):
+            o = int(owners[c])
+            rl = int(olens[o])
+            off = int(rng.integers(0, 40))
+            for j in range(min(rl, int(win_len[c]) - off)):
+                col = int(win_lo[c]) + off + j
+                if 0 <= col < n:
+                    text[col] = oriented[o, j]
+
+        got = native.sw_banded_native(oriented, olens, text, owners,
+                                      win_lo, win_len, W)
+        # reference: gather windows w/ sentinel masking + banded scan
+        cols = win_lo[:, None] + np.arange(int(win_len.max()))[None, :]
+        wins = np.where((cols < 0) | (cols >= n), 5,
+                        text[np.clip(cols, 0, n - 1)]).astype(np.int32)
+        import jax.numpy as jnp
+        want = {k: np.asarray(v) for k, v in sw.sw_score_banded(
+            jnp.asarray(oriented[owners].astype(np.int32)),
+            jnp.asarray(olens[owners]), jnp.asarray(wins),
+            jnp.asarray(win_len), W).items()}
+        for k in ("score", "qb", "qe", "ref_end"):
+            np.testing.assert_array_equal(got[k], want[k], err_msg=k)
