@@ -1077,26 +1077,39 @@ extern "C" void bucket_assign_pq(const int64_t *sizes, int64_t n,
 }
 
 // ---------------------------------------------------------------------------
-// Banded SW scoring on host (threaded scalar DP)
+// Banded SW scoring on host (threaded vector-friendly DP)
 // ---------------------------------------------------------------------------
 // Same recurrences, outputs, and tie rules as ops/sw.sw_score_banded (the
-// XLA kernel; see its docstring).  On CPU backends the XLA scan runs the
-// wavefront at ~0.01 Gcell/s; this scalar banded DP is ~2 orders of
-// magnitude faster per core and threads over candidates — it is the
-// CPU-path scorer (the TPU path keeps the Pallas kernel).  Windows are
-// gathered straight from the packed text with out-of-text columns read
-// as sentinel 5 (ops/chaining.py lets window lo go negative at contig
-// starts).
+// XLA kernel; see its docstring) — asserted bit-for-bit in
+// tests/test_sw_banded.py.  CPU-path scorer (the TPU path keeps the
+// Pallas kernel): each row runs as four stripes so gcc auto-vectorizes
+// everything except one short scalar scan —
+//   1. elementwise diag/vertical + packed scan keys (a<<9|k: on value
+//      ties the larger k wins the prefix max == the NEAREST horizontal
+//      gap source, the kernels' tie rule),
+//   2. a serial prefix-max scan with twin cmov chains (value + start),
+//   3. an elementwise branch-free merge (diag >= E >= F priority); the
+//      fresh F/SF rows become next row's state by pointer swap,
+//   4. a vector max-reduce + first-index row-best search.
+// Every captured scalar is copied to a local first: reference captures
+// may alias the int32 state arrays and would block vectorization (3x
+// measured).  Windows are gathered straight from the packed text with
+// out-of-text columns read as sentinel 5 (ops/chaining.py lets window
+// lo go negative at contig starts).
 
 namespace swb {
 
 constexpr int32_t NEGS = -(1 << 28);
 
+// clamp floor for scan-key packing: far below any reachable score (every
+// H cell is >= fresh + sub >= -clip - mismatch after row 1), far above
+// INT32_MIN >> 9 so (a << 9) cannot overflow
+constexpr int32_t PLOW = -(1 << 21);
+
 }  // namespace swb
 
 extern "C" void sw_banded_native(
-    const uint8_t *oriented, int64_t L,          // [R, L] read codes
-    const int32_t *olens,
+    const uint8_t *oriented, int64_t L, const int32_t *olens,
     const uint8_t *text, int64_t text_n,
     const int64_t *owners, const int64_t *win_lo, const int32_t *win_len,
     int64_t N, int32_t W,
@@ -1108,143 +1121,137 @@ extern "C" void sw_banded_native(
     const int32_t goe = gap_open + gap_extend;
 
     auto run = [&](int64_t s, int64_t e) {
-        // flat per-row state (W+2 to allow k+1 reads without bounds code)
-        std::vector<int32_t> hp(W + 2, NEGS), fp(W + 2, NEGS);
-        std::vector<int32_t> shp(W + 2, 0), sfp(W + 2, 0);
-        std::vector<int32_t> hd(W + 1), fv(W + 1), sd(W + 1), sf(W + 1);
-        std::vector<int32_t> h0(W + 1), s0(W + 1);
+        // copy every captured scalar to a local: reference captures can
+        // alias the int32 state arrays and block vectorization
+        const int64_t Lc = L, text_nc = text_n;
+        const int32_t Wc = W, matchc = match, mismatchc = mismatch;
+        const int32_t gap_openc = gap_open, gap_extendc = gap_extend;
+        const int32_t clipc = clip, goec = goe;
+        const uint8_t *__restrict orientedc = oriented;
+        const uint8_t *__restrict textc = text;
+        const int32_t *__restrict olensc = olens;
+        const int64_t *__restrict ownersc = owners;
+        const int64_t *__restrict win_loc = win_lo;
+        const int32_t *__restrict win_lenc = win_len;
+        std::vector<int32_t> HP(Wc + 2, NEGS), FP(Wc + 2, NEGS);
+        std::vector<int32_t> SHP(Wc + 2, 0), SFP(Wc + 2, 0);
+        std::vector<int32_t> HD(Wc + 1), SD(Wc + 1);
+        std::vector<int32_t> FV(Wc + 2, NEGS), SF(Wc + 2, 0);
+        std::vector<int32_t> S0(Wc + 1), AK(Wc + 1), PMV(Wc + 1), PMS(Wc + 1);
+        std::vector<int32_t> CAND(Wc + 1);
         std::vector<uint8_t> wref;
         for (int64_t c = s; c < e; c++) {
-            const uint8_t *read = oriented + owners[c] * L;
-            const int32_t rl = olens[owners[c]];
-            const int64_t lo = win_lo[c];
-            const int32_t nl = win_len[c];
-
-            // gather the window once (out-of-text -> sentinel 5)
+            const uint8_t *__restrict read = orientedc + ownersc[c] * Lc;
+            const int32_t rl = olensc[ownersc[c]];
+            const int64_t lo = win_loc[c];
+            const int32_t nl = win_lenc[c];
             wref.resize((size_t)nl);
             {
                 int64_t a = lo < 0 ? 0 : lo;
-                int64_t b = lo + nl;
-                if (b > text_n) b = text_n;
-                for (int32_t j = 0; j < nl; j++) wref[(size_t)j] = 5;
-                if (b > a)
-                    memcpy(wref.data() + (a - lo), text + a,
-                           (size_t)(b - a));
+                int64_t b = lo + nl; if (b > text_nc) b = text_nc;
+                memset(wref.data(), 5, (size_t)nl);
+                if (b > a) memcpy(wref.data() + (a - lo), textc + a, (size_t)(b - a));
             }
-
-            std::fill(hp.begin(), hp.end(), NEGS);
-            std::fill(fp.begin(), fp.end(), NEGS);
-            std::fill(shp.begin(), shp.end(), 0);
-            std::fill(sfp.begin(), sfp.end(), 0);
+            std::fill(HP.begin(), HP.end(), NEGS);
+            std::fill(FP.begin(), FP.end(), NEGS);
+            std::fill(SHP.begin(), SHP.end(), 0);
+            std::fill(SFP.begin(), SFP.end(), 0);
+            std::fill(FV.begin(), FV.end(), NEGS);
+            std::fill(SF.begin(), SF.end(), 0);
 
             int32_t bv = NEGS, bd = 0, bi = 0, bs = 0, bk = 0;
-            int32_t prev_kmax = W;   // rows shrink monotonically in k
+            int32_t prev_kmax = Wc;
+            int32_t *__restrict hp = HP.data(), *__restrict fp = FP.data();
+            int32_t *__restrict shp = SHP.data(), *__restrict sfp = SFP.data();
+            int32_t *__restrict hd = HD.data(), *__restrict sd = SD.data();
+            int32_t *__restrict fv = FV.data(), *__restrict sf = SF.data();
+            int32_t *__restrict s0 = S0.data(), *__restrict ak = AK.data();
+            int32_t *__restrict pmv = PMV.data(), *__restrict pms = PMS.data();
+            int32_t *__restrict cand = CAND.data();
 
             for (int32_t i = 1; i <= rl; i++) {
                 const int32_t rc = read[i - 1];
-                const int32_t fresh = (i == 1) ? 0 : -clip;
-                const int32_t end_adj = (i == rl) ? 0 : -clip;
+                const int32_t fresh = (i == 1) ? 0 : -clipc;
+                const int32_t end_adj = (i == rl) ? 0 : -clipc;
                 const int32_t fresh_s = i - 1;
-                int32_t kmax = nl - i < W - 1 ? nl - i : W - 1;
+                int32_t kmax = nl - i < Wc - 1 ? nl - i : Wc - 1;
                 if (kmax < -1) kmax = -1;
-                const uint8_t *wrow = wref.data() + (i - 1);
+                const uint8_t *__restrict wrow = wref.data() + (i - 1);
+                const int32_t kn = kmax + 1;
 
-                // pass 1: diag + vertical, branch-free (vectorizable)
-                for (int32_t k = 0; k <= kmax; k++) {
+                // pass 1: elementwise, all i32, branch-free
+                for (int32_t k = 0; k < kn; k++) {
                     const int32_t fc = wrow[k];
-                    const int32_t sub =
-                        (rc >= 4 || fc >= 4)
-                            ? -1
-                            : (rc == (int32_t)fc ? match : -mismatch);
-                    const int32_t ph = hp[(size_t)k];
-                    const int32_t hdv =
-                        (ph >= fresh ? ph : fresh) + sub;
-                    const int32_t sdv =
-                        ph >= fresh ? shp[(size_t)k] : fresh_s;
-                    const int32_t fo = hp[(size_t)k + 1] - goe;
-                    const int32_t fe = fp[(size_t)k + 1] - gap_extend;
+                    const int32_t sub = (rc >= 4 || fc >= 4) ? -1
+                        : (rc == fc ? matchc : -mismatchc);
+                    const int32_t ph = hp[k];
+                    const int32_t hdv = (ph >= fresh ? ph : fresh) + sub;
+                    const int32_t sdv = ph >= fresh ? shp[k] : fresh_s;
+                    const int32_t fo = hp[k + 1] - goec;
+                    const int32_t fe = fp[k + 1] - gap_extendc;
                     const int32_t f = fo >= fe ? fo : fe;
-                    const int32_t sfv =
-                        fo >= fe ? shp[(size_t)k + 1] : sfp[(size_t)k + 1];
-                    hd[(size_t)k] = hdv;
-                    sd[(size_t)k] = sdv;
-                    fv[(size_t)k] = f;
-                    sf[(size_t)k] = sfv;
-                    h0[(size_t)k] = hdv >= f ? hdv : f;
-                    s0[(size_t)k] = hdv >= f ? sdv : sfv;
+                    const int32_t sfv = fo >= fe ? shp[k + 1] : sfp[k + 1];
+                    hd[k] = hdv; sd[k] = sdv; fv[k] = f; sf[k] = sfv;
+                    const int32_t h0v = hdv >= f ? hdv : f;
+                    s0[k] = hdv >= f ? sdv : sfv;
+                    int32_t a = h0v + k * gap_extendc;
+                    a = a < swb::PLOW ? swb::PLOW : a;
+                    // ties prefer larger k == nearest source (low 9 bits)
+                    ak[k] = (a << 9) | k;
                 }
-
-                // pass 2: horizontal gaps as a running max-plus scan,
-                // merge with the diag>=E>=F tie priority, track best
-                int32_t P = NEGS, PS = 0;        // max of h0[k'] + k'*ge
-                int32_t rbv = NEGS, rbk = 0, rbs = 0;
-                for (int32_t k = 0; k <= kmax; k++) {
-                    const int32_t Ev = P - k * gap_extend - gap_open;
-                    const int32_t hdv = hd[(size_t)k];
-                    const int32_t f = fv[(size_t)k];
+                // serial scan: twin cmov chains (value+start)
+                {
+                    int32_t P = INT32_MIN, PS = 0;
+                    for (int32_t k = 0; k < kn; k++) {
+                        const int32_t a = ak[k];
+                        const int32_t sv = s0[k];
+                        const bool up = a >= P;
+                        P = up ? a : P;
+                        PS = up ? sv : PS;
+                        pmv[k] = P; pms[k] = PS;
+                    }
+                }
+                // merge: elementwise, branch-free; new F/SF rows become
+                // fp/sfp by pointer swap below (no copy-through stores)
+                for (int32_t k = 0; k < kn; k++) {
+                    const int32_t P = pmv[k] >> 9;
+                    const int32_t Ev = P - k * gap_extendc - gap_openc;
+                    const int32_t hdv = hd[k];
+                    const int32_t f = fv[k];
                     const int32_t ef = Ev >= f ? Ev : f;
-                    int32_t h, sh;
-                    if (hdv >= ef) {
-                        h = hdv;
-                        sh = sd[(size_t)k];
-                    } else if (Ev >= f) {
-                        h = Ev;
-                        sh = PS;
-                    } else {
-                        h = f;
-                        sh = sf[(size_t)k];
-                    }
-                    hp[(size_t)k] = h;
-                    fp[(size_t)k] = f;
-                    shp[(size_t)k] = sh;
-                    sfp[(size_t)k] = sf[(size_t)k];
-                    // >=: on value ties the NEAREST source wins, like
-                    // the kernels' scans (d_open >= d_ext in the ref)
-                    const int32_t A = h0[(size_t)k] + k * gap_extend;
-                    if (A >= P) {
-                        P = A;
-                        PS = s0[(size_t)k];
-                    }
-                    const int32_t cand = h + end_adj;
-                    if (cand > rbv) {            // first max = smallest k
-                        rbv = cand;
-                        rbk = k;
-                        rbs = sh;
-                    }
+                    const int32_t sef = Ev >= f ? pms[k] : sf[k];
+                    const int32_t h = hdv >= ef ? hdv : ef;
+                    const int32_t sh = hdv >= ef ? sd[k] : sef;
+                    hp[k] = h; shp[k] = sh;
                 }
-                // row merge: score desc, then d = 2i + k asc, then i asc
-                if (rbv > bv
-                    || (rbv == bv
-                        && (2 * i + rbk < bd
+                { int32_t *t = fp; fp = fv; fv = t; }
+                { int32_t *t = sfp; sfp = sf; sf = t; }
+                // row best: vector max-reduce, then first index
+                if (kn > 0) {
+                    const int32_t *__restrict cand = hp;
+                    int32_t m = INT32_MIN;
+                    for (int32_t k = 0; k < kn; k++) m = cand[k] > m ? cand[k] : m;
+                    int32_t rbk = 0;
+                    for (int32_t k = 0; k < kn; k++) if (cand[k] == m) { rbk = k; break; }
+                    const int32_t rbv = m + end_adj;
+                    const int32_t rbs = shp[rbk];
+                    if (rbv > bv
+                        || (rbv == bv && (2 * i + rbk < bd
                             || (2 * i + rbk == bd && i < bi)))) {
-                    bv = rbv;
-                    bd = 2 * i + rbk;
-                    bi = i;
-                    bs = rbs;
-                    bk = rbk;
+                        bv = rbv; bd = 2 * i + rbk; bi = i; bs = rbs; bk = rbk;
+                    }
                 }
-                // clear lanes the next row can still read (kmax shrinks
-                // by at most 1 per row, so one boundary cell suffices)
-                for (int32_t k = kmax + 1 > 0 ? kmax + 1 : 0;
-                     k <= prev_kmax + 1 && k <= W + 1; k++) {
-                    hp[(size_t)k] = NEGS;
-                    fp[(size_t)k] = NEGS;
-                    shp[(size_t)k] = 0;
-                    sfp[(size_t)k] = 0;
+                for (int32_t k = kn > 0 ? kn : 0;
+                     k <= prev_kmax + 1 && k <= Wc + 1; k++) {
+                    hp[k] = NEGS; fp[k] = NEGS; shp[k] = 0; sfp[k] = 0;
                 }
                 prev_kmax = kmax;
             }
-            out_score[c] = bv;
-            out_qb[c] = bs;
-            out_qe[c] = bi;
+            out_score[c] = bv; out_qb[c] = bs; out_qe[c] = bi;
             out_ref_end[c] = bi + bk;
         }
     };
-
-    if (n_threads <= 1 || N < 2 * n_threads) {
-        run(0, N);
-        return;
-    }
+    if (n_threads <= 1 || N < 2 * n_threads) { run(0, N); return; }
     std::vector<std::thread> ts;
     int64_t chunk = (N + n_threads - 1) / n_threads;
     for (int32_t t = 0; t < n_threads; t++) {
