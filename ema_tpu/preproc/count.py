@@ -260,12 +260,46 @@ def haplotag_all_codes() -> np.ndarray:
 
 def haplotag_emission_order() -> np.ndarray:
     """Reference map-iteration order over the generated haplotag space.
-    The 85M-key libstdc++ replay costs ~a minute; cached per process."""
-    if "order" not in _HAPLOTAG_CACHE:
+
+    The 85M-key libstdc++ replay costs ~a minute; cached per process and
+    (as u32, ~340MB) on disk so repeated CLI invocations skip it.  Set
+    EMA_TPU_CACHE_DIR to move the cache, EMA_TPU_NO_DISK_CACHE=1 to
+    disable the disk layer.
+    """
+    if "order" in _HAPLOTAG_CACHE:
+        return _HAPLOTAG_CACHE["order"]
+    import os
+
+    n = 96 ** 4
+    no_disk = os.environ.get("EMA_TPU_NO_DISK_CACHE", "").lower() \
+        in ("1", "true", "yes")
+    cache_dir = os.environ.get("EMA_TPU_CACHE_DIR",
+                               "/tmp/ema_tpu_jax_cache")
+    # v1: order depends only on the libstdc++ unordered_map growth
+    # policy, stable for a given toolchain; bump on native-lib changes
+    path = os.path.join(cache_dir, f"haplotag_order_v1_{n}.npy")
+    order = None
+    if not no_disk:
+        try:
+            got = np.load(path)
+            if got.shape == (n,) and got.dtype == np.uint32:
+                order = got.astype(np.int64)
+        except Exception:
+            pass
+    if order is None:
         from ema_tpu import native
-        _HAPLOTAG_CACHE["order"] = native.umap_order_u32(
-            haplotag_all_codes())
-    return _HAPLOTAG_CACHE["order"]
+        order = native.umap_order_u32(haplotag_all_codes())
+        if not no_disk:
+            try:
+                os.makedirs(cache_dir, exist_ok=True)
+                tmp = f"{path}.tmp.{os.getpid()}"
+                with open(tmp, "wb") as f:  # file obj: no .npy suffixing
+                    np.save(f, order.astype(np.uint32))
+                os.replace(tmp, path)       # atomic vs concurrent runs
+            except Exception:
+                pass
+    _HAPLOTAG_CACHE["order"] = order
+    return order
 
 
 def parse_haplotag_bx(name: bytes, len_check: int | None = None):
