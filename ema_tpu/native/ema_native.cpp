@@ -1261,3 +1261,192 @@ extern "C" void sw_banded_native(
     }
     for (auto &t : ts) t.join();
 }
+
+// ---------------------------------------------------------------------------
+// Barcode-correction neighbor scans (preproc/correct.py hot path)
+// ---------------------------------------------------------------------------
+// Native equivalents of Corrector._h1_neighbors/_h2_neighbors +
+// _reduce_neighbors (see their docstrings for the reference citations,
+// correct.cc:66-188).  The numpy path materializes [M, 1920] neighbor /
+// prior / validity arrays and binary-searches a 4M-entry whitelist per
+// neighbor; here each candidate's neighbors are enumerated in registers
+// and probed against an open-addressing hash table (~1 cache miss per
+// probe), threaded over candidates.  Enumeration order, the
+// strictly-greater best update (numpy argmax first-max), and sequential
+// f64 accumulation match the reference semantics; the numpy path remains
+// as a cross-checked fallback (tests compare both).
+//
+// Empty slot sentinel is barcode 0 (AAA...A), which the whitelist loader
+// rejects as invalid (count.py load_whitelist_file_order).
+
+static inline uint32_t bc_hash_mix(uint32_t k) {
+    // murmur3 finalizer: whitelists are structured; identity hashing
+    // would cluster linear probes
+    k ^= k >> 16; k *= 0x85ebca6bu; k ^= k >> 13; k *= 0xc2b2ae35u;
+    k ^= k >> 16;
+    return k;
+}
+
+extern "C" void bc_hash_build(const uint32_t *keys, const double *vals,
+                              int64_t n, uint32_t *slots, double *svals,
+                              int64_t S) {
+    const uint32_t mask = (uint32_t)(S - 1);
+    memset(slots, 0, (size_t)S * sizeof(uint32_t));
+    for (int64_t i = 0; i < n; i++) {
+        const uint32_t k = keys[i];
+        uint32_t h = bc_hash_mix(k) & mask;
+        while (slots[h] != 0 && slots[h] != k) h = (h + 1) & mask;
+        slots[h] = k;
+        svals[h] = vals[i];
+    }
+}
+
+static inline double bc_hash_get(const uint32_t *slots, const double *svals,
+                                 uint32_t mask, uint32_t k) {
+    uint32_t h = bc_hash_mix(k) & mask;
+    for (;;) {
+        const uint32_t s = slots[h];
+        if (s == k) return svals[h];
+        if (s == 0) return -1.0;
+        h = (h + 1) & mask;
+    }
+}
+
+extern "C" void bc_hash_probe(const uint32_t *bcs, int64_t m,
+                              const uint32_t *slots, const double *svals,
+                              int64_t S, double *out, int32_t n_threads) {
+    const uint32_t mask = (uint32_t)(S - 1);
+    auto run = [&](int64_t s, int64_t e) {
+        for (int64_t i = s; i < e; i++)
+            out[i] = bc_hash_get(slots, svals, mask, bcs[i]);
+    };
+    if (n_threads <= 1 || m < 1 << 16) { run(0, m); return; }
+    std::vector<std::thread> ts;
+    int64_t chunk = (m + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; t++) {
+        int64_t s = t * chunk, e = std::min(m, s + chunk);
+        if (s >= e) break;
+        ts.emplace_back(run, s, e);
+    }
+    for (auto &t : ts) t.join();
+}
+
+// H1 / N-position scan, one row per miss candidate: neighbors enumerated
+// position-major then substitute (i outer 0..15, j inner 0..3), matching
+// _h1_neighbors' reshape order.
+extern "C" void bc_h1_scan(const uint8_t *codes, const uint8_t *quals,
+                           const uint8_t *pos_ok, const uint8_t *has_n,
+                           int64_t M,
+                           const uint32_t *slots, const double *svals,
+                           int64_t S, const double *phred,
+                           double *total, double *best_p,
+                           uint32_t *best_bc, int32_t n_threads) {
+    const uint32_t mask = (uint32_t)(S - 1);
+    auto run = [&](int64_t s, int64_t e) {
+        for (int64_t r = s; r < e; r++) {
+            const uint8_t *c = codes + r * 16;
+            const uint8_t *q = quals + r * 16;
+            const uint8_t *po = pos_ok + r * 16;
+            const int hn = has_n[r];
+            uint32_t base = 0;
+            for (int i = 0; i < 16; i++)
+                base = (base << 2) | (uint32_t)(c[i] == 4 ? 0 : c[i]);
+            double tot = 0.0, bp = 0.0;
+            // numpy argmax returns index 0 on an all-zero row: nb[0] is
+            // the (i=0, j=0) neighbor
+            uint32_t bbc = base & ~(3u << 30);
+            for (int i = 0; i < 16; i++) {
+                if (!po[i]) continue;
+                const int shift = 2 * (15 - i);
+                const uint32_t cleared = base & ~(3u << shift);
+                const double ph = phred[q[i] < 127 ? q[i] : 127];
+                for (uint32_t j = 0; j < 4; j++) {
+                    if (!hn && j == (uint32_t)c[i]) continue;
+                    const uint32_t nb = cleared | (j << shift);
+                    const double pr = bc_hash_get(slots, svals, mask, nb);
+                    if (pr < 0.0) continue;
+                    const double p = pr * ph;
+                    tot += p;
+                    if (p > bp) { bp = p; bbc = nb; }
+                }
+            }
+            total[r] = tot;
+            best_p[r] = bp;
+            best_bc[r] = bbc;
+        }
+    };
+    if (n_threads <= 1 || M < 256) { run(0, M); return; }
+    std::vector<std::thread> ts;
+    int64_t chunk = (M + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; t++) {
+        int64_t s = t * chunk, e = std::min(M, s + chunk);
+        if (s >= e) break;
+        ts.emplace_back(run, s, e);
+    }
+    for (auto &t : ts) t.join();
+}
+
+// H2 scan, one row per exact-hit candidate: pairs (i1 < i2) lexicographic,
+// then j1 outer, j2 inner — _h2_neighbors' [M, P, 4, 4] reshape order.
+// Quality weighting phred(max(q-1, 3)) per changed position
+// (correct.cc:121-122).
+extern "C" void bc_h2_scan(const uint8_t *codes, const uint8_t *quals,
+                           int64_t M,
+                           const uint32_t *slots, const double *svals,
+                           int64_t S, const double *phred,
+                           double *total, double *best_p,
+                           uint32_t *best_bc, int32_t n_threads) {
+    const uint32_t mask = (uint32_t)(S - 1);
+    auto run = [&](int64_t s, int64_t e) {
+        for (int64_t r = s; r < e; r++) {
+            const uint8_t *c = codes + r * 16;
+            const uint8_t *q = quals + r * 16;
+            uint32_t base = 0;
+            double pq[16];
+            for (int i = 0; i < 16; i++) {
+                base = (base << 2) | (uint32_t)(c[i] == 4 ? 0 : c[i]);
+                int qi = q[i] - 1;
+                if (qi < 3) qi = 3;
+                pq[i] = phred[qi < 127 ? qi : 127];
+            }
+            double tot = 0.0, bp = 0.0;
+            // nb[0] = pair (0,1), j1=0, j2=0
+            uint32_t bbc = base & ~(3u << 30) & ~(3u << 28);
+            for (int i1 = 0; i1 < 15; i1++) {
+                const int sh1 = 2 * (15 - i1);
+                const uint32_t cl1 = base & ~(3u << sh1);
+                for (int i2 = i1 + 1; i2 < 16; i2++) {
+                    const int sh2 = 2 * (15 - i2);
+                    const uint32_t cl12 = cl1 & ~(3u << sh2);
+                    const double w = pq[i1] * pq[i2];
+                    for (uint32_t j1 = 0; j1 < 4; j1++) {
+                        if (j1 == (uint32_t)c[i1]) continue;
+                        const uint32_t nb1 = cl12 | (j1 << sh1);
+                        for (uint32_t j2 = 0; j2 < 4; j2++) {
+                            if (j2 == (uint32_t)c[i2]) continue;
+                            const uint32_t nb = nb1 | (j2 << sh2);
+                            const double pr =
+                                bc_hash_get(slots, svals, mask, nb);
+                            if (pr < 0.0) continue;
+                            const double p = pr * w;
+                            tot += p;
+                            if (p > bp) { bp = p; bbc = nb; }
+                        }
+                    }
+                }
+            }
+            total[r] = tot;
+            best_p[r] = bp;
+            best_bc[r] = bbc;
+        }
+    };
+    if (n_threads <= 1 || M < 256) { run(0, M); return; }
+    std::vector<std::thread> ts;
+    int64_t chunk = (M + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; t++) {
+        int64_t s = t * chunk, e = std::min(M, s + chunk);
+        if (s >= e) break;
+        ts.emplace_back(run, s, e);
+    }
+    for (auto &t : ts) t.join();
+}

@@ -36,10 +36,15 @@ HASH_DNA_N[ord("n")] = 4
 
 
 def encode_bc_preproc(bases: np.ndarray) -> np.ndarray:
-    """[N, 16] uint8 base codes -> uint32, first base in the high bits."""
-    shifts = (2 * np.arange(BC_LEN - 1, -1, -1, dtype=np.uint64))[None, :]
-    return np.sum(bases.astype(np.uint64) << shifts, axis=1,
-                  dtype=np.uint64).astype(np.uint32)
+    """[N, 16] uint8 base codes -> uint32, first base in the high bits.
+
+    Column-wise accumulation: no [N, 16] widened temporary (a 4M-row
+    whitelist would materialize 512MB as uint64)."""
+    out = np.zeros(bases.shape[0], np.uint32)
+    for i in range(BC_LEN):
+        out <<= np.uint32(2)
+        out |= bases[:, i].astype(np.uint32)
+    return out
 
 
 def decode_bc_preproc_str(bc: int) -> str:
@@ -64,16 +69,24 @@ def load_whitelist_file_order(path: str) -> np.ndarray:
     ``counts[barcode] = 0`` inserts, count.cc:58-63).  File order matters:
     it determines the reference-compatible .ema-ncnt emission and bucket
     assignment order (see native.umap_order_u32)."""
-    rows = []
     with open(path, "rb") as f:
-        for line in f:
+        data = f.read()
+    arr = np.frombuffer(data, np.uint8)
+    # fast path: uniform "<16 bases>\n" lines (every real 10x whitelist)
+    if (arr.shape[0] % (BC_LEN + 1) == 0 and arr.shape[0]
+            and (arr.reshape(-1, BC_LEN + 1)[:, BC_LEN] == ord("\n")).all()
+            and b"#" not in data):
+        block = arr.reshape(-1, BC_LEN + 1)[:, :BC_LEN]
+    else:
+        rows = []
+        for line in data.splitlines():
             line = line.strip()
             if not line or b"#" in line:
                 continue
             rows.append(line[:BC_LEN])
-    if not rows:
-        return np.zeros(0, np.uint32)
-    block = np.frombuffer(b"".join(rows), np.uint8).reshape(-1, BC_LEN)
+        if not rows:
+            return np.zeros(0, np.uint32)
+        block = np.frombuffer(b"".join(rows), np.uint8).reshape(-1, BC_LEN)
     bcs = encode_bc_preproc(HASH_DNA[block]).astype(np.uint32)
     if (bcs == 0).any():
         raise ValueError("Invalid barcode AAA...AA whitelisted")
@@ -85,6 +98,46 @@ def load_whitelist_preproc(path: str) -> np.ndarray:
     """Whitelist barcodes in preproc encoding, sorted uint32 (vectorized:
     10x-scale whitelists hold millions of lines)."""
     return np.sort(load_whitelist_file_order(path))
+
+
+def umap_order_cached(keys: np.ndarray) -> np.ndarray:
+    """native.umap_order_u32 with a content-keyed disk cache.
+
+    The libstdc++ map-order replay costs ~3s for a 4M-barcode whitelist
+    and runs once per count AND once per preproc invocation on the same
+    whitelist; the cache (u32, ~16MB per whitelist) makes every run after
+    the first pay ~30ms.  Keyed by CRC + length of the key bytes;
+    EMA_TPU_NO_DISK_CACHE=1 disables."""
+    import os
+    import zlib
+
+    from ema_tpu import native
+
+    no_disk = os.environ.get("EMA_TPU_NO_DISK_CACHE", "").lower() \
+        in ("1", "true", "yes")
+    if no_disk or keys.shape[0] < 500_000:
+        return native.umap_order_u32(keys)
+    kb = np.ascontiguousarray(keys, np.uint32).tobytes()
+    tag = f"{zlib.crc32(kb):08x}_{len(kb)}"
+    cache_dir = os.environ.get("EMA_TPU_CACHE_DIR",
+                               "/tmp/ema_tpu_jax_cache")
+    path = os.path.join(cache_dir, f"wl_order_v1_{tag}.npy")
+    try:
+        got = np.load(path)
+        if got.dtype == np.uint32 and got.shape[0] <= keys.shape[0]:
+            return got.astype(np.int64)
+    except Exception:
+        pass
+    order = native.umap_order_u32(keys)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            np.save(f, order.astype(np.uint32))
+        os.replace(tmp, path)
+    except Exception:
+        pass
+    return order
 
 
 def iter_fastq_pairs(stream) -> Iterator[List[bytes]]:
@@ -206,8 +259,7 @@ def _write_ncnt(path: str, barcodes_file_order: np.ndarray,
                 counts: np.ndarray):
     """Emit nonzero (barcode, count) pairs in the reference's map-iteration
     order over the insertion (file-order) sequence."""
-    from ema_tpu import native
-    order = native.umap_order_u32(barcodes_file_order)
+    order = umap_order_cached(barcodes_file_order)
     bcs = barcodes_file_order[order]
     cnts = counts[order]
     nz = cnts > 0

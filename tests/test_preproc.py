@@ -182,3 +182,48 @@ class TestCorrect:
         assert len(recs) == 3 * 8
         # header keeps the '@' (the reference copies the raw name line)
         assert recs[0].startswith("@r")
+
+
+class TestNativeCorrectParity:
+    def test_native_matches_numpy_corrector(self, monkeypatch):
+        """The native hash-probe H1/H2 scans must reproduce the numpy
+        corrector's outputs (same enumeration order, argmax-first best,
+        acceptance decisions) on a stress mix of exact/H1/H2/N keys."""
+        import numpy as np
+
+        from ema_tpu.preproc.correct import Corrector
+        from ema_tpu.preproc.count import encode_bc_preproc
+
+        rng = np.random.default_rng(5)
+        wl_codes = rng.integers(0, 4, (3000, 16)).astype(np.uint8)
+        wl_codes[0] = 1     # avoid the all-A invalid code
+        wl = np.unique(encode_bc_preproc(wl_codes))
+        priors = (rng.integers(0, 50, wl.shape[0]) + 1.0) / 1000.0
+
+        K = 4000
+        pick = rng.integers(0, wl_codes.shape[0], K)
+        codes = wl_codes[pick].astype(np.int64)
+        # mutate: thirds exact / H1 / H2, sprinkle Ns
+        codes[1000:2000, 3] = rng.integers(0, 4, 1000)
+        codes[2000:3000, 5] = rng.integers(0, 4, 1000)
+        codes[2000:3000, 11] = rng.integers(0, 4, 1000)
+        codes[3000:3500, 7] = 4         # one N
+        codes[3500:3600, 2] = 4
+        codes[3500:3600, 9] = 4         # two Ns -> nobucket
+        quals = rng.integers(0, 34, (K, 16)).astype(np.int64)
+        keys = codes * 34 + quals
+
+        def run(use_native):
+            if not use_native:
+                monkeypatch.setenv("EMA_TPU_NO_NATIVE_CORRECT", "1")
+            else:
+                monkeypatch.delenv("EMA_TPU_NO_NATIVE_CORRECT",
+                                   raising=False)
+            c = Corrector(wl, priors, do_h2=True)
+            assert (c._hash is not None) == use_native
+            return c.correct_block(keys, np.ones(K, np.int64))
+
+        bc_np, ty_np = run(False)
+        bc_nat, ty_nat = run(True)
+        np.testing.assert_array_equal(ty_nat, ty_np)
+        np.testing.assert_array_equal(bc_nat, bc_np)
