@@ -237,6 +237,17 @@ def _banded_kernel(reads_ref, rlen_ref, refs_ref, nlen_ref, out_ref, *,
     left-rotating VMEM buffers (Mosaic only lowers 128-aligned dynamic
     lane slices), and the horizontal-gap prefix scan is log2(W) masked
     rolls.
+
+    When shapes permit (m < 256, W <= 512, |A| < 8192 — every pipeline
+    shape), the value+start scan packs (A << 17) | (k << 8) | s0 into one
+    int32 and runs a 3-op max scan instead of the 7-op two-array scan:
+    ordering is by A first (low bits are an unsigned offset), ties by
+    larger k == NEAREST source (exactly the two-array scan's tie rule),
+    and the start rides in the low byte for free.  Clamped invalid lanes
+    (A -> -8192) can never win a merge: every valid cell has
+    Hd >= -(clip + mismatch) > any clamped E, so outputs are bit-exact —
+    asserted against the unpacked scan and the XLA kernel in
+    tests/test_sw_banded.py.
     """
     B = reads_ref.shape[0]
     goe = gap_open + gap_extend
@@ -293,17 +304,32 @@ def _banded_kernel(reads_ref, rlen_ref, refs_ref, nlen_ref, out_ref, *,
 
         H0 = jnp.maximum(Hd, F)
         S0 = jnp.where(Hd >= F, Sd, SF)
-        A = jnp.where(valid, H0 + ke, NEG)
-        P = shift_right(A, 1, NEG)
-        PS = shift_right(S0, 1, 0)
-        s = 1
-        while s < W:
-            P2 = shift_right(P, s, NEG)
-            PS2 = shift_right(PS, s, 0)
-            PS = jnp.where(P2 > P, PS2, PS)
-            P = jnp.maximum(P, P2)
-            s *= 2
-        E = P - ke - gap_open
+        packed = (m < 256 and W <= 512
+                  and m * max(match, 1) + W * gap_extend < 8191
+                  and clip + mismatch < 8191)
+        if packed:
+            A = jnp.where(valid, H0 + ke, -8192)
+            AK = (A << 17) | (k_idx << 8) | S0
+            NEGPACK = (-8192) << 17
+            P = shift_right(AK, 1, NEGPACK)
+            s = 1
+            while s < W:
+                P = jnp.maximum(P, shift_right(P, s, NEGPACK))
+                s *= 2
+            E = (P >> 17) - ke - gap_open
+            PS = P & 255
+        else:
+            A = jnp.where(valid, H0 + ke, NEG)
+            P = shift_right(A, 1, NEG)
+            PS = shift_right(S0, 1, 0)
+            s = 1
+            while s < W:
+                P2 = shift_right(P, s, NEG)
+                PS2 = shift_right(PS, s, 0)
+                PS = jnp.where(P2 > P, PS2, PS)
+                P = jnp.maximum(P, P2)
+                s *= 2
+        E = E if packed else P - ke - gap_open
         H = jnp.maximum(H0, E)
         SH = jnp.where(Hd >= jnp.maximum(E, F), Sd,
                        jnp.where(E >= F, PS, SF))
