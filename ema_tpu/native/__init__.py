@@ -94,6 +94,20 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int32,
         ]
+        lib.sw_banded_native_scalar.restype = None
+        lib.sw_banded_native_scalar.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+        ]
 
         lib.bc_hash_build.restype = None
         lib.bc_hash_build.argtypes = [
@@ -417,7 +431,8 @@ def sw_banded_native(oriented: np.ndarray, olens: np.ndarray,
                      text: np.ndarray, owners: np.ndarray,
                      win_lo: np.ndarray, win_len: np.ndarray,
                      w_band: int, match=1, mismatch=4, gap_open=6,
-                     gap_extend=1, clip=5, n_threads=0):
+                     gap_extend=1, clip=5, n_threads=0,
+                     force_scalar=False):
     """Threaded host banded-SW scorer (see ema_native.cpp); same outputs
     and tie rules as ops/sw.sw_score_banded.  Windows are gathered from
     ``text`` directly (win_lo may be negative; out-of-text columns read
@@ -435,7 +450,9 @@ def sw_banded_native(oriented: np.ndarray, olens: np.ndarray,
     ref_end = np.empty(N, np.int32)
     if n_threads <= 0:
         n_threads = min(os.cpu_count() or 1, 16)
-    get_lib().sw_banded_native(
+    fn = (get_lib().sw_banded_native_scalar if force_scalar
+          else get_lib().sw_banded_native)
+    fn(
         _ptr(oriented, ctypes.c_uint8), ctypes.c_int64(oriented.shape[1]),
         _ptr(olens, ctypes.c_int32),
         _ptr(text, ctypes.c_uint8), ctypes.c_int64(text.shape[0]),

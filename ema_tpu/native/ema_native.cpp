@@ -1108,7 +1108,7 @@ constexpr int32_t PLOW = -(1 << 21);
 
 }  // namespace swb
 
-extern "C" void sw_banded_native(
+extern "C" void sw_banded_native_scalar(
     const uint8_t *oriented, int64_t L, const int32_t *olens,
     const uint8_t *text, int64_t text_n,
     const int64_t *owners, const int64_t *win_lo, const int32_t *win_len,
@@ -1449,4 +1449,276 @@ extern "C" void bc_h2_scan(const uint8_t *codes, const uint8_t *quals,
         ts.emplace_back(run, s, e);
     }
     for (auto &t : ts) t.join();
+}
+
+#if defined(__AVX512F__)
+#include <immintrin.h>
+// ---------------------------------------------------------------------------
+// AVX-512 inter-candidate SIMD variant: 16 candidates per vector lane,
+// serial (i, k) loops running the scalar recurrence per lane — no
+// prefix scan at all, M/MS and the best trackers live in registers.
+// Bit-exact vs sw_banded_native_scalar and the XLA kernel (asserted in
+// tests/test_sw_banded.py); ~9x the striped scalar kernel per core.
+// ---------------------------------------------------------------------------
+namespace swb { constexpr int LN = 16; }
+using swb::LN;
+extern "C" void sw_banded_native_simd(
+    const uint8_t *oriented, int64_t L, const int32_t *olens,
+    const uint8_t *text, int64_t text_n,
+    const int64_t *owners, const int64_t *win_lo, const int32_t *win_len,
+    int64_t N, int32_t W,
+    int32_t match, int32_t mismatch, int32_t gap_open, int32_t gap_extend,
+    int32_t clip,
+    int32_t *out_score, int32_t *out_qb, int32_t *out_qe,
+    int32_t *out_ref_end, int32_t n_threads) {
+
+    auto run = [&](int64_t blk_s, int64_t blk_e) {
+        const int64_t Lc = L, text_nc = text_n;
+        const int32_t Wc = W;
+        const __m512i vneg = _mm512_set1_epi32(swb::NEGS);
+        const __m512i vzero = _mm512_setzero_si512();
+        const __m512i vfour = _mm512_set1_epi32(4);
+        const __m512i vmatch = _mm512_set1_epi32(match);
+        const __m512i vmism = _mm512_set1_epi32(-mismatch);
+        const __m512i vneg1 = _mm512_set1_epi32(-1);
+        const __m512i vgoe = _mm512_set1_epi32(gap_open + gap_extend);
+        const __m512i vge = _mm512_set1_epi32(gap_extend);
+        const __m512i vgo = _mm512_set1_epi32(gap_open);
+        const uint8_t *__restrict orientedc = oriented;
+        const uint8_t *__restrict textc = text;
+
+        std::vector<uint8_t> readT, wrefT;
+        std::vector<int32_t> st((size_t)(Wc + 2) * LN * 4 + 64);
+        alignas(64) int32_t rlv[LN], nlv[LN];
+
+        for (int64_t b0 = blk_s; b0 < blk_e; b0 += LN) {
+            const int nb = (int)std::min<int64_t>(LN, blk_e - b0);
+            int32_t m_max = 0, nl_max = 0;
+            for (int l = 0; l < LN; l++) {
+                const int64_t c = b0 + (l < nb ? l : 0);
+                rlv[l] = l < nb ? olens[owners[c]] : 0;
+                nlv[l] = l < nb ? win_len[c] : 0;
+                m_max = std::max(m_max, rlv[l]);
+                nl_max = std::max(nl_max, nlv[l]);
+            }
+            readT.assign((size_t)m_max * LN, 4);
+            const int32_t wrows = std::max(nl_max, m_max - 1 + Wc) + 1;
+            wrefT.assign((size_t)wrows * LN, 5);
+            for (int l = 0; l < nb; l++) {
+                const int64_t c = b0 + l;
+                const uint8_t *rd = orientedc + owners[c] * Lc;
+                for (int32_t i = 0; i < rlv[l]; i++)
+                    readT[(size_t)i * LN + l] = rd[i];
+                const int64_t lo = win_lo[c];
+                int64_t a = lo < 0 ? 0 : lo;
+                int64_t b = lo + nlv[l]; if (b > text_nc) b = text_nc;
+                for (int64_t t = a; t < b; t++)
+                    wrefT[(size_t)(t - lo) * LN + l] = textc[t];
+            }
+            // interleaved state rows: [k][4][LN] = Hp, Fp, SHp, SFp
+            int32_t *S = st.data();
+            for (int32_t k = 0; k <= Wc + 1; k++) {
+                int32_t *row = S + (size_t)k * 4 * LN;
+                for (int l = 0; l < LN; l++) {
+                    row[l] = swb::NEGS; row[LN + l] = swb::NEGS;
+                    row[2 * LN + l] = 0; row[3 * LN + l] = 0;
+                }
+            }
+            const __m512i vrl = _mm512_load_si512(rlv);
+            const __m512i vnl = _mm512_load_si512(nlv);
+
+            __m512i bv = vneg, bd = vzero, bi = vzero, bs = vzero,
+                    bk = vzero;
+
+            for (int32_t i = 1; i <= m_max; i++) {
+                const __m512i vi = _mm512_set1_epi32(i);
+                const __m512i vfresh = _mm512_set1_epi32(i == 1 ? 0 : -clip);
+                const __m512i vfresh_s = _mm512_set1_epi32(i - 1);
+                const __mmask16 ivalid =
+                    _mm512_cmple_epi32_mask(vi, vrl);
+                const __m512i vend_adj = _mm512_mask_mov_epi32(
+                    _mm512_set1_epi32(-clip),
+                    _mm512_cmpeq_epi32_mask(vi, vrl), vzero);
+                const __m512i vkmax = _mm512_sub_epi32(vnl, vi);
+                const __m128i rbytes = _mm_loadu_si128(
+                    (const __m128i *)(readT.data() + (size_t)(i - 1) * LN));
+                const __m512i rcv = _mm512_cvtepu8_epi32(rbytes);
+                const __mmask16 rcn =
+                    _mm512_cmpge_epi32_mask(rcv, vfour);
+
+                __m512i M = vneg, MS = vzero;
+                __m512i rbv = vneg, rbk = vzero, rbs = vzero;
+                __m512i kge = vzero;            // k * ge
+
+                int32_t *row0 = S;
+                __m512i HK = _mm512_loadu_si512(row0);
+                __m512i SHK = _mm512_loadu_si512(row0 + 2 * LN);
+                const uint8_t *wbase = wrefT.data() + (size_t)(i - 1) * LN;
+
+                for (int32_t k = 0; k < Wc; k++) {
+                    int32_t *rowk = S + (size_t)k * 4 * LN;
+                    int32_t *rowk1 = rowk + 4 * LN;
+                    const __m512i HK1 = _mm512_loadu_si512(rowk1);
+                    const __m512i FK1 = _mm512_loadu_si512(rowk1 + LN);
+                    const __m512i SHK1 = _mm512_loadu_si512(rowk1 + 2 * LN);
+                    const __m512i SFK1 = _mm512_loadu_si512(rowk1 + 3 * LN);
+                    const __m512i wcv = _mm512_cvtepu8_epi32(
+                        _mm_loadu_si128(
+                            (const __m128i *)(wbase + (size_t)k * LN)));
+
+                    // sub
+                    const __mmask16 anyn = rcn | _mm512_cmpge_epi32_mask(
+                        wcv, vfour);
+                    const __mmask16 eq =
+                        _mm512_cmpeq_epi32_mask(rcv, wcv);
+                    __m512i sub = _mm512_mask_mov_epi32(vmism, eq, vmatch);
+                    sub = _mm512_mask_mov_epi32(sub, anyn, vneg1);
+
+                    // diag
+                    const __mmask16 phge =
+                        _mm512_cmpge_epi32_mask(HK, vfresh);
+                    const __m512i hdv = _mm512_add_epi32(
+                        _mm512_max_epi32(HK, vfresh), sub);
+                    const __m512i sdv =
+                        _mm512_mask_mov_epi32(vfresh_s, phge, SHK);
+
+                    // vertical
+                    const __m512i fo = _mm512_sub_epi32(HK1, vgoe);
+                    const __m512i fe = _mm512_sub_epi32(FK1, vge);
+                    const __mmask16 foge = _mm512_cmpge_epi32_mask(fo, fe);
+                    const __m512i f = _mm512_max_epi32(fo, fe);
+                    const __m512i sfv =
+                        _mm512_mask_mov_epi32(SFK1, foge, SHK1);
+
+                    const __mmask16 h0d = _mm512_cmpge_epi32_mask(hdv, f);
+                    const __m512i h0 = _mm512_max_epi32(hdv, f);
+                    const __m512i s0 = _mm512_mask_mov_epi32(sfv, h0d, sdv);
+
+                    // horizontal from the running max
+                    const __m512i Ev = _mm512_sub_epi32(
+                        _mm512_sub_epi32(M, kge), vgo);
+                    const __mmask16 evf = _mm512_cmpge_epi32_mask(Ev, f);
+                    const __m512i ef = _mm512_max_epi32(Ev, f);
+                    const __m512i sef = _mm512_mask_mov_epi32(sfv, evf, MS);
+                    const __mmask16 hde = _mm512_cmpge_epi32_mask(hdv, ef);
+                    __m512i h = _mm512_max_epi32(hdv, ef);
+                    __m512i sh = _mm512_mask_mov_epi32(sef, hde, sdv);
+
+                    const __mmask16 valid = ivalid
+                        & _mm512_cmple_epi32_mask(
+                              _mm512_set1_epi32(k), vkmax);
+                    h = _mm512_mask_mov_epi32(vneg, valid, h);
+                    const __m512i fm = _mm512_mask_mov_epi32(vneg, valid, f);
+
+                    _mm512_storeu_si512(rowk, h);
+                    _mm512_storeu_si512(rowk + LN, fm);
+                    _mm512_storeu_si512(rowk + 2 * LN, sh);
+                    _mm512_storeu_si512(rowk + 3 * LN, sfv);
+
+                    // running horizontal-gap max (>=: nearest source wins)
+                    const __m512i A = _mm512_mask_mov_epi32(
+                        vneg, valid, _mm512_add_epi32(h0, kge));
+                    const __mmask16 up = _mm512_cmpge_epi32_mask(A, M);
+                    M = _mm512_mask_mov_epi32(M, up, A);
+                    MS = _mm512_mask_mov_epi32(MS, up, s0);
+
+                    // row best (strict >: smallest k wins ties)
+                    const __m512i cand = _mm512_mask_mov_epi32(
+                        vneg, valid, _mm512_add_epi32(h, vend_adj));
+                    const __mmask16 bu =
+                        _mm512_cmpgt_epi32_mask(cand, rbv);
+                    rbv = _mm512_mask_mov_epi32(rbv, bu, cand);
+                    rbk = _mm512_mask_mov_epi32(rbk, bu,
+                                                _mm512_set1_epi32(k));
+                    rbs = _mm512_mask_mov_epi32(rbs, bu, sh);
+
+                    HK = HK1; SHK = SHK1;
+                    kge = _mm512_add_epi32(kge, vge);
+                }
+                // clear the k == Wc boundary row the next row reads at k+1
+                {
+                    int32_t *rowW = S + (size_t)Wc * 4 * LN;
+                    _mm512_storeu_si512(rowW, vneg);
+                    _mm512_storeu_si512(rowW + LN, vneg);
+                    _mm512_storeu_si512(rowW + 2 * LN, vzero);
+                    _mm512_storeu_si512(rowW + 3 * LN, vzero);
+                }
+
+                // row merge: score desc, then d = 2i + k asc, then i asc
+                const __m512i rd = _mm512_add_epi32(
+                    _mm512_add_epi32(vi, vi), rbk);
+                const __mmask16 gt = _mm512_cmpgt_epi32_mask(rbv, bv);
+                const __mmask16 eqv = _mm512_cmpeq_epi32_mask(rbv, bv);
+                const __mmask16 dlt = _mm512_cmplt_epi32_mask(rd, bd);
+                const __mmask16 deq = _mm512_cmpeq_epi32_mask(rd, bd);
+                const __mmask16 ilt = _mm512_cmplt_epi32_mask(vi, bi);
+                const __mmask16 better =
+                    gt | (eqv & (dlt | (deq & ilt)));
+                bv = _mm512_mask_mov_epi32(bv, better, rbv);
+                bd = _mm512_mask_mov_epi32(bd, better, rd);
+                bi = _mm512_mask_mov_epi32(bi, better, vi);
+                bs = _mm512_mask_mov_epi32(bs, better, rbs);
+                bk = _mm512_mask_mov_epi32(bk, better, rbk);
+            }
+
+            alignas(64) int32_t obv[LN], obs[LN], obi[LN], obk[LN];
+            _mm512_store_si512(obv, bv);
+            _mm512_store_si512(obs, bs);
+            _mm512_store_si512(obi, bi);
+            _mm512_store_si512(obk, bk);
+            for (int l = 0; l < nb; l++) {
+                const int64_t c = b0 + l;
+                out_score[c] = obv[l];
+                out_qb[c] = obs[l];
+                out_qe[c] = obi[l];
+                out_ref_end[c] = obi[l] + obk[l];
+            }
+        }
+    };
+
+    if (n_threads <= 1 || N < 2 * (int64_t)n_threads * LN) {
+        run(0, N);
+        return;
+    }
+    std::vector<std::thread> ts;
+    int64_t nblk = (N + LN - 1) / LN;
+    int64_t per = (nblk + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; t++) {
+        int64_t s = t * per * LN, e = std::min<int64_t>(N, (t + 1) * per * LN);
+        if (s >= e) break;
+        ts.emplace_back(run, s, e);
+    }
+    for (auto &t : ts) t.join();
+}
+#endif  // __AVX512F__
+
+// dispatch: SIMD where compiled in (the .so builds with -march=native
+// on the machine that runs it), scalar otherwise or when
+// EMA_TPU_SW_NATIVE_SCALAR=1
+extern "C" void sw_banded_native(
+    const uint8_t *oriented, int64_t L, const int32_t *olens,
+    const uint8_t *text, int64_t text_n,
+    const int64_t *owners, const int64_t *win_lo, const int32_t *win_len,
+    int64_t N, int32_t W,
+    int32_t match, int32_t mismatch, int32_t gap_open, int32_t gap_extend,
+    int32_t clip,
+    int32_t *out_score, int32_t *out_qb, int32_t *out_qe,
+    int32_t *out_ref_end, int32_t n_threads) {
+#if defined(__AVX512F__)
+    static const bool force_scalar = [] {
+        const char *e = getenv("EMA_TPU_SW_NATIVE_SCALAR");
+        return e && (*e == '1' || *e == 't' || *e == 'y');
+    }();
+    if (!force_scalar) {
+        sw_banded_native_simd(oriented, L, olens, text, text_n, owners,
+                              win_lo, win_len, N, W, match, mismatch,
+                              gap_open, gap_extend, clip, out_score,
+                              out_qb, out_qe, out_ref_end, n_threads);
+        return;
+    }
+#endif
+    sw_banded_native_scalar(oriented, L, olens, text, text_n, owners,
+                            win_lo, win_len, N, W, match, mismatch,
+                            gap_open, gap_extend, clip, out_score,
+                            out_qb, out_qe, out_ref_end, n_threads);
 }

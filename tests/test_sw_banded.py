@@ -197,3 +197,25 @@ class TestNativeScorer:
             jnp.asarray(win_len), W).items()}
         for k in ("score", "qb", "qe", "ref_end"):
             np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+    def test_simd_dispatch_equals_scalar(self):
+        """Where the .so compiled the AVX-512 inter-candidate kernel, the
+        dispatch path must match the striped scalar kernel bit-for-bit
+        (both are also pinned against the XLA kernel above)."""
+        from ema_tpu import native
+
+        rng = np.random.default_rng(23)
+        R, L, n = 32, 100, 4000
+        oriented = rng.integers(0, 5, (R, L)).astype(np.uint8)
+        olens = rng.integers(30, L + 1, R).astype(np.int32)
+        text = rng.integers(0, 4, n).astype(np.uint8)
+        N, W = 123, 128     # non-multiple of the 16-lane block size
+        owners = rng.integers(0, R, N).astype(np.int64)
+        win_lo = rng.integers(-60, n - 80, N).astype(np.int64)
+        win_len = rng.integers(0, 260, N).astype(np.int32)  # incl. tiny
+        a = native.sw_banded_native(oriented, olens, text, owners,
+                                    win_lo, win_len, W)
+        b = native.sw_banded_native(oriented, olens, text, owners,
+                                    win_lo, win_len, W, force_scalar=True)
+        for k in ("score", "qb", "qe", "ref_end"):
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
