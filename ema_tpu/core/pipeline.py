@@ -814,7 +814,10 @@ class Aligner:
             e = min(s + B, P)
             sub = ReadBatch(
                 ids=batch.ids[s:e], bc=batch.bc[s:e],
-                seqs=batch.seqs[2 * s:2 * e], quals=batch.quals[2 * s:2 * e],
+                # object ndarrays: emit_group_lines fancy-indexes these
+                # per group; converting per group costs ~0.5s/chunk-batch
+                seqs=np.asarray(batch.seqs[2 * s:2 * e], dtype=object),
+                quals=np.asarray(batch.quals[2 * s:2 * e], dtype=object),
                 codes=batch.codes[2 * s:2 * e], lens=batch.lens[2 * s:2 * e])
             cs = self.generate_candidates(sub)
             if self.replay_sink is not None:

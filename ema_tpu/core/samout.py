@@ -320,8 +320,13 @@ def emit_group_lines(res, pool, max_cigar_ops, seqs, quals,
     row_v = (R["pair"][src_v].astype(np.int64) * 2
              + np.where(is_rec, mate_col, 1 - mate_col))
     name_list = RI[src_v].tolist()
-    seq_arr = np.asarray(seqs, dtype=object)
-    qual_arr = np.asarray(quals, dtype=object)
+    # callers pass chunk-level object ndarrays (pipeline converts once
+    # per chunk); converting a ~4k-string list here per GROUP dominated
+    # the emit path
+    seq_arr = seqs if isinstance(seqs, np.ndarray) \
+        else np.asarray(seqs, dtype=object)
+    qual_arr = quals if isinstance(quals, np.ndarray) \
+        else np.asarray(quals, dtype=object)
     seq_list = seq_arr[row_v].tolist()
     qual_list = qual_arr[row_v].tolist()
     names_blob = "".join(name_list).encode()
