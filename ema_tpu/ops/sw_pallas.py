@@ -227,6 +227,33 @@ def sw_score_batch_auto(reads, read_lens, refs, ref_lens, **kw):
     return sw_scan.sw_score_batch(reads, read_lens, refs, ref_lens, **kw)
 
 
+def sw_score_banded_auto(reads, read_lens, refs, ref_lens, w_band, **kw):
+    """Banded scorer with backend dispatch: Pallas on TPU (one-time
+    probe), XLA banded row-sweep elsewhere — the sharded-step analog of
+    sw_score_batch_auto."""
+    platform = jax.default_backend()
+    key = ("banded", platform)
+    use_pallas = _PALLAS_OK.get(key)
+    if use_pallas is None:
+        if platform not in ("tpu", "axon"):
+            use_pallas = False
+        else:
+            try:
+                sw_score_banded_pallas(
+                    jnp.zeros((8, 8), jnp.int32), jnp.full(8, 8, jnp.int32),
+                    jnp.zeros((8, 144), jnp.int32),
+                    jnp.full(8, 144, jnp.int32), 128)
+                use_pallas = True
+            except Exception:   # pragma: no cover - compile probe
+                use_pallas = False
+        _PALLAS_OK[key] = use_pallas
+    if use_pallas:
+        return sw_score_banded_pallas(reads, read_lens, refs, ref_lens,
+                                      w_band, **kw)
+    return sw_scan.sw_score_banded(reads, read_lens, refs, ref_lens,
+                                   w_band, **kw)
+
+
 def _banded_kernel(reads_ref, rlen_ref, refs_ref, nlen_ref, out_ref, *,
                    m, n_pad, W, match, mismatch, gap_open, gap_extend,
                    clip):

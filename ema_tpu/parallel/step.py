@@ -32,7 +32,7 @@ except ImportError:                                    # older jax
 
 from ema_tpu.parallel.mesh import CAND_AXIS, DATA_AXIS
 from ema_tpu.index import fmindex
-from ema_tpu.ops.sw import sw_score_batch
+from ema_tpu.ops.sw_pallas import sw_score_banded_auto
 
 NEG = -(1 << 28)
 
@@ -112,9 +112,14 @@ def candidate_core(fm: fmindex.FMIndexArrays, text: jax.Array,
     lens_rep = jnp.broadcast_to(lens[:, None], (B, S * K)).reshape(-1)
     ref_lens = jnp.where(vmask, W, 0).reshape(-1)
 
-    out = sw_score_batch(reads_rep, lens_rep, wins.reshape(-1, W), ref_lens,
-                         match=match, mismatch=mismatch, gap_open=gap_open,
-                         gap_extend=gap_extend, clip=clip)
+    # banded row-sweep (Pallas on TPU): the window is built around the
+    # seed diagonal, so a 128-lane corridor covers every candidate; same
+    # kernel family as the main pipeline's scorer
+    w_band = ((2 * window_pad + 2 + 127) // 128) * 128
+    out = sw_score_banded_auto(
+        reads_rep, lens_rep, wins.reshape(-1, W), ref_lens, w_band,
+        match=match, mismatch=mismatch, gap_open=gap_open,
+        gap_extend=gap_extend, clip=clip)
     score = jnp.where(vmask, out["score"].reshape(B, S * K), NEG)
     k = jnp.argmax(score, axis=1).astype(jnp.int32)
     best = jnp.take_along_axis(score, k[:, None], axis=1)[:, 0]
