@@ -813,15 +813,19 @@ class Aligner:
         order = np.argsort(batch.bc, kind="stable")
         if not np.array_equal(order, np.arange(P)):
             batch = _reorder_batch(batch, order)
+        if not isinstance(batch.seqs, np.ndarray):
+            # object ndarrays: _emit_group fancy-indexes the FULL batch's
+            # read strings once per barcode group; converting the list per
+            # group cost ~1.3s/pass at bench shapes
+            batch = dataclasses.replace(
+                batch, seqs=np.asarray(batch.seqs, dtype=object),
+                quals=np.asarray(batch.quals, dtype=object))
 
         def work(s: int):
             e = min(s + B, P)
             sub = ReadBatch(
                 ids=batch.ids[s:e], bc=batch.bc[s:e],
-                # object ndarrays: emit_group_lines fancy-indexes these
-                # per group; converting per group costs ~0.5s/chunk-batch
-                seqs=np.asarray(batch.seqs[2 * s:2 * e], dtype=object),
-                quals=np.asarray(batch.quals[2 * s:2 * e], dtype=object),
+                seqs=batch.seqs[2 * s:2 * e], quals=batch.quals[2 * s:2 * e],
                 codes=batch.codes[2 * s:2 * e], lens=batch.lens[2 * s:2 * e])
             cs = self.generate_candidates(sub)
             if self.replay_sink is not None:
