@@ -891,23 +891,31 @@ class Aligner:
                 else:
                     # one padded numpy pass for all EM-gated groups
                     groups_mod.run_em_host_batch(states)
-            for st in states:
-                # reserve a cloud-id range atomically: unlike the
-                # reference's racy static cloud_id++ (align.c:19-23),
-                # concurrent buckets here never produce duplicate MI ids
-                g_bc = int(st.R["bc"][0]) if st.n else 0
-                if alloc_base is not None:
-                    base = alloc_base(g_bc, st.n_clouds)
-                elif local_cloud_id is not None:
-                    base = local_cloud_id[0]
-                    local_cloud_id[0] += st.n_clouds
-                else:
-                    with self._id_lock:
-                        base = self._cloud_id
-                        self._cloud_id += st.n_clouds
-                with self._mst("select+emit[host]", st.n):
-                    res = groups_mod.finish_group(st, base)
-                    glines = self._emit_group(batch, res, pool)
+            finished = []
+            with self._mst("select+emit[host]",
+                           sum(st.n for st in states)):
+                for st in states:
+                    # reserve a cloud-id range atomically: unlike the
+                    # reference's racy static cloud_id++ (align.c:19-23),
+                    # concurrent buckets never produce duplicate MI ids
+                    g_bc = int(st.R["bc"][0]) if st.n else 0
+                    if alloc_base is not None:
+                        base = alloc_base(g_bc, st.n_clouds)
+                    elif local_cloud_id is not None:
+                        base = local_cloud_id[0]
+                        local_cloud_id[0] += st.n_clouds
+                    else:
+                        with self._id_lock:
+                            base = self._cloud_id
+                            self._cloud_id += st.n_clouds
+                    finished.append(
+                        (g_bc, groups_mod.finish_group(st, base)))
+                # emission batches across ALL of this emit batch's groups
+                # (one native call; per-group numpy dispatch dominated
+                # the host phase) — scalar fallback stays per-group
+                line_lists = self._emit_groups(
+                    batch, [res for _, res in finished], pool)
+            for (g_bc, _), glines in zip(finished, line_lists):
                 if group_sink is not None:
                     group_sink(g_bc, glines)
                 else:
@@ -984,6 +992,43 @@ class Aligner:
                 yield from drain()
         if ids:
             yield from drain()
+
+    def _emit_groups(self, batch: ReadBatch, results, pool
+                     ) -> List[List[str]]:
+        """SAM lines for many GroupResults: one batched native emission
+        (samout.emit_groups_lines) on the fast path; the scalar
+        format_record path (bx_index != "1") stays per-group."""
+        if self.cfg.bx_index != "1":
+            return [self._emit_group(batch, res, pool) for res in results]
+        rg_id = None
+        if self.cfg.read_group:
+            at = self.cfg.read_group.find("ID:")
+            if at >= 0:
+                rg_id = self.cfg.read_group[at + 3:].split("\t")[0]
+        is_hap = self.cfg.platform.name == "haplotag"
+        bc_len = self.cfg.platform.bc_len
+        lr_tags = not self.cfg.nobc
+        if self._contig_blob is None:
+            self._contig_blob = samout.make_contig_blob(self.index.names)
+        blob, coff = self._contig_blob
+        rg_tag = rg_id.split()[0] if rg_id else None
+
+        from ema_tpu.utils.barcodes import decode_bc
+        groups = []
+        for res in results:
+            R = res.records
+            if lr_tags and len(R):
+                bc_str = decode_bc(int(R["bc"][0]), bc_len, is_hap)
+            else:
+                bc_str = ""
+            bx_full = bc_str if is_hap else (
+                f"{bc_str}-1" if lr_tags and len(R) else "")
+            mapqs = score_mod.final_mapq(res.gamma, R["score_mapq"],
+                                         R["mapq"])
+            groups.append((res, bx_full, mapqs))
+        return samout.emit_groups_lines(
+            groups, pool, MAX_CIGAR_OPS, batch.seqs, batch.quals,
+            blob, coff, rg_tag, self.cfg.nobc)
 
     def _emit_group(self, batch: ReadBatch, res, pool) -> List[str]:
         """SAM lines for one processed barcode group (GroupResult)."""

@@ -222,23 +222,66 @@ def _ref_len_vec(pool: np.ndarray, off: np.ndarray, ln: np.ndarray,
 def emit_group_lines(res, pool, max_cigar_ops, seqs, quals,
                      contig_blob, contig_off, rg_id, bx_str: str,
                      nobc: bool, mapqs) -> List[str]:
-    """All SAM lines for one processed barcode group (GroupResult).
+    """All SAM lines for one processed barcode group (GroupResult);
+    single-group front-end for emit_groups_lines."""
+    return emit_groups_lines([(res, bx_str, mapqs)], pool, max_cigar_ops,
+                             seqs, quals, contig_blob, contig_off, rg_id,
+                             nobc)[0]
 
-    Exactly reproduces the per-record format_record output; numeric field
-    prep is vectorized and string assembly runs in C++.  Falls back to the
-    caller's scalar path when bx_index != "1" (the mapped/unmapped BX
+
+def emit_groups_lines(groups, pool, max_cigar_ops, seqs, quals,
+                      contig_blob, contig_off, rg_id,
+                      nobc: bool) -> List[List[str]]:
+    """SAM lines for MANY processed barcode groups in one native call.
+
+    ``groups``: list of (GroupResult, bx_full_str, mapqs).  Exactly
+    reproduces per-group emit_group_lines output (numeric prep vectorized
+    over the concatenated record space; BX per row; string assembly in
+    C++), returning one line-list per input group.  Callers with
+    bx_index != "1" use the scalar path instead (the mapped/unmapped BX
     suffixes diverge there).
     """
     from ema_tpu import native
 
-    R = res.records
-    RI = res.idents
-    P = len(res.emit_pairs)
-    if P == 0:
-        return []
+    out_lists: List[List[str]] = [[] for _ in groups]
+    live = [(gi, res, bxs, mq) for gi, (res, bxs, mq) in enumerate(groups)
+            if len(res.emit_pairs)]
+    if not live:
+        return out_lists
 
-    a_arr = np.fromiter((a for a, b in res.emit_pairs), np.int64, P)
-    b_arr = np.fromiter((b for a, b in res.emit_pairs), np.int64, P)
+    if len(live) == 1:
+        gi0, res, bx_one, mapqs = live[0]
+        R, RI = res.records, res.idents
+        gamma_v, cloud_v, bad_v, alt_v = (res.gamma, res.cloud_id,
+                                          res.cloud_bad, res.alt_idx)
+        pairs = np.asarray(res.emit_pairs, np.int64).reshape(-1, 2)
+        a_arr, b_arr = pairs[:, 0], pairs[:, 1]
+        bx_rows = None
+        bx_bytes_one = bx_one.encode()
+    else:
+        # concatenated record space with per-group index offsets
+        rcounts = [r.records.shape[0] for _, r, _, _ in live]
+        roff = np.concatenate([[0], np.cumsum(rcounts)])
+        R = np.concatenate([r.records for _, r, _, _ in live])
+        RI = np.concatenate([r.idents for _, r, _, _ in live])
+        gamma_v = np.concatenate([r.gamma for _, r, _, _ in live])
+        cloud_v = np.concatenate([r.cloud_id for _, r, _, _ in live])
+        bad_v = np.concatenate([r.cloud_bad for _, r, _, _ in live])
+        alt_v = np.concatenate(
+            [np.where(r.alt_idx >= 0, r.alt_idx + o, -1)
+             for (_, r, _, _), o in zip(live, roff)])
+        mapqs = np.concatenate([m for _, _, _, m in live])
+        ab = []
+        bx_row_list = []
+        for (_, r, bxs, _), o in zip(live, roff):
+            pr = np.asarray(r.emit_pairs, np.int64).reshape(-1, 2)
+            ab.append(np.where(pr >= 0, pr + o, -1))
+            bx_row_list.extend([bxs.encode()] * (2 * pr.shape[0]))
+        ab = np.concatenate(ab)
+        a_arr, b_arr = ab[:, 0], ab[:, 1]
+        bx_rows = bx_row_list
+        bx_bytes_one = b""
+    P = a_arr.shape[0]
     # rows interleaved: [rec_a, rec_b-or-unmapped] per pair
     rec = np.stack([a_arr, b_arr], axis=1).ravel()
     mate = np.stack([b_arr, a_arr], axis=1).ravel()
@@ -292,11 +335,11 @@ def emit_group_lines(res, pool, max_cigar_ops, seqs, quals,
     cig_len = np.where(mapped, R["cig_len"][ri], -1).astype(np.int32)
     rev = np.where(mapped, R["rev"][ri], 0).astype(np.int32)
     nm = np.where(mapped, R["edit_dist"][ri], 0).astype(np.int32)
-    gamma = np.where(mapped, res.gamma[ri], 0.0)
-    mi_tag = np.where(mapped, res.cloud_id[ri], 0)
-    xf = np.where(mapped, res.cloud_bad[ri], 0).astype(np.int32)
+    gamma = np.where(mapped, gamma_v[ri], 0.0)
+    mi_tag = np.where(mapped, cloud_v[ri], 0)
+    xf = np.where(mapped, bad_v[ri], 0).astype(np.int32)
 
-    alt = np.where(mapped, res.alt_idx[ri], -1)
+    alt = np.where(mapped, alt_v[ri], -1)
     has_alt = alt >= 0
     ai = np.maximum(alt, 0)
     alt_chrom = np.where(has_alt, R["chrom"][ai], 0).astype(np.int32)
@@ -338,7 +381,13 @@ def emit_group_lines(res, pool, max_cigar_ops, seqs, quals,
         np.cumsum([len(x) for x in lst], out=o[1:])
         return o
 
-    bx_bytes = bx_str.encode()
+    if bx_rows is None:
+        bx_arg = bx_bytes_one
+    else:
+        bx_blob = b"".join(bx_rows)
+        bx_off = np.zeros(len(bx_rows) + 1, np.int64)
+        np.cumsum([len(b) for b in bx_rows], out=bx_off[1:])
+        bx_arg = (bx_blob, bx_off)
     rg_bytes = (rg_id or "").encode()
 
     out = native.format_sam_batch(
@@ -347,5 +396,13 @@ def emit_group_lines(res, pool, max_cigar_ops, seqs, quals,
         flag, chrom_idx, pos, mapq, rnext, pnext, tlen, rev,
         cig_off, cig_len, pool, nm, gamma, mi_tag, xf,
         alt_chrom, alt_pos, alt_rev, alt_cig_off, alt_cig_len, alt_nm,
-        lr, bx_bytes, rg_bytes)
-    return out.decode().splitlines(keepends=True)
+        lr, bx_arg, rg_bytes)
+    lines = out.decode().splitlines(keepends=True)
+    # split back into per-group line lists (2 rows per emitted pair)
+    at = 0
+    for gi, r, _, _ in live:
+        n_g = 2 * len(r.emit_pairs)
+        out_lists[gi] = lines[at:at + n_g]
+        at += n_g
+    assert at == len(lines)
+    return out_lists

@@ -75,7 +75,7 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_char_p, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
             ctypes.c_char_p, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_char), ctypes.c_int64,
         ]
@@ -240,10 +240,20 @@ def format_sam_batch(names_blob: bytes, name_off: np.ndarray,
                      flag, chrom_idx, pos, mapq, rnext_idx, pnext, tlen,
                      rev, cig_off, cig_len, cig_pool, nm, gamma, mi, xf,
                      alt_chrom, alt_pos, alt_rev, alt_cig_off, alt_cig_len,
-                     alt_nm, lr, bx: bytes, rg: bytes) -> bytes:
+                     alt_nm, lr, bx, rg: bytes) -> bytes:
     """Batched SAM line assembly (reference print_sam_record,
-    samrecord.c:104-284).  Returns the concatenated lines as bytes."""
+    samrecord.c:104-284).  Returns the concatenated lines as bytes.
+
+    ``bx``: either one bytes value applied to every record, or a
+    ``(blob: bytes, offsets: int64[M+1])`` pair for per-record BX
+    (cross-group batched emission)."""
     M = int(flag.shape[0])
+    if isinstance(bx, tuple):
+        bx_blob, bx_off = bx
+        bx_off = np.ascontiguousarray(bx_off, np.int64)
+    else:
+        bx_blob = bx * M
+        bx_off = np.arange(M + 1, dtype=np.int64) * len(bx)
     lib = get_lib()
     # materialize every array up front and keep references alive for the
     # duration of the call (ctypes pointers do not own their numpy arrays)
@@ -301,7 +311,8 @@ def format_sam_batch(names_blob: bytes, name_off: np.ndarray,
             _ptr(alt_rev, ctypes.c_int32),
             _ptr(alt_cig_off, ctypes.c_int64),
             _ptr(alt_cig_len, ctypes.c_int32), _ptr(alt_nm, ctypes.c_int32),
-            _ptr(lr, ctypes.c_int32), bx, ctypes.c_int32(len(bx)), rg,
+            _ptr(lr, ctypes.c_int32), bx_blob,
+            _ptr(bx_off, ctypes.c_int64), rg,
             ctypes.c_int32(len(rg)), buf, ctypes.c_int64(cap))
         if n >= 0:
             return buf.raw[:n]

@@ -383,9 +383,10 @@ extern "C" int64_t format_sam_batch(
     const int32_t *alt_chrom, const int64_t *alt_pos, const int32_t *alt_rev,
     const int64_t *alt_cig_off, const int32_t *alt_cig_len,
     const int32_t *alt_nm,
-    // group-constant tags: lr per record (0 none, 1 full, 2 bx-only)
+    // per-record tag mode lr (0 none, 1 full, 2 bx-only, 3 NM-only) and
+    // per-record BX string (blob + offsets: groups batch into one call)
     const int32_t *lr,
-    const char *bx, int32_t bx_len,
+    const char *bx_blob, const int64_t *bx_off,
     const char *rg, int32_t rg_len,
     char *out, int64_t out_cap) {
     char *p = out;
@@ -402,7 +403,7 @@ extern "C" int64_t format_sam_batch(
             + (seq_off[i + 1] - seq_off[i]) + (qual_off[i + 1] - qual_off[i])
             + 16 * (cig_len[i] > 0 ? cig_len[i] : 1)
             + (alt_cig_len[i] > 0 ? 16 * alt_cig_len[i] + 64 : 0)
-            + chrom_need + bx_len + rg_len + 256;
+            + chrom_need + (bx_off[i + 1] - bx_off[i]) + rg_len + 256;
         if (p + need > lim) return -1;          // caller grows the buffer
 
         // QNAME FLAG RNAME POS MAPQ
@@ -449,6 +450,8 @@ extern "C" int64_t format_sam_batch(
         else { memcpy(p, qu, ql); p += ql; }
 
         // tags
+        const char *bx = bx_blob + bx_off[i];
+        const int64_t bx_len = bx_off[i + 1] - bx_off[i];
         if (lr[i] == 1) {
             memcpy(p, "\tNM:i:", 6); p += 6; p = put_i64(p, nm[i]);
             memcpy(p, "\tBX:Z:", 6); p += 6;
