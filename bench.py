@@ -134,6 +134,7 @@ def _bench() -> None:
         "value": round(pps, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pps / BASELINE_PAIRS_PER_SEC, 3),
+        "platform": jax.default_backend(),
     }))
 
 

@@ -619,7 +619,6 @@ def finish_group(st: GroupState, cloud_id_start: int = 0) -> GroupResult:
     alt_out = np.full(n, -1, np.int64)
     selected_mate = np.full(n, -1, np.int64)
     emit_pairs: List[tuple] = []
-    visited_entry = np.zeros(n_entries, bool)
 
     masked_g = np.where(cmask & R["active"][cand_rec], gammas, -np.inf)
 
@@ -637,31 +636,34 @@ def finish_group(st: GroupState, cloud_id_start: int = 0) -> GroupResult:
         s_idx = np.argmax(mg2, axis=1)
         s_val = mg2[e_arange, s_idx]
 
-    def find_best(e: int) -> int:
-        best = int(b_idx[e])
-        best_gamma = float(b_gam[e])
-        ridx = int(cand_rec[e, best])
-        gamma_out[ridx] = best_gamma if best_gamma > -1.0 else -1.0
-        cloud_out[ridx] = cand_cloud[e, best]
-        if best_gamma <= config.SECONDARY_ALIGN_THRESH \
-                and s_val[e] > 0:
-            alt_out[ridx] = int(cand_rec[e, int(s_idx[e])])
-        return ridx
+    # head order = reverse insertion order.  Mate links are SYMMETRIC by
+    # construction (both builders set/derive e <-> mate together), so the
+    # reference's visited-loop reduces to: entry e emits iff its mate is
+    # absent or earlier; everything vectorizes.
+    if n_entries:
+        e_all = np.arange(n_entries)
+        me = mate_entry[:n_entries]
+        emit_e = e_all[(me < 0) | (me < e_all)][::-1]
+        m_e = me[emit_e]
 
-    # head order = reverse insertion order
-    for e in range(n_entries - 1, -1, -1):
-        if visited_entry[e]:
-            continue
-        m = int(mate_entry[e])
-        best = find_best(e)
-        best_mate = find_best(m) if m >= 0 else -1
-        emit_pairs.append((best, best_mate))
-        if best_mate >= 0:
-            selected_mate[best] = best_mate
-            selected_mate[best_mate] = best
-        visited_entry[e] = True
-        if m >= 0:
-            visited_entry[m] = True
+        r_of = cand_rec[e_arange, b_idx]
+        gam_of = np.where(b_gam > -1.0, b_gam, -1.0)
+        cl_of = cand_cloud[e_arange, b_idx]
+        want_alt = (b_gam <= config.SECONDARY_ALIGN_THRESH) & (s_val > 0)
+        alt_of = np.where(want_alt, cand_rec[e_arange, s_idx], -1)
+
+        ents = np.concatenate([emit_e, m_e[m_e >= 0]])
+        rids = r_of[ents]
+        gamma_out[rids] = gam_of[ents]
+        cloud_out[rids] = cl_of[ents]
+        alt_out[rids] = alt_of[ents]
+
+        best_a = r_of[emit_e]
+        best_b = np.where(m_e >= 0, r_of[np.maximum(m_e, 0)], -1)
+        emit_pairs = list(zip(best_a.tolist(), best_b.tolist()))
+        paired = best_b >= 0
+        selected_mate[best_a[paired]] = best_b[paired]
+        selected_mate[best_b[paired]] = best_a[paired]
 
     # --- duplicate marking (align.c:574-585) -----------------------------
     if not st.many and emit_pairs:
