@@ -277,7 +277,7 @@ def main(argv=None) -> int:
         ap.add_argument("-d", dest="dens", action="store_true")
         ap.add_argument("-p", dest="platform", default="10x")
         ap.add_argument("-i", dest="bx_index", default="1")
-        ap.add_argument("-t", dest="threads", type=int, default=5,
+        ap.add_argument("-t", dest="threads", type=int, default=None,
                         help="in-flight device chunks (1 disables overlap)")
         ap.add_argument("-j", dest="jobs", type=int, default=2,
                         help="concurrent bucket files in -x mode (the "
@@ -395,7 +395,8 @@ def main(argv=None) -> int:
                                bx_index=a.bx_index,
                                aligner=aligner_params,
                                apply_density_opt=a.dens,
-                               inflight_chunks=max(a.threads, 1),
+                               inflight_chunks=(max(a.threads, 1)
+                                                if a.threads else None),
                                device_em=True if a.device_em else None,
                                nobc=a.nobc)
         from ema_tpu.index import ShardedIndex
@@ -512,7 +513,7 @@ def main(argv=None) -> int:
                     _run_coalesced_buckets(
                         aligner, inputs, ns_of, mi_shift, part_path, man,
                         a.sort, idx.names, is_hap, bc_len, met,
-                        cfg.batch_size, do_bucket)
+                        aligner.cfg.batch_size, do_bucket)
                 out = open(a.out, "w") if a.out else sys.stdout
                 if a.sort:
                     # streaming k-way merge of the sorted parts (bounded

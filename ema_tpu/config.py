@@ -174,12 +174,17 @@ class RunConfig:
     read_group: Optional[str] = "@RG\tID:rg1\tSM:sample1"
     bx_index: str = "1"
     seed: int = 0                       # RNG seed (reference -d uses time())
-    batch_size: int = 2048              # read pairs per device batch
-    inflight_chunks: int = 5            # device chunks in flight (CLI -t)
-                                        # (sweep at bench shapes: 2048/5 =
-                                        # 9310 pairs/s vs 4096/3 = 7717 —
-                                        # smaller chunks + deeper overlap
-                                        # hide device latency best)
+    batch_size: Optional[int] = None    # read pairs per device batch
+                                        # (auto: 4096 on TPU backends —
+                                        # fewer tunnel roundtrips now that
+                                        # host stages are light; 2048 on
+                                        # CPU.  Round-3 sweeps: TPU
+                                        # 4096/4 = 8964 vs 2048/5 = 7927;
+                                        # CPU 2048/5 = 10818 vs 4096/4 =
+                                        # 9934 pairs/s)
+    inflight_chunks: Optional[int] = None   # device chunks in flight
+                                        # (CLI -t; auto: 4 on TPU, 5 on
+                                        # CPU backends)
     device_em: Optional[bool] = None    # run EM on device (auto: True on
                                         # TPU backends, False on CPU)
     data_parallel_chips: bool = True    # shard device calls over all local

@@ -196,6 +196,13 @@ class Aligner:
         # TPU backends
         import os as _os
         _dc = dataclasses
+        if self.cfg.batch_size is None or self.cfg.inflight_chunks is None:
+            on_tpu = jax.default_backend() in ("tpu", "axon")
+            self.cfg = dataclasses.replace(
+                self.cfg,
+                batch_size=self.cfg.batch_size or (4096 if on_tpu else 2048),
+                inflight_chunks=self.cfg.inflight_chunks
+                or (4 if on_tpu else 5))
         if self.cfg.aligner.seeding is None or self.cfg.device_em is None:
             seeding = self.cfg.aligner.seeding or (
                 "smem" if (_os.cpu_count() or 1) > 1 else "greedy")
