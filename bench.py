@@ -47,21 +47,32 @@ def main() -> None:
 
     if os.environ.get("EMA_TPU_BENCH_INNER"):
         return _bench()
-    env = dict(os.environ, EMA_TPU_BENCH_INNER="1")
-    try:
-        r = subprocess.run([sys.executable, "-u", __file__],
-                           timeout=540, env=env)
-        if r.returncode == 0:
-            return
-        log(f"bench attempt exited rc={r.returncode}; retrying on CPU")
-    except subprocess.TimeoutExpired:
-        log("bench attempt hung (540s); retrying on CPU")
+    # the tunnel FLAPS (alive one minute, wedged the next — observed
+    # repeatedly): give the TPU attempt a few tries before settling for
+    # the CPU number.  An inner run that got pinned to CPU while a TPU
+    # was requested exits rc=3 instead of benchmarking the wrong device.
+    env = dict(os.environ, EMA_TPU_BENCH_INNER="1",
+               EMA_TPU_BENCH_REQUIRE_TPU="1",
+               EMA_TPU_PROBE_TIMEOUT="120")
+    for attempt in range(3):
+        try:
+            r = subprocess.run([sys.executable, "-u", __file__],
+                               timeout=540, env=env)
+            if r.returncode == 0:
+                return
+            log(f"bench TPU attempt {attempt} rc={r.returncode}")
+        except subprocess.TimeoutExpired:
+            log(f"bench TPU attempt {attempt} hung (540s)")
+        time.sleep(45)
+    log("TPU unavailable after 3 attempts; benchmarking the CPU fallback")
     env["EMA_TPU_PLATFORM"] = "cpu"
+    env.pop("EMA_TPU_BENCH_REQUIRE_TPU")
     subprocess.run([sys.executable, "-u", __file__], timeout=1800,
                    env=env, check=True)
 
 
 def _bench() -> None:
+    import os
     sys.path.insert(0, ".")
     from tests.simulate import rand_genome, simulate_pairs, to_str
 
@@ -76,6 +87,10 @@ def _bench() -> None:
     # CLI); it pins this process to CPU before its backend initializes
     # if the tunnel accepts connections but never completes a transfer
     ensure_backend(probe=True)
+    if os.environ.get("EMA_TPU_BENCH_REQUIRE_TPU") \
+            and jax.default_backend() not in ("tpu", "axon"):
+        log("TPU required but unavailable (wedged tunnel?)")
+        sys.exit(3)
     log(f"devices: {jax.devices()}")
     rng = np.random.default_rng(2026)
     t0 = time.time()
