@@ -110,8 +110,16 @@ def _bench() -> None:
     log(f"simulated in {time.time()-t0:.1f}s")
     log(f"simulated {n_pairs} pairs across {n_bc} barcodes")
 
-    cfg = config.RunConfig()
+    # diagnostics: EMA_TPU_STAGE_TIMERS=1 prints the per-stage host/device
+    # wall split after the timed passes; EMA_TPU_DEVICE_EM=0|1 pins the EM
+    # placement (default: auto — device on tpu/axon backends)
+    dev_em = {"0": False, "1": True}.get(os.environ.get("EMA_TPU_DEVICE_EM"))
+    cfg = config.RunConfig(device_em=dev_em)
     aligner = Aligner(idx, cfg)
+    met = None
+    if os.environ.get("EMA_TPU_STAGE_TIMERS") == "1":
+        from ema_tpu.utils.metrics import Metrics
+        met = Metrics()
 
     def run(lo: int, hi: int) -> int:
         batch = ReadBatch.from_pairs(
@@ -129,6 +137,7 @@ def _bench() -> None:
     # identical code); keep sampling while passes are slow so a bad
     # window doesn't define the number, stop early once a fast pass
     # repeats within 20%
+    aligner.metrics = met              # None unless EMA_TPU_STAGE_TIMERS=1
     dt = float("inf")
     passes = []
     for k in range(5):
@@ -143,6 +152,8 @@ def _bench() -> None:
     pps = n_pairs / dt
     log(f"aligned {n_pairs} pairs -> {n_lines} SAM records "
         f"in {dt:.1f}s = {pps:.1f} pairs/s")
+    if met is not None:
+        met.report()
 
     print(json.dumps({
         "metric": "align_read_pairs_per_sec",

@@ -546,10 +546,22 @@ def _round_up_pow2(x: int, lo: int = 8) -> int:
 
 
 def run_em_device_batch(states: List[GroupState]) -> None:
-    """One padded [G, E, C] device EM call for many groups.
+    """One padded [G, E, C] device EM call for many groups (blocking)."""
+    dispatch_em_device_batch(states)()
+
+
+def dispatch_em_device_batch(states: List[GroupState]):
+    """Async half of the batched device EM.
+
+    Launches one padded [G, E, C] device EM call for many groups and
+    returns a zero-arg ``wait`` callable that blocks on the readback and
+    writes each state's gammas.  JAX dispatch is asynchronous, so the
+    device round trip overlaps whatever host work runs between dispatch
+    and wait (the pipeline finishes the *previous* emit batch there).
 
     Groups must share ``many``.  Shapes bucket to powers of two so XLA
-    compiles a handful of programs.  Updates each state's gammas.
+    compiles a handful of programs.  Deep-candidate groups run through
+    the synchronous C++ flat EM at dispatch time.
     """
     import jax
     import jax.numpy as jnp
@@ -564,7 +576,7 @@ def run_em_device_batch(states: List[GroupState]) -> None:
         run_em_native(st)
     states = [st for st in states if st.cmask.shape[1] <= EM_NATIVE_C]
     if not states:
-        return
+        return lambda: None
     many = states[0].many
     assert all(st.many == many for st in states)
     # ship scores at the precision the device computes in (f32 on TPU
@@ -601,10 +613,14 @@ def run_em_device_batch(states: List[GroupState]) -> None:
         emask=jnp.asarray(d["emask"]), comp=jnp.asarray(d["comp"]),
         run_em=jnp.asarray(run_em))
     gammas, _ = em_jax.em_run(inp, many=many)
-    gh = np.asarray(gammas, dtype=np.float64)
-    for g, st in enumerate(states):
-        e, c = st.cmask.shape
-        st.gammas = gh[g, :e, :c]
+
+    def wait() -> None:
+        gh = np.asarray(gammas, dtype=np.float64)
+        for g, st in enumerate(states):
+            e, c = st.cmask.shape
+            st.gammas = gh[g, :e, :c]
+
+    return wait
 
 
 def finish_group(st: GroupState, cloud_id_start: int = 0) -> GroupResult:

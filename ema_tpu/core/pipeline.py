@@ -871,9 +871,12 @@ class Aligner:
             pool[pool_len:need] = part
             pool_len = need
 
-        def emit_groups(recs, idents, up_to_bc) -> int:
-            """Process complete barcode groups (bc < up_to_bc); returns
-            the index where incomplete records start."""
+        def sweep_and_dispatch(recs, idents, up_to_bc):
+            """Sweep complete barcode groups (bc < up_to_bc) and LAUNCH
+            their batched EM; returns (end, emit_state).  The device EM
+            call is dispatched asynchronously — ``finish_and_emit`` on
+            the *previous* batch runs while it is in flight, hiding the
+            device round trip behind host selection/emission."""
             bcs = recs["bc"]
             if up_to_bc is None:
                 end = recs.shape[0]
@@ -894,10 +897,18 @@ class Aligner:
                            else "em[host]", len(states)):
                 if self.cfg.device_em:
                     # one padded device call for all EM-gated groups
-                    groups_mod.run_em_device_batch(states)
+                    em_wait = groups_mod.dispatch_em_device_batch(states)
                 else:
                     # one padded numpy pass for all EM-gated groups
                     groups_mod.run_em_host_batch(states)
+                    em_wait = None
+            return end, (states, em_wait)
+
+        def finish_and_emit(emit_state) -> None:
+            states, em_wait = emit_state
+            if em_wait is not None:
+                with self._mst("em[device]"):
+                    em_wait()
             finished = []
             with self._mst("select+emit[host]",
                            sum(st.n for st in states)):
@@ -927,7 +938,6 @@ class Aligner:
                     group_sink(g_bc, glines)
                 else:
                     lines.extend(glines)
-            return end
 
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
@@ -942,6 +952,7 @@ class Aligner:
                 futs.append(ex.submit(work, chunk_starts[next_submit]))
                 next_submit += 1
             k = 0
+            pending = None          # one emit batch with its EM in flight
             while futs:
                 recs, idents, part_pool = futs.popleft().result()
                 if next_submit < len(chunk_starts):
@@ -953,13 +964,19 @@ class Aligner:
                 pend_ids = np.concatenate([pend_ids, idents])
                 last = k + 1 >= len(chunk_starts)
                 limit = None if last else int(batch.bc[chunk_starts[k + 1]])
-                done = emit_groups(pend_recs, pend_ids, limit)
+                done, bstate = sweep_and_dispatch(pend_recs, pend_ids,
+                                                  limit)
                 pend_recs = pend_recs[done:]
                 pend_ids = pend_ids[done:]
+                if pending is not None:
+                    finish_and_emit(pending)
+                pending = bstate
                 k += 1
                 if lines:
                     yield lines
                     lines = []
+            if pending is not None:
+                finish_and_emit(pending)
         if lines:
             yield lines
 

@@ -1,0 +1,148 @@
+"""In-process A/B benchmark for align-pipeline configurations.
+
+The attached-TPU tunnel's throughput oscillates heavily run-to-run
+(NOTES.md), so cross-process A/B comparisons are weather-dominated.
+This harness holds the dataset and the process fixed and *alternates
+timed passes* between configurations, so both sides of a comparison see
+the same tunnel window.
+
+Usage:
+    python tools/ab_align.py devem hostem            # device vs host EM
+    python tools/ab_align.py pallas scan             # SW kernel impls
+    python tools/ab_align.py greedy smem             # seeding strategies
+    python tools/ab_align.py b4096 b8192             # chunk sizes
+    EMA_TPU_AB_REPS=4 python tools/ab_align.py ...   # passes per config
+
+Prints one line per config with all pass times and the best, then a
+JSON summary line.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+GENOME = 3_000_000
+N_PAIRS = 50_000
+READ_LEN = 100
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+SPECS = {
+    "devem": dict(device_em=True),
+    "hostem": dict(device_em=False),
+    "pallas": dict(sw="banded_pallas"),
+    "banded": dict(sw="banded"),
+    "scan": dict(sw="scan"),
+    "greedy": dict(seeding="greedy"),
+    "smem": dict(seeding="smem"),
+    "default": dict(),
+}
+
+
+def make_aligner(idx, name: str):
+    from ema_tpu import config
+    from ema_tpu.core.pipeline import Aligner
+
+    spec = dict(SPECS[name]) if name in SPECS else None
+    if spec is None:
+        if name.startswith("b") and name[1:].isdigit():
+            spec = dict(batch=int(name[1:]))
+        elif name.startswith("t") and name[1:].isdigit():
+            spec = dict(inflight=int(name[1:]))
+        else:
+            raise SystemExit(f"unknown config spec: {name}")
+    kw = {}
+    if "device_em" in spec:
+        kw["device_em"] = spec["device_em"]
+    if "batch" in spec:
+        kw["batch_size"] = spec["batch"]
+    if "inflight" in spec:
+        kw["inflight_chunks"] = spec["inflight"]
+    ap = config.DEFAULT_ALIGNER_PARAMS
+    if "seeding" in spec:
+        ap = dataclasses.replace(ap, seeding=spec["seeding"])
+    cfg = config.RunConfig(aligner=ap, **kw)
+    old = os.environ.pop("EMA_TPU_SW_IMPL", None)
+    if "sw" in spec:
+        os.environ["EMA_TPU_SW_IMPL"] = spec["sw"]
+    try:
+        return Aligner(idx, cfg)
+    finally:
+        os.environ.pop("EMA_TPU_SW_IMPL", None)
+        if old is not None:
+            os.environ["EMA_TPU_SW_IMPL"] = old
+
+
+def main() -> None:
+    names = sys.argv[1:] or ["devem", "hostem"]
+    reps = int(os.environ.get("EMA_TPU_AB_REPS", "3"))
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tests.simulate import rand_genome, simulate_pairs, to_str
+
+    import jax
+
+    from ema_tpu.core.pipeline import ReadBatch
+    from ema_tpu.index import build_index
+    from ema_tpu.utils.backend import ensure_backend
+
+    ensure_backend(probe=True)
+    if os.environ.get("EMA_TPU_BENCH_REQUIRE_TPU") \
+            and jax.default_backend() not in ("tpu", "axon"):
+        log("TPU required but unavailable (wedged tunnel?)")
+        sys.exit(3)
+    log(f"devices: {jax.devices()}")
+
+    rng = np.random.default_rng(2026)
+    genome = rand_genome(rng, GENOME)
+    idx = build_index({"chr1": genome}, sa_rate=8)
+    ids, bc_strs, bcs, s1, q1, s2, q2, truth = simulate_pairs(
+        rng, to_str(genome), n_barcodes=max(N_PAIRS // 60, 1),
+        frags_per_bc=(2, 4), pairs_per_frag=(15, 25), frag_len=30_000,
+        read_len=READ_LEN, err=0.003)
+    n_pairs = len(ids)
+    log(f"{n_pairs} pairs; configs={names} reps={reps}")
+
+    aligners = {n: make_aligner(idx, n) for n in names}
+
+    def one_pass(al) -> float:
+        batch = ReadBatch.from_pairs(ids, bcs, s1, q1, s2, q2)
+        t0 = time.time()
+        n = len(al.align_batch_to_sam(batch))
+        dt = time.time() - t0
+        assert n == 2 * n_pairs
+        return dt
+
+    for n, al in aligners.items():
+        t0 = time.time()
+        one_pass(al)
+        log(f"warmup[{n}]: {time.time()-t0:.1f}s")
+
+    times = {n: [] for n in names}
+    for r in range(reps):
+        for n in names:
+            dt = one_pass(aligners[n])
+            times[n].append(dt)
+            log(f"rep{r} {n}: {dt:.2f}s ({n_pairs/dt:.0f} pairs/s)")
+
+    summary = {}
+    for n in names:
+        best = min(times[n])
+        summary[n] = round(n_pairs / best, 1)
+        log(f"{n}: passes {['%.2f' % t for t in times[n]]} "
+            f"best {best:.2f}s = {n_pairs/best:.0f} pairs/s")
+    print(json.dumps({"pairs_per_sec_best": summary,
+                      "platform": jax.default_backend()}))
+
+
+if __name__ == "__main__":
+    main()
