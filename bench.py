@@ -63,7 +63,7 @@ def main() -> None:
             log(f"bench TPU attempt {attempt} rc={r.returncode}")
         except subprocess.TimeoutExpired:
             log(f"bench TPU attempt {attempt} hung (540s)")
-        time.sleep(45)
+        time.sleep(90)     # wedges observed to clear on ~10min scales
     log("TPU unavailable after 3 attempts; benchmarking the CPU fallback")
     env["EMA_TPU_PLATFORM"] = "cpu"
     env.pop("EMA_TPU_BENCH_REQUIRE_TPU")
@@ -96,7 +96,7 @@ def _bench() -> None:
     t0 = time.time()
     genome = rand_genome(rng, GENOME)
     genome_str = to_str(genome)
-    idx = build_index({"chr1": genome}, sa_rate=8)
+    idx = build_index({"chr1": genome})
     log(f"index built: {idx.n} bp in {time.time()-t0:.1f}s")
 
     # ~60 pairs per barcode so the EM path engages (>=30-pair gate)

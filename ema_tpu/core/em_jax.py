@@ -145,7 +145,18 @@ def em_run(inp: EMInputs, *, many: bool = False,
     Groups with ``run_em`` False keep their score-normalized init gammas
     (the reference's < 30 pairs gate, align.c:345) but still produce
     weights.
+
+    Integer inputs may arrive narrowed (i16/i8) to shrink the
+    host->device transfer — the EM payload is the align loop's largest
+    upload (~20 B/cell at i32); everything upcasts to i32 here, inside
+    the jit, where the cast fuses for free.
     """
+    inp = inp._replace(
+        cand_cloud=inp.cand_cloud.astype(jnp.int32),
+        rec_chrom=inp.rec_chrom.astype(jnp.int32),
+        rec_rev=inp.rec_rev.astype(jnp.int32),
+        mate_entry=inp.mate_entry.astype(jnp.int32),
+        comp=inp.comp.astype(jnp.int32))
     nc = inp.comp.shape[1]
     gammas = normalize_log_probs_jnp(inp.score, inp.cmask)
     init_gammas = gammas

@@ -602,15 +602,24 @@ def dispatch_em_device_batch(states: List[GroupState]):
         d["comp"] = np.concatenate(
             [d["comp"],
              np.broadcast_to(np.arange(NC, dtype=np.int32), (pad, NC))])
+    # narrow the integer planes for the transfer (em_run upcasts on
+    # device): cloud/entry/chrom indices virtually always fit i16 — the
+    # EM payload is the align loop's largest upload (~20 B/cell at i32)
+    def narrow(a):
+        if a.size and (a.max() >= (1 << 15) or a.min() < -(1 << 15)):
+            return a                         # pathological group; keep i32
+        return a.astype(np.int16)
+
     inp = em_jax.EMInputs(
         score=jnp.asarray(d["score"]), cmask=jnp.asarray(d["cmask"]),
         active=jnp.asarray(d["active"]),
-        cand_cloud=jnp.asarray(d["cand_cloud"]),
-        rec_chrom=jnp.asarray(d["rec_chrom"]),
+        cand_cloud=jnp.asarray(narrow(d["cand_cloud"])),
+        rec_chrom=jnp.asarray(narrow(d["rec_chrom"])),
         rec_pos=jnp.asarray(d["rec_pos"]),
-        rec_rev=jnp.asarray(d["rec_rev"]),
-        mate_entry=jnp.asarray(d["mate_entry"]),
-        emask=jnp.asarray(d["emask"]), comp=jnp.asarray(d["comp"]),
+        rec_rev=jnp.asarray(d["rec_rev"].astype(np.int8)),
+        mate_entry=jnp.asarray(narrow(d["mate_entry"])),
+        emask=jnp.asarray(d["emask"]),
+        comp=jnp.asarray(narrow(d["comp"])),
         run_em=jnp.asarray(run_em))
     gammas, _ = em_jax.em_run(inp, many=many)
 

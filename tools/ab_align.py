@@ -104,7 +104,7 @@ def main() -> None:
 
     rng = np.random.default_rng(2026)
     genome = rand_genome(rng, GENOME)
-    idx = build_index({"chr1": genome}, sa_rate=8)
+    idx = build_index({"chr1": genome})
     ids, bc_strs, bcs, s1, q1, s2, q2, truth = simulate_pairs(
         rng, to_str(genome), n_barcodes=max(N_PAIRS // 60, 1),
         frags_per_bc=(2, 4), pairs_per_frag=(15, 25), frag_len=30_000,
