@@ -344,6 +344,7 @@ class Aligner:
         opad_dev, lpad_dev = _orient_device(spad_dev, slpad_dev)
         row_map = (n_reads, rows_pad)
 
+        seed_stack = nsd = hp = None
         if params.seeding == "smem":
             # full SMEM enumeration + re-seeding in threaded host C++
             # (bwt_smem1 semantics); overlaps with device SW of the
@@ -359,34 +360,58 @@ class Aligner:
                 seed_stack = np.stack(sm[:4]).astype(np.int64)
                 nsd = sm[4]
         else:
-            # greedy maximal-suffix chop as a batched device scan over the
-            # already-uploaded forward rows
-            with self._mst("seed[device]", n_reads):
-                s_lo, s_hi, s_qb, s_len, n_seeds = fmindex.seed_reads(
-                    self.fma, spad_dev, slpad_dev,
-                    max_seeds=16, min_seed_len=params.seed_len)
-                seed_stack = np.asarray(jnp.stack(
-                    [s_lo, s_hi, s_qb, s_len]))[:, :n_reads].astype(np.int64)
-                nsd = np.asarray(n_seeds)[:n_reads]
+            # greedy maximal-suffix chop, fused with hit compaction and
+            # SA locate in ONE device program (fmindex.seed_locate_reads)
+            # — the two-step path crossed the tunnel twice per chunk
+            budget = 4 * rows_pad
+            with self._mst("seed+locate[device]", n_reads):
+                packed, total_dev, frd = fmindex.seed_locate_reads(
+                    self.fma, spad_dev, slpad_dev, max_seeds=16,
+                    min_seed_len=params.seed_len,
+                    max_hits=params.max_hits_per_seed, budget=budget,
+                    max_occ=params.max_occ)
+                total = int(total_dev)
+                if total <= budget:
+                    ph = np.asarray(packed)
+                    frac_rep_read = np.asarray(frd)[:n_reads]
+                    owner = ph[0, :total].astype(np.int64)
+                    qb = ph[1, :total].astype(np.int64)
+                    slen = ph[2, :total].astype(np.int64)
+                    hp = ph[3, :total].astype(np.int64)
+            if hp is None:
+                # hit-budget overflow (deep-repeat chunk): fall back to
+                # the unbounded two-step path
+                with self._mst("seed[device]", n_reads):
+                    s_lo, s_hi, s_qb, s_len, n_seeds = fmindex.seed_reads(
+                        self.fma, spad_dev, slpad_dev,
+                        max_seeds=16, min_seed_len=params.seed_len)
+                    seed_stack = np.asarray(jnp.stack(
+                        [s_lo, s_hi, s_qb,
+                         s_len]))[:, :n_reads].astype(np.int64)
+                    nsd = np.asarray(n_seeds)[:n_reads]
 
-        # --- host: compact seed hits; device: locate only real rows ------
-        # (one small stacked transfer; most SA intervals hold 1-2 rows, so
-        # locating the dense [B, S, K] expansion would be ~1000x wasted work)
-        # repeat fraction per physical read: fraction of read bases covered
-        # by seeds whose SA interval exceeds max_occ (BWA's l_rep/frac_rep,
-        # consumed by the mapq formula the reference adapted,
-        # align.c:958-984).  Greedy seeds are disjoint in read coords;
-        # SMEMs may overlap, so the sum over-counts — clip to 1.
-        s_live = np.arange(seed_stack.shape[2])[None, :] < nsd[:, None]
-        s_width = np.where(s_live, seed_stack[1] - seed_stack[0], 0)
-        l_rep = np.where(s_width > params.max_occ, seed_stack[3], 0).sum(axis=1)
-        frac_rep_read = np.minimum(
-            l_rep / np.maximum(lens, 1), 1.0).astype(np.float32)
+        if hp is None:
+            # --- host: compact seed hits; device: locate real rows ------
+            # (one small stacked transfer; most SA intervals hold 1-2 rows,
+            # so locating the dense [B, S, K] expansion would be ~1000x
+            # wasted work) repeat fraction per physical read: fraction of
+            # read bases covered by seeds whose SA interval exceeds max_occ
+            # (BWA's l_rep/frac_rep, consumed by the mapq formula the
+            # reference adapted, align.c:958-984).  Greedy seeds are
+            # disjoint in read coords; SMEMs may overlap, so the sum
+            # over-counts — clip to 1.
+            s_live = np.arange(seed_stack.shape[2])[None, :] < nsd[:, None]
+            s_width = np.where(s_live, seed_stack[1] - seed_stack[0], 0)
+            l_rep = np.where(s_width > params.max_occ,
+                             seed_stack[3], 0).sum(axis=1)
+            frac_rep_read = np.minimum(
+                l_rep / np.maximum(lens, 1), 1.0).astype(np.float32)
 
-        owner, qb, slen, rows_flat = _compact_seed_hits(
-            seed_stack, nsd, params.max_hits_per_seed)
-        with self._mst("locate[device]", rows_flat.shape[0]):
-            hp = locate_rows_bucketed(self.fma, rows_flat, self._shard_rows)
+            owner, qb, slen, rows_flat = _compact_seed_hits(
+                seed_stack, nsd, params.max_hits_per_seed)
+            with self._mst("locate[device]", rows_flat.shape[0]):
+                hp = locate_rows_bucketed(self.fma, rows_flat,
+                                          self._shard_rows)
 
         # map both-strands hits to (oriented read, forward-text pos):
         # a hit at fm pos p >= n is the reverse strand — the REVCOMP of the

@@ -233,6 +233,61 @@ def locate(fm: FMIndexArrays, rows: jax.Array) -> jax.Array:
     return val
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "max_seeds", "min_seed_len", "max_hits", "budget", "max_occ"))
+def seed_locate_reads(fm: FMIndexArrays, reads: jax.Array,
+                      lens: jax.Array, *, max_seeds: int = 16,
+                      min_seed_len: int = 19, max_hits: int = 3000,
+                      budget: int = 32768, max_occ: int = 3000):
+    """Fused greedy seeding -> hit compaction -> SA locate: ONE dispatch.
+
+    The two-step path (seed_reads readback, host _compact_seed_hits,
+    locate upload) crosses the host<->device boundary twice per chunk
+    and ships the dense [4, B, S] seed stack back; through the attached-
+    TPU tunnel those transfers dominate the seeding stage.  Here the
+    exact same compaction (prefix-sum + even max_occ sampling, matching
+    pipeline._compact_seed_hits value-for-value) runs on device via
+    searchsorted over the per-seed hit counts, and locate runs in the
+    same program.
+
+    Returns (packed [4, budget] i32 = (owner, qb, seed_len, text_pos),
+    total hits i32, frac_rep [B] f32).  Slots >= total are garbage —
+    callers slice [:total].  When total > budget the caller must fall
+    back to the unbounded two-step path.
+    """
+    B, L = reads.shape
+    s_lo, s_hi, s_qb, s_len, n_seeds = seed_reads(
+        fm, reads, lens, max_seeds=max_seeds, min_seed_len=min_seed_len)
+    S = max_seeds
+    live = jnp.arange(S, dtype=jnp.int32)[None, :] < n_seeds[:, None]
+    width = jnp.where(live, jnp.maximum(s_hi - s_lo, 0), 0)
+
+    # BWA frac_rep: fraction of read bases covered by over-max_occ seeds
+    # (greedy seeds are disjoint in read coords; clip for safety)
+    l_rep = jnp.where(width > max_occ, s_len, 0).sum(axis=1)
+    frac_rep = jnp.minimum(
+        l_rep / jnp.maximum(lens, 1), 1.0).astype(jnp.float32)
+
+    take = jnp.minimum(width, max_hits).reshape(-1)        # [B*S]
+    offs = jnp.cumsum(take)                                # inclusive
+    total = offs[-1]
+    h = jnp.arange(budget, dtype=jnp.int32)
+    src = jnp.searchsorted(offs, h, side="right").astype(jnp.int32)
+    src = jnp.minimum(src, B * S - 1)
+    start = offs[src] - take[src]
+    i_loc = h - start
+    w = width.reshape(-1)[src]
+    t = jnp.maximum(take[src], 1)
+    # even sampling, split to avoid i32 overflow (== (i_loc * w) // t)
+    samp = i_loc * (w // t) + (i_loc * (w % t)) // t
+    rows = s_lo.reshape(-1)[src] + jnp.where(w > t, samp, i_loc)
+    rows = jnp.where(h < total, rows, 0)
+    pos = locate(fm, rows)
+    packed = jnp.stack([src // S, s_qb.reshape(-1)[src],
+                        s_len.reshape(-1)[src], pos.astype(jnp.int32)])
+    return packed, total, frac_rep
+
+
 def expand_seed_hits(s_lo: jax.Array, s_hi: jax.Array, max_hits: int):
     """Expand SA intervals into up to ``max_hits`` rows each (even sampling).
 

@@ -164,3 +164,77 @@ class TestSeedingCompleteness:
         for i in range(B):
             hit_starts = (pos[i] - qb[i][:, None])[valid[i]]
             assert starts[i] in hit_starts, (i, starts[i], lens[i])
+
+
+class TestSeedLocateFused:
+    """seed_locate_reads (one device program) must reproduce the
+    two-step path (seed_reads -> _compact_seed_hits -> locate)
+    value-for-value, including the even max_occ sampling and the
+    overflow signal."""
+
+    def _two_step(self, fma, codes, lens, max_hits):
+        from ema_tpu.core.pipeline import (_compact_seed_hits,
+                                           locate_rows_bucketed)
+        s_lo, s_hi, s_qb, s_len, n_seeds = fm.seed_reads(
+            fma, jnp.asarray(codes), jnp.asarray(lens),
+            max_seeds=16, min_seed_len=19)
+        stack = np.stack([np.asarray(a) for a in
+                          (s_lo, s_hi, s_qb, s_len)]).astype(np.int64)
+        nsd = np.asarray(n_seeds)
+        owner, qb, slen, rows = _compact_seed_hits(stack, nsd, max_hits)
+        pos = locate_rows_bucketed(fma, rows)
+        return owner, qb, slen, pos
+
+    def _check(self, genome, codes, lens, max_hits=3000, budget=4096):
+        idx = build_index({"c": genome})
+        fma = fm.FMIndexArrays.from_index(idx)
+        packed, total, frac = fm.seed_locate_reads(
+            fma, jnp.asarray(codes), jnp.asarray(lens),
+            max_seeds=16, min_seed_len=19, max_hits=max_hits,
+            budget=budget, max_occ=3000)
+        owner, qb, slen, pos = self._two_step(fma, codes, lens, max_hits)
+        total = int(total)
+        assert total == owner.shape[0]
+        assert total <= budget
+        ph = np.asarray(packed)[:, :total]
+        np.testing.assert_array_equal(ph[0], owner)
+        np.testing.assert_array_equal(ph[1], qb)
+        np.testing.assert_array_equal(ph[2], slen)
+        np.testing.assert_array_equal(ph[3], pos)
+
+    def test_random_reads_match_two_step(self):
+        rng = np.random.default_rng(5)
+        genome = rng.integers(0, 4, 20_000, dtype=np.uint8)
+        B, L = 33, 80
+        starts = rng.integers(0, genome.shape[0] - L, B)
+        codes = np.stack([genome[s:s + L] for s in starts]).copy()
+        # sprinkle mismatches + an all-N read + a short read
+        for i in range(0, B, 3):
+            codes[i, rng.integers(0, L)] = rng.integers(0, 4)
+        codes[1] = 4
+        lens = np.full(B, L, np.int32)
+        lens[2] = 10
+        self._check(genome, codes, lens)
+
+    def test_repeat_capping_matches_two_step(self):
+        rng = np.random.default_rng(6)
+        unit = rng.integers(0, 4, 200, dtype=np.uint8)
+        genome = np.tile(unit, 60)          # deep repeat: wide intervals
+        codes = np.stack([unit[:64]] * 8)
+        lens = np.full(8, 64, np.int32)
+        # cap below the repeat depth: exercises the even sampling
+        self._check(genome, codes, lens, max_hits=16, budget=4096)
+
+    def test_overflow_reports_total_above_budget(self):
+        rng = np.random.default_rng(7)
+        unit = rng.integers(0, 4, 120, dtype=np.uint8)
+        genome = np.tile(unit, 80)
+        codes = np.stack([unit[:64]] * 16)
+        lens = np.full(16, 64, np.int32)
+        idx = build_index({"c": genome})
+        fma = fm.FMIndexArrays.from_index(idx)
+        packed, total, frac = fm.seed_locate_reads(
+            fma, jnp.asarray(codes), jnp.asarray(lens),
+            max_seeds=16, min_seed_len=19, max_hits=3000,
+            budget=256, max_occ=3000)
+        assert int(total) > 256     # caller must take the fallback path
