@@ -47,6 +47,26 @@ def main() -> None:
 
     if os.environ.get("EMA_TPU_BENCH_INNER"):
         return _bench()
+
+    def run_inner(env, timeout):
+        """Run one inner bench; return its parsed JSON line or None."""
+        try:
+            r = subprocess.run([sys.executable, "-u", __file__],
+                               timeout=timeout, env=env,
+                               stdout=subprocess.PIPE, text=True)
+        except subprocess.TimeoutExpired:
+            return None
+        for line in reversed((r.stdout or "").splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    return json.loads(line)
+                except json.JSONDecodeError:
+                    pass
+        if r.returncode:
+            log(f"inner bench rc={r.returncode}")
+        return None
+
     # the tunnel FLAPS (alive one minute, wedged the next — observed
     # repeatedly): give the TPU attempt a few tries before settling for
     # the CPU number.  An inner run that got pinned to CPU while a TPU
@@ -54,21 +74,28 @@ def main() -> None:
     env = dict(os.environ, EMA_TPU_BENCH_INNER="1",
                EMA_TPU_BENCH_REQUIRE_TPU="1",
                EMA_TPU_PROBE_TIMEOUT="120")
+    tpu_res = None
     for attempt in range(3):
-        try:
-            r = subprocess.run([sys.executable, "-u", __file__],
-                               timeout=540, env=env)
-            if r.returncode == 0:
-                return
-            log(f"bench TPU attempt {attempt} rc={r.returncode}")
-        except subprocess.TimeoutExpired:
-            log(f"bench TPU attempt {attempt} hung (540s)")
+        tpu_res = run_inner(env, 540)
+        if tpu_res is not None:
+            break
+        log(f"bench TPU attempt {attempt} failed/hung")
         time.sleep(90)     # wedges observed to clear on ~10min scales
-    log("TPU unavailable after 3 attempts; benchmarking the CPU fallback")
-    env["EMA_TPU_PLATFORM"] = "cpu"
-    env.pop("EMA_TPU_BENCH_REQUIRE_TPU")
-    subprocess.run([sys.executable, "-u", __file__], timeout=1800,
-                   env=env, check=True)
+    # Always benchmark the CPU fallback path too: the aligner picks its
+    # backend per host, and on tunnel-attached hosts the host path can
+    # win — the recorded number is the best the system delivers, with
+    # both measurements kept in the JSON for the record.
+    cpu_env = dict(env, EMA_TPU_PLATFORM="cpu")
+    cpu_env.pop("EMA_TPU_BENCH_REQUIRE_TPU")
+    cpu_res = run_inner(cpu_env, 1800)
+    results = [r for r in (tpu_res, cpu_res) if r]
+    if not results:
+        raise SystemExit("bench: no backend produced a result")
+    best = max(results, key=lambda r: r.get("value", 0.0))
+    for r in (tpu_res, cpu_res):
+        if r:
+            best[f"{r.get('platform', '?')}_pairs_per_sec"] = r["value"]
+    print(json.dumps(best))
 
 
 def _bench() -> None:
