@@ -232,6 +232,7 @@ class Aligner:
         # concurrently, so stage sums are thread-seconds, not wall
         self.metrics = None
         self._sw_impl = self._probe_sw_impl()
+        self._host_fm = self._probe_host_fm()
         self._init_mesh()
 
     def _init_mesh(self) -> None:
@@ -298,6 +299,22 @@ class Aligner:
         except Exception:                        # pragma: no cover
             return "banded"
 
+    @staticmethod
+    def _probe_host_fm() -> bool:
+        """Host C++ FM ops (greedy seeding + SA locate) on CPU backends.
+
+        The occ table for bacterial-scale genomes fits L2 and one scalar
+        rank query is ~20 ops, so the native walk beats the XLA:CPU
+        vectorized scan ~7x at pipeline shapes (value-identical outputs,
+        equality-tested in test_native).  TPU backends keep the fused
+        device program.  Override with EMA_TPU_SEED_IMPL=device|native.
+        """
+        import os
+        env = os.environ.get("EMA_TPU_SEED_IMPL")
+        if env in ("native", "device"):
+            return env == "native"
+        return jax.default_backend() not in ("tpu", "axon")
+
     # ------------------------------------------------------------------
     # candidate generation
     # ------------------------------------------------------------------
@@ -332,16 +349,23 @@ class Aligner:
         # uploaded ONCE; the reverse-complement rows the SW scorer needs
         # are derived on device (_orient_device) instead of uploaded.
         rows_pad = _pow2_rows(n_reads, 2 * self.cfg.batch_size)
-        spad = np.full((rows_pad, L), 4, np.uint8)
-        spad[:n_reads] = codes
-        slpad = np.zeros(rows_pad, np.int32)
-        slpad[:n_reads] = lens
-        spad_dev = self._shard_rows(spad)
-        slpad_dev = self._shard_rows(slpad)
-        # device rows for SW: [0, rows_pad) forward, [rows_pad, 2*rows_pad)
-        # revcomp — logical oriented read r maps to device row
-        # r if r < n_reads else rows_pad + (r - n_reads)
-        opad_dev, lpad_dev = _orient_device(spad_dev, slpad_dev)
+        # the full-native CPU path (host seeding/locate + host SW) never
+        # touches the device inside candidate generation — skip the padded
+        # upload and the on-device revcomp derivation entirely
+        full_native = self._host_fm and self._sw_impl == "native"
+        if full_native:
+            spad_dev = slpad_dev = opad_dev = lpad_dev = None
+        else:
+            spad = np.full((rows_pad, L), 4, np.uint8)
+            spad[:n_reads] = codes
+            slpad = np.zeros(rows_pad, np.int32)
+            slpad[:n_reads] = lens
+            spad_dev = self._shard_rows(spad)
+            slpad_dev = self._shard_rows(slpad)
+            # device rows for SW: [0, rows_pad) fwd, [rows_pad, 2*rows_pad)
+            # revcomp — logical oriented read r maps to device row
+            # r if r < n_reads else rows_pad + (r - n_reads)
+            opad_dev, lpad_dev = _orient_device(spad_dev, slpad_dev)
         row_map = (n_reads, rows_pad)
 
         seed_stack = nsd = hp = None
@@ -357,6 +381,17 @@ class Aligner:
                 split_len=int(params.min_seed_len * 1.5 + 0.499),
                 split_width=params.split_width,
                     max_mem_intv=params.max_mem_intv)
+                seed_stack = np.stack(sm[:4]).astype(np.int64)
+                nsd = sm[4]
+        elif self._host_fm:
+            # greedy chop in host C++ (value-identical to the device
+            # seeder; CPU backends — the scalar rank walk beats the
+            # XLA:CPU scan ~7x and skips the device roundtrip)
+            with self._mst("seed[native,host]", n_reads):
+                sm = native.greedy_seed_batch(
+                    idx.occ_blocks, idx.counts, idx.primary, idx.fm_n,
+                    codes, lens, min_seed_len=params.seed_len,
+                    max_seeds=16)
                 seed_stack = np.stack(sm[:4]).astype(np.int64)
                 nsd = sm[4]
         else:
@@ -409,9 +444,14 @@ class Aligner:
 
             owner, qb, slen, rows_flat = _compact_seed_hits(
                 seed_stack, nsd, params.max_hits_per_seed)
-            with self._mst("locate[device]", rows_flat.shape[0]):
-                hp = locate_rows_bucketed(self.fma, rows_flat,
-                                          self._shard_rows)
+            if self._host_fm:
+                # host LF walk (smem seeding lands here too on CPU)
+                with self._mst("locate[native,host]", rows_flat.shape[0]):
+                    hp = native.locate_batch(idx, rows_flat)
+            else:
+                with self._mst("locate[device]", rows_flat.shape[0]):
+                    hp = locate_rows_bucketed(self.fma, rows_flat,
+                                              self._shard_rows)
 
         # map both-strands hits to (oriented read, forward-text pos):
         # a hit at fm pos p >= n is the reverse strand — the REVCOMP of the
@@ -1199,6 +1239,7 @@ class ShardedAligner(Aligner):
         self.replay_sink = None
         self.metrics = None
         self._sw_impl = self.subs[0]._sw_impl if self.subs else "banded"
+        self._host_fm = self.subs[0]._host_fm if self.subs else False
 
     def generate_candidates(self, batch: ReadBatch) -> CandidateSet:
         css = [sub.generate_candidates(batch) for sub in self.subs]

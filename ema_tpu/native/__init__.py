@@ -175,6 +175,28 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int32),
         ]
 
+        lib.greedy_seed_batch.restype = None
+        lib.greedy_seed_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+
+        lib.locate_batch.restype = None
+        lib.locate_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+
         lib.sa_optimize.restype = None
         lib.sa_optimize.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
@@ -436,6 +458,65 @@ def smem_seed_batch(occ_blocks, counts, primary, fm_n, reads, lens,
         _ptr(s_qb, ctypes.c_int32), _ptr(s_len, ctypes.c_int32),
         _ptr(n_seeds, ctypes.c_int32))
     return s_lo, s_hi, s_qb, s_len, n_seeds
+
+
+def greedy_seed_batch(occ_blocks, counts, primary, fm_n, reads, lens,
+                      min_seed_len=19, max_seeds=16, n_threads=0):
+    """Greedy maximal-suffix seeding on host (CPU-backend FM path).
+
+    Value-identical to the device seeder (index/fmindex.seed_reads):
+    same chop/restart/min-length/cap semantics, same output layout
+    (s_lo, s_hi, s_qb, s_len [B, max_seeds] + n_seeds [B]).
+    """
+    occ_blocks = np.ascontiguousarray(occ_blocks, np.int32)
+    counts = np.ascontiguousarray(counts, np.int64)
+    reads = np.ascontiguousarray(reads, np.uint8)
+    lens = np.ascontiguousarray(lens, np.int32)
+    B, L = reads.shape
+    s_lo = np.zeros((B, max_seeds), np.int32)
+    s_hi = np.zeros((B, max_seeds), np.int32)
+    s_qb = np.zeros((B, max_seeds), np.int32)
+    s_len = np.zeros((B, max_seeds), np.int32)
+    n_seeds = np.zeros(B, np.int32)
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 8)
+    get_lib().greedy_seed_batch(
+        _ptr(occ_blocks, ctypes.c_int32), _ptr(counts, ctypes.c_int64),
+        ctypes.c_int64(int(primary)), ctypes.c_int64(int(fm_n)),
+        _ptr(reads, ctypes.c_uint8), _ptr(lens, ctypes.c_int32),
+        ctypes.c_int64(B), ctypes.c_int32(L),
+        ctypes.c_int32(min_seed_len), ctypes.c_int32(max_seeds),
+        ctypes.c_int32(n_threads),
+        _ptr(s_lo, ctypes.c_int32), _ptr(s_hi, ctypes.c_int32),
+        _ptr(s_qb, ctypes.c_int32), _ptr(s_len, ctypes.c_int32),
+        _ptr(n_seeds, ctypes.c_int32))
+    return s_lo, s_hi, s_qb, s_len, n_seeds
+
+
+def locate_batch(idx, rows, n_threads=0) -> np.ndarray:
+    """Batched SA lookup on host: BWT rows -> text positions.
+
+    ``idx``: a ReferenceIndex (or any object with occ_blocks/counts/
+    primary/fm_n/sa_mark_words/sa_mark_rank/sa_values/sa_rate).  Matches
+    index/fmindex.locate value-for-value (sampled-SA LF walk).
+    """
+    occ_blocks = np.ascontiguousarray(idx.occ_blocks, np.int32)
+    counts = np.ascontiguousarray(idx.counts, np.int64)
+    mark_words = np.ascontiguousarray(idx.sa_mark_words, np.uint32)
+    mark_rank = np.ascontiguousarray(idx.sa_mark_rank, np.int32)
+    sa_values = np.ascontiguousarray(idx.sa_values, np.int32)
+    rows = np.ascontiguousarray(rows, np.int64)
+    out = np.zeros(rows.shape[0], np.int64)
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 8)
+    get_lib().locate_batch(
+        _ptr(occ_blocks, ctypes.c_int32), _ptr(counts, ctypes.c_int64),
+        ctypes.c_int64(int(idx.primary)), ctypes.c_int64(int(idx.fm_n)),
+        _ptr(mark_words, ctypes.c_uint32), _ptr(mark_rank, ctypes.c_int32),
+        _ptr(sa_values, ctypes.c_int32), ctypes.c_int32(int(idx.sa_rate)),
+        _ptr(rows, ctypes.c_int64), ctypes.c_int64(rows.shape[0]),
+        ctypes.c_int32(n_threads), _ptr(out, ctypes.c_int64))
+    return out
 
 
 def sw_banded_native(oriented: np.ndarray, olens: np.ndarray,

@@ -238,3 +238,70 @@ class TestSeedLocateFused:
             max_seeds=16, min_seed_len=19, max_hits=3000,
             budget=256, max_occ=3000)
         assert int(total) > 256     # caller must take the fallback path
+
+
+class TestHostFM:
+    """Host C++ greedy seeding + locate vs the device programs.
+
+    The CPU-backend FM path (native.greedy_seed_batch / locate_batch)
+    must be value-identical to index/fmindex.seed_reads / locate —
+    pipeline.generate_candidates mixes them freely by backend.
+    """
+
+    def test_greedy_seed_equality(self, small_index, fma):
+        from ema_tpu import native
+        idx, text = small_index
+        rng = np.random.default_rng(11)
+        B, L = 128, 80
+        starts = rng.integers(0, idx.n - L, B)
+        codes = np.stack([text[s:s + L] for s in starts]).astype(np.int32)
+        mut = rng.random((B, L)) < 0.03
+        codes = np.where(mut, rng.integers(0, 5, (B, L)), codes)  # incl. N
+        lens = rng.integers(20, L + 1, B).astype(np.int32)
+        codes = np.where(np.arange(L)[None, :] < lens[:, None], codes, 4)
+
+        dev = [np.asarray(x) for x in fm.seed_reads(
+            fma, jnp.asarray(codes), jnp.asarray(lens),
+            max_seeds=16, min_seed_len=19)]
+        host = native.greedy_seed_batch(
+            idx.occ_blocks, idx.counts, idx.primary, idx.fm_n,
+            codes.astype(np.uint8), lens, min_seed_len=19, max_seeds=16)
+        assert np.array_equal(dev[4], host[4])          # n_seeds
+        live = np.arange(16)[None, :] < dev[4][:, None]
+        for a, b in zip(dev[:4], host[:4]):
+            assert np.array_equal(np.where(live, a, 0),
+                                  np.where(live, b, 0))
+        assert dev[4].sum() > 0
+
+    def test_locate_equality(self, small_index, fma):
+        from ema_tpu import native
+        idx, _ = small_index
+        rng = np.random.default_rng(12)
+        rows = rng.integers(0, idx.fm_n + 1, 5000).astype(np.int64)
+        dev = np.asarray(fm.locate(fma, jnp.asarray(rows))).astype(np.int64)
+        host = native.locate_batch(idx, rows)
+        assert np.array_equal(dev, host)
+
+    def test_pipeline_sam_identical_across_seed_impls(self, monkeypatch):
+        """End-to-end: EMA_TPU_SEED_IMPL=native == device, line for line."""
+        from ema_tpu import config
+        from ema_tpu.core.pipeline import Aligner, ReadBatch
+        from tests.simulate import rand_genome, simulate_pairs, to_str
+
+        rng = np.random.default_rng(13)
+        genome = rand_genome(rng, 150_000)
+        ids, bc_strs, bcs, s1, q1, s2, q2, truth = simulate_pairs(
+            rng, to_str(genome), n_barcodes=8, frags_per_bc=(1, 2),
+            pairs_per_frag=(8, 15), frag_len=15_000, read_len=90,
+            err=0.004)
+        idx = build_index({"chr1": genome})
+        batch = ReadBatch.from_pairs(ids, bcs, s1, q1, s2, q2)
+        lines = {}
+        for impl in ("native", "device"):
+            monkeypatch.setenv("EMA_TPU_SEED_IMPL", impl)
+            al = Aligner(idx, config.RunConfig(
+                batch_size=512, seed=5,
+                aligner=config.AlignerParams(seeding="greedy")))
+            assert al._host_fm == (impl == "native")
+            lines[impl] = al.align_batch_to_sam(batch)
+        assert lines["native"] == lines["device"]

@@ -44,6 +44,8 @@ SPECS = {
     "scan": dict(sw="scan"),
     "greedy": dict(seeding="greedy"),
     "smem": dict(seeding="smem"),
+    "seednat": dict(seed_impl="native"),    # host C++ greedy seed+locate
+    "seeddev": dict(seed_impl="device"),    # fused XLA seed_locate_reads
     "default": dict(),
 }
 
@@ -71,15 +73,19 @@ def make_aligner(idx, name: str):
     if "seeding" in spec:
         ap = dataclasses.replace(ap, seeding=spec["seeding"])
     cfg = config.RunConfig(aligner=ap, **kw)
-    old = os.environ.pop("EMA_TPU_SW_IMPL", None)
-    if "sw" in spec:
-        os.environ["EMA_TPU_SW_IMPL"] = spec["sw"]
+    saved = {}
+    for env_key, spec_key in (("EMA_TPU_SW_IMPL", "sw"),
+                              ("EMA_TPU_SEED_IMPL", "seed_impl")):
+        saved[env_key] = os.environ.pop(env_key, None)
+        if spec_key in spec:
+            os.environ[env_key] = spec[spec_key]
     try:
         return Aligner(idx, cfg)
     finally:
-        os.environ.pop("EMA_TPU_SW_IMPL", None)
-        if old is not None:
-            os.environ["EMA_TPU_SW_IMPL"] = old
+        for env_key, old in saved.items():
+            os.environ.pop(env_key, None)
+            if old is not None:
+                os.environ[env_key] = old
 
 
 def main() -> None:
