@@ -704,6 +704,46 @@ struct FM {
         return cnt;
     }
 
+    // rank of one char at TWO positions (klo <= khi).  When both land in
+    // the same 128-base block — the common case once a seed's interval
+    // narrows — the packed words are walked once instead of twice.
+    inline void occ2(int c, int64_t klo, int64_t khi,
+                     int64_t *rlo, int64_t *rhi) const {
+        int64_t alo = klo - (klo > primary ? 1 : 0);
+        int64_t ahi = khi - (khi > primary ? 1 : 0);
+        if ((alo >> 7) != (ahi >> 7)) {
+            *rlo = occ1(c, klo);
+            *rhi = occ1(c, khi);
+            return;
+        }
+        const int32_t *row = blocks + (alo >> 7) * 12;
+        const uint32_t *w = (const uint32_t *)(row + 4);
+        uint32_t pat = 0x55555555u * (uint32_t)c;
+        int ol = (int)(alo & 127), oh = (int)(ahi & 127);
+        int64_t cl = row[c], ch = row[c];
+        int fwh = oh >> 4, remh = oh & 15;
+        for (int i = 0; i < fwh; i++) {
+            uint32_t x = w[i] ^ pat;
+            uint32_t eq = (~(x | (x >> 1))) & 0x55555555u;
+            int pc = __builtin_popcount(eq);
+            ch += pc;
+            int lo_nb = ol - 16 * i;     // bases of this word below klo
+            if (lo_nb >= 16) cl += pc;
+            else if (lo_nb > 0)
+                cl += __builtin_popcount(eq & ((1u << (2 * lo_nb)) - 1u));
+        }
+        if (remh) {
+            uint32_t x = w[fwh] ^ pat;
+            uint32_t eq = (~(x | (x >> 1))) & 0x55555555u;
+            ch += __builtin_popcount(eq & ((1u << (2 * remh)) - 1u));
+            int lo_nb = ol - 16 * fwh;   // < remh since ol <= oh
+            if (lo_nb > 0)
+                cl += __builtin_popcount(eq & ((1u << (2 * lo_nb)) - 1u));
+        }
+        *rlo = cl;
+        *rhi = ch;
+    }
+
     // 2-bit BWT char at full-row index k (k != primary)
     inline int bwt_char(int64_t k) const {
         int64_t adj = k - (k > primary ? 1 : 0);
@@ -979,8 +1019,10 @@ extern "C" void greedy_seed_batch(
                 bool ext_ok = false;
                 int64_t nlo = 0, nhi = 0;
                 if (valid && span > 0) {
-                    nlo = counts[c] + fm.occ1(c, lo);
-                    nhi = counts[c] + fm.occ1(c, hi);
+                    int64_t rl, rh;
+                    fm.occ2(c, lo, hi, &rl, &rh);
+                    nlo = counts[c] + rl;
+                    nhi = counts[c] + rh;
                     ext_ok = nhi > nlo;
                 }
                 if (span > 0 && !ext_ok && span >= min_seed_len
