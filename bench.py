@@ -167,7 +167,9 @@ def _bench() -> None:
     aligner.metrics = met              # None unless EMA_TPU_STAGE_TIMERS=1
     dt = float("inf")
     passes = []
-    for k in range(5):
+    for k in range(8):                 # the host speed swings 2-3x on
+                                       # ~minute scales; sample more
+                                       # windows, keep the early exit
         t0 = time.time()
         n_lines = run(0, n_pairs)
         passes.append(time.time() - t0)
