@@ -305,3 +305,33 @@ class TestHostFM:
             assert al._host_fm == (impl == "native")
             lines[impl] = al.align_batch_to_sam(batch)
         assert lines["native"] == lines["device"]
+
+    def test_greedy_seed_equality_deep_repeats(self):
+        """Wide SA intervals keep lo/hi in different occ blocks — the
+        occ2 fallback path — and exercise interval restarts."""
+        from ema_tpu import native
+        rng = np.random.default_rng(21)
+        unit = rng.integers(0, 4, 150, dtype=np.uint8)
+        genome = np.concatenate([np.tile(unit, 50),
+                                 rng.integers(0, 4, 2000, dtype=np.uint8),
+                                 np.tile(unit[:37], 40)])
+        idx = build_index({"c": genome})
+        fma = fm.FMIndexArrays.from_index(idx)
+        B, L = 64, 100
+        codes = np.stack([genome[s:s + L] for s in
+                          rng.integers(0, idx.n - L, B)]).astype(np.int32)
+        # homopolymer rows: maximal restart churn
+        codes[0] = 0
+        codes[1] = np.arange(L) % 2
+        lens = np.full(B, L, np.int32)
+        dev = [np.asarray(x) for x in fm.seed_reads(
+            fma, jnp.asarray(codes), jnp.asarray(lens),
+            max_seeds=16, min_seed_len=19)]
+        host = native.greedy_seed_batch(
+            idx.occ_blocks, idx.counts, idx.primary, idx.fm_n,
+            codes.astype(np.uint8), lens, min_seed_len=19, max_seeds=16)
+        assert np.array_equal(dev[4], host[4])
+        live = np.arange(16)[None, :] < dev[4][:, None]
+        for a, b in zip(dev[:4], host[:4]):
+            assert np.array_equal(np.where(live, a, 0),
+                                  np.where(live, b, 0))
