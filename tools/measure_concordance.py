@@ -36,19 +36,23 @@ def main() -> int:
         return 1
 
     rng = np.random.default_rng(20260817)
-    g1 = rand_genome(rng, 600_000)
-    g2 = rand_genome(rng, 300_000)
-    g2[50_000:58_000] = g1[100_000:108_000]
+    g1 = rand_genome(rng, 1_600_000)
+    g2 = rand_genome(rng, 800_000)
+    g2[50_000:58_000] = g1[100_000:108_000]      # cross-contig dup
     unit = g1[200_000:201_500].copy()
-    for k in range(40):                      # repeat family
+    for k in range(40):                      # dense repeat family
         at = 210_000 + k * 1_600
         g1[at:at + 1_500] = unit
+    unit2 = g1[900_000:902_000].copy()
+    for k in range(25):                      # second, longer-period family
+        at = 920_000 + k * 2_500
+        g1[at:at + 2_000] = unit2
     contigs = {"chr1": g1, "chr2": g2}
     gs = to_str(np.concatenate([g1, g2]))
 
     ids, bc_strs, bcs, s1, q1, s2, q2, truth = simulate_pairs(
-        rng, gs, n_barcodes=60, frags_per_bc=(2, 5),
-        pairs_per_frag=(20, 50), frag_len=25_000, read_len=100, err=0.004)
+        rng, gs, n_barcodes=400, frags_per_bc=(2, 6),
+        pairs_per_frag=(20, 55), frag_len=25_000, read_len=100, err=0.004)
     n_pairs = len(ids)
     print(f"world: {n_pairs} pairs, {len(set(bc_strs))} barcodes")
 
