@@ -1,0 +1,238 @@
+"""Quality-parity study of the -d density optimizer vs the reference.
+
+The reference's simulated annealer is time-seeded (src/split.c:54-59), so
+bit-identical comparison is impossible by design; SURVEY.md calls for a
+tolerance-based comparison instead.  This tool runs both stacks with the
+density optimizer ON over the same repeat-heavy world (identical candidates
+via bwabridge replay) and reports:
+
+  1. concordance on the deterministic subset (records in non-bad clouds,
+     XF:i:0 in both outputs) — must be 100%;
+  2. position-agreement rate inside bad clouds (stochastic subset);
+  3. the true SA energy of each stack's final picks under ONE shared
+     evaluator mirroring src/split.c's objective: per bad (BX, MI) cloud,
+     E = sum_bins log_density_prob(count) + sum_records gen_score/SCORE_SCALE
+     (bins of 1000 bp anchored at the cloud's min pos; generative score
+     recomputed from each record's CIGAR+NM per align.c:846-913).
+
+Writes DENSITY_r03.json at the repo root.  Usage:
+
+    EMA_TPU_PLATFORM=cpu PYTHONPATH=. python tools/measure_density_opt.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _parse_sam(path):
+    """-> dict[(qname, mate)] = dict(chrom,pos,rev,cigar,nm,bx,mi,xf)."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            if line.startswith("@"):
+                continue
+            t = line.rstrip("\n").split("\t")
+            flag = int(t[1])
+            if flag & 0x100:              # secondary (none emitted, safety)
+                continue
+            mate = 1 if flag & 0x80 else 0
+            tags = {}
+            for tag in t[11:]:
+                k, typ, v = tag.split(":", 2)
+                tags[k] = v
+            out[(t[0], mate)] = dict(
+                chrom=t[2], pos=int(t[3]), rev=int(bool(flag & 0x10)),
+                unmapped=int(bool(flag & 0x4)), cigar=t[5],
+                nm=int(tags.get("NM", "0")), bx=tags.get("BX", ""),
+                mi=int(tags.get("MI", "-1")), xf=int(tags.get("XF", "0")))
+    return out
+
+
+_CIG_RE = re.compile(r"(\d+)([MIDNSHP=X])")
+
+
+def _gen_score(cigar: str, nm: int, error_rate: float) -> float:
+    """align.c:846-913 generative log-prob from a SAM CIGAR string + NM."""
+    from ema_tpu import config
+    if cigar == "*":
+        return 0.0
+    m = indel = runs = clip = 0
+    for n, op in _CIG_RE.findall(cigar):
+        n = int(n)
+        if op in "M=X":
+            m += n
+        elif op in "ID":
+            indel += n
+            runs += 1
+        elif op in "SH":
+            clip += n
+    mism = nm - indel
+    return (float(m - mism) * np.log(1.0 - error_rate)
+            + float(mism) * np.log(error_rate)
+            + float(runs) * np.log(config.INDEL_RATE)
+            + float(clip) * np.log(config.CLIP_RATE))
+
+
+def _cloud_energies(recs, error_rate: float):
+    """Per bad (BX, MI) cloud: shared SA-objective energy of final picks."""
+    from ema_tpu import config
+    from ema_tpu.core.split import _log_density_prob
+
+    profile = config.get_platform_profile("10x")
+    ldp = profile.log_density_probs
+    clouds = {}
+    for (qname, mate), r in recs.items():
+        if r["unmapped"] or r["xf"] != 1:
+            continue
+        clouds.setdefault((r["bx"], r["mi"]), []).append(r)
+    energies = {}
+    for key, rs in clouds.items():
+        pos = np.array([r["pos"] for r in rs], np.int64)
+        lo = pos.min()
+        bins = np.bincount((pos - lo) // config.BIN_SIZE)
+        e = sum(_log_density_prob(int(c), ldp) for c in bins if c > 0)
+        e += sum(_gen_score(r["cigar"], r["nm"], error_rate) for r in rs) \
+            / config.SCORE_SCALE
+        energies[key] = (e, len(rs))
+    return energies
+
+
+def main() -> int:
+    os.environ.setdefault("EMA_TPU_PLATFORM", "cpu")
+    from ema_tpu import config
+    from ema_tpu.core.pipeline import Aligner, ReadBatch
+    from ema_tpu.index import build_index
+    from ema_tpu.utils.replay import ReplayWriter
+    from tests import oracle
+    from tests.simulate import rand_genome, simulate_pairs, to_str
+
+    if not oracle.reference_available():
+        print("reference tree unavailable", file=sys.stderr)
+        return 1
+
+    rng = np.random.default_rng(20260818)
+    g1 = rand_genome(rng, 700_000)
+    unit = g1[200_000:201_500].copy()
+    for k in range(40):                  # dense repeat family -> bad clouds
+        at = 210_000 + k * 1_600
+        g1[at:at + 1_500] = unit
+    unit2 = g1[400_000:401_200].copy()
+    for k in range(30):
+        at = 410_000 + k * 1_400
+        g1[at:at + 1_200] = unit2
+    contigs = {"chr1": g1}
+    gs = to_str(g1)
+
+    ids, bc_strs, bcs, s1, q1, s2, q2, _ = simulate_pairs(
+        rng, gs, n_barcodes=120, frags_per_bc=(2, 5),
+        pairs_per_frag=(20, 50), frag_len=25_000, read_len=100, err=0.004)
+    n_pairs = len(ids)
+    print(f"world: {n_pairs} pairs, {len(set(bc_strs))} barcodes")
+
+    import tempfile
+    tmp = tempfile.mkdtemp(prefix="densopt_")
+    bucket = os.path.join(tmp, "bucket")
+    with open(bucket, "w") as f:
+        for i in range(n_pairs):
+            f.write(f"{bc_strs[i]} @{ids[i]} {s1[i]} {q1[i]} "
+                    f"{s2[i]} {q2[i]}\n")
+
+    t0 = time.time()
+    idx = build_index(contigs)
+    aligner = Aligner(idx, config.RunConfig(
+        batch_size=1024, seed=7, apply_density_opt=True))
+    writer = ReplayWriter(os.path.join(tmp, "replay"),
+                          idx.names, [int(x) for x in idx.lengths])
+    aligner.replay_sink = writer.add
+    batch = ReadBatch.from_pairs(ids, bcs, s1, q1, s2, q2)
+    lines = aligner.align_batch_to_sam(batch)
+    writer.close()
+    ours_path = os.path.join(tmp, "ours.sam")
+    with open(ours_path, "w") as f:
+        f.write("".join(l if l.endswith("\n") else l + "\n"
+                        for l in lines))
+    t_ours = time.time() - t0
+
+    t0 = time.time()
+    ref_path = os.path.join(tmp, "ref.sam")
+    oracle.run_align_oracle(os.path.join(tmp, "replay"), bucket, ref_path,
+                            apply_opt=1)
+    t_ref = time.time() - t0
+
+    ours = _parse_sam(ours_path)
+    ref = _parse_sam(ref_path)
+    shared = sorted(set(ours) & set(set(ref)))
+    only = abs(len(ours) - len(ref)) + len(set(ours) ^ set(ref))
+
+    det = det_ok = sto = sto_pos_ok = 0
+    for k in shared:
+        a, b = ours[k], ref[k]
+        if a["xf"] == 0 and b["xf"] == 0:
+            det += 1
+            det_ok += int((a["chrom"], a["pos"], a["rev"], a["cigar"])
+                          == (b["chrom"], b["pos"], b["rev"], b["cigar"]))
+        else:
+            sto += 1
+            sto_pos_ok += int((a["chrom"], a["pos"]) == (b["chrom"], b["pos"]))
+
+    err = config.get_platform_profile("10x").error_rate
+    e_ours = _cloud_energies(ours, err)
+    e_ref = _cloud_energies(ref, err)
+    # compare per barcode: each stack's own MI clustering, summed per BX
+    per_bx_o, per_bx_r = {}, {}
+    for (bx, _), (e, nrec) in e_ours.items():
+        per_bx_o[bx] = per_bx_o.get(bx, 0.0) + e
+    for (bx, _), (e, nrec) in e_ref.items():
+        per_bx_r[bx] = per_bx_r.get(bx, 0.0) + e
+    both = sorted(set(per_bx_o) & set(per_bx_r))
+    tol = 1e-6
+    wins = int(sum(per_bx_o[b] > per_bx_r[b] + tol for b in both))
+    losses = int(sum(per_bx_o[b] < per_bx_r[b] - tol for b in both))
+    ties = len(both) - wins - losses
+    tot_o = sum(per_bx_o[b] for b in both)
+    tot_r = sum(per_bx_r[b] for b in both)
+
+    out = {
+        "round": 3,
+        "what": "-d density-optimizer quality parity vs the reference's "
+                "own compiled annealer (time-seeded -> tolerance-based "
+                "comparison per SURVEY; identical candidates via "
+                "bwabridge replay; shared energy evaluator = "
+                "split.c objective)",
+        "n_pairs": n_pairs,
+        "shared_records": len(shared),
+        "records_only_one_side": only,
+        "deterministic_records": det,
+        "deterministic_concordance_pct":
+            round(100.0 * det_ok / max(det, 1), 4),
+        "bad_cloud_records": int(sto),
+        "bad_cloud_pos_agreement_pct":
+            round(100.0 * sto_pos_ok / max(sto, 1), 4),
+        "bad_barcodes_compared": len(both),
+        "energy_ours_total": round(tot_o, 3),
+        "energy_ref_total": round(tot_r, 3),
+        "energy_wins": wins, "energy_ties": ties, "energy_losses": losses,
+        "note": "energy is the SA objective of the FINAL picks; higher is "
+                "better; ties mean both annealers found the same optimum",
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "DENSITY_r03.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+    print(f"wrote {path}  (ours {t_ours:.1f}s, oracle {t_ref:.1f}s)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
