@@ -90,6 +90,9 @@ SIM_ANNEAL_ITERS = 50_000
 SIM_ANNEAL_TMAX_LOG = 0.0
 SIM_ANNEAL_TMIN_LOG = -12.0
 SIM_ANNEAL_MAX_NO_MOVE = 500
+# ours (no reference analog): seeded SA restart chains per bad cloud; the
+# best-energy final assignment wins (reference runs ONE time-seeded chain)
+SPLIT_RESTARTS = 3
 BIN_SIZE = 1000
 MAX_FRAG = 1_000_000
 MAX_BINS = MAX_FRAG // BIN_SIZE

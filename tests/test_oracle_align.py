@@ -218,3 +218,63 @@ class TestAlignConcordance:
         assert st.concordance() >= 0.999, "\n".join(
             [st.summary()] + st.mismatches)
         assert st.xg_close / st.shared >= 0.999, st.summary()
+
+    def test_density_opt_quality_parity(self, tmp_path):
+        """-d on both stacks (reference annealer is time-seeded,
+        split.c:54-59, so this is the tolerance-based comparison SURVEY
+        prescribes): records outside bad clouds must stay identical, and
+        the seeded annealer's final picks must score at least as well as
+        the reference's under one shared evaluator of the split.c
+        objective (tools/measure_density_opt.py)."""
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "measure_density_opt",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))),
+                "tools", "measure_density_opt.py"))
+        mdo = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mdo)
+
+        from ema_tpu import config
+        from ema_tpu.utils import samdiff
+
+        st = _run_concordance(tmp_path, apply_opt=True, repeat_copies=20,
+                              seed=77)
+        assert st.only_a == 0 and st.only_b == 0, st.mismatches[:10]
+
+        ours = samdiff._parse(str(tmp_path / "ours.sam"))
+        ref = samdiff._parse(str(tmp_path / "ref.sam"))
+        shared = set(ours) & set(ref)
+        assert len(shared) > 400
+
+        det = det_ok = 0
+        for k in shared:
+            a, b = ours[k], ref[k]
+            if int(a["tags"].get("XF", "0")) == 0 \
+                    and int(b["tags"].get("XF", "0")) == 0:
+                det += 1
+                det_ok += int(
+                    (a["rname"], a["pos"], a["cigar"])
+                    == (b["rname"], b["pos"], b["cigar"]))
+        assert det > 100
+        assert det_ok == det, f"{det_ok}/{det} deterministic records match"
+
+        def for_energy(recs):
+            return {k: dict(chrom=r["rname"], pos=r["pos"],
+                            unmapped=int(bool(r["flag"] & 0x4)),
+                            cigar=r["cigar"],
+                            nm=int(r["tags"].get("NM", "0")),
+                            bx=r["tags"].get("BX", ""),
+                            mi=int(r["tags"].get("MI", "-1")),
+                            xf=int(r["tags"].get("XF", "0")))
+                    for k, r in recs.items()}
+
+        err = config.get_platform_profile("10x").error_rate
+        e_o = sum(e for e, _ in mdo._cloud_energies(
+            for_energy(ours), err).values())
+        e_r = sum(e for e, _ in mdo._cloud_energies(
+            for_energy(ref), err).values())
+        # seeded SA must not be meaningfully worse than the reference's
+        assert e_o >= e_r - 0.02 * abs(e_r) - 1.0, (e_o, e_r)

@@ -163,14 +163,23 @@ def main() -> int:
                         for l in lines))
     t_ours = time.time() - t0
 
+    # the reference annealer is srand(time(NULL))-seeded: one run is one
+    # random roll.  Run it three times (>=1.1s apart so time() differs)
+    # and compare our deterministic shipped behavior against each roll.
     t0 = time.time()
-    ref_path = os.path.join(tmp, "ref.sam")
-    oracle.run_align_oracle(os.path.join(tmp, "replay"), bucket, ref_path,
-                            apply_opt=1)
+    ref_paths = []
+    for r in range(3):
+        p = os.path.join(tmp, f"ref{r}.sam")
+        oracle.run_align_oracle(os.path.join(tmp, "replay"), bucket, p,
+                                apply_opt=1)
+        ref_paths.append(p)
+        if r < 2:
+            time.sleep(1.1)
     t_ref = time.time() - t0
 
     ours = _parse_sam(ours_path)
-    ref = _parse_sam(ref_path)
+    refs = [_parse_sam(p) for p in ref_paths]
+    ref = refs[0]
     shared = sorted(set(ours) & set(set(ref)))
     only = abs(len(ours) - len(ref)) + len(set(ours) ^ set(ref))
 
@@ -186,21 +195,28 @@ def main() -> int:
             sto_pos_ok += int((a["chrom"], a["pos"]) == (b["chrom"], b["pos"]))
 
     err = config.get_platform_profile("10x").error_rate
-    e_ours = _cloud_energies(ours, err)
-    e_ref = _cloud_energies(ref, err)
+
+    def per_bx(recs):
+        out = {}
+        for (bx, _), (e, nrec) in _cloud_energies(recs, err).items():
+            out[bx] = out.get(bx, 0.0) + e
+        return out
+
     # compare per barcode: each stack's own MI clustering, summed per BX
-    per_bx_o, per_bx_r = {}, {}
-    for (bx, _), (e, nrec) in e_ours.items():
-        per_bx_o[bx] = per_bx_o.get(bx, 0.0) + e
-    for (bx, _), (e, nrec) in e_ref.items():
-        per_bx_r[bx] = per_bx_r.get(bx, 0.0) + e
-    both = sorted(set(per_bx_o) & set(per_bx_r))
+    per_bx_o = per_bx(ours)
+    per_bx_rs = [per_bx(r) for r in refs]
+    both = sorted(b for b in per_bx_o
+                  if all(b in pr for pr in per_bx_rs))
     tol = 1e-6
-    wins = int(sum(per_bx_o[b] > per_bx_r[b] + tol for b in both))
-    losses = int(sum(per_bx_o[b] < per_bx_r[b] - tol for b in both))
+    # vs the per-barcode MEAN of the reference rolls
+    ref_mean = {b: sum(pr[b] for pr in per_bx_rs) / len(per_bx_rs)
+                for b in both}
+    wins = int(sum(per_bx_o[b] > ref_mean[b] + tol for b in both))
+    losses = int(sum(per_bx_o[b] < ref_mean[b] - tol for b in both))
     ties = len(both) - wins - losses
     tot_o = sum(per_bx_o[b] for b in both)
-    tot_r = sum(per_bx_r[b] for b in both)
+    ref_totals = [round(sum(pr[b] for b in both), 3) for pr in per_bx_rs]
+    tot_r = sum(ref_totals) / len(ref_totals)
 
     out = {
         "round": 3,
@@ -220,10 +236,15 @@ def main() -> int:
             round(100.0 * sto_pos_ok / max(sto, 1), 4),
         "bad_barcodes_compared": len(both),
         "energy_ours_total": round(tot_o, 3),
-        "energy_ref_total": round(tot_r, 3),
+        "energy_ref_runs": ref_totals,
+        "energy_ref_mean": round(tot_r, 3),
         "energy_wins": wins, "energy_ties": ties, "energy_losses": losses,
         "note": "energy is the SA objective of the FINAL picks; higher is "
-                "better; ties mean both annealers found the same optimum",
+                "better; ours is the deterministic shipped config "
+                "(SPLIT_RESTARTS seeded chains, best-energy pick) vs 3 "
+                "rolls of the reference's time-seeded single chain; "
+                "wins/ties/losses are vs the per-barcode mean of the "
+                "rolls",
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "DENSITY_r03.json")
