@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Optional, Tuple
 
 
@@ -92,7 +93,10 @@ SIM_ANNEAL_TMIN_LOG = -12.0
 SIM_ANNEAL_MAX_NO_MOVE = 500
 # ours (no reference analog): seeded SA restart chains per bad cloud; the
 # best-energy final assignment wins (reference runs ONE time-seeded chain)
-SPLIT_RESTARTS = 3
+SPLIT_RESTARTS = int(os.environ.get("EMA_TPU_SPLIT_RESTARTS", "3"))
+# extra chains only for clouds with at least this many multimapped reads
+# (small clouds converge to the same optimum every chain)
+SPLIT_RESTART_MIN_MMAPS = 8
 BIN_SIZE = 1000
 MAX_FRAG = 1_000_000
 MAX_BINS = MAX_FRAG // BIN_SIZE

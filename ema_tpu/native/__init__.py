@@ -212,6 +212,23 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64,
         ]
 
+        lib.sa_optimize_best.restype = None
+        lib.sa_optimize_best.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int64, ctypes.c_double,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64, ctypes.c_int64,
+        ]
+
         lib.align_batch.restype = None
         lib.align_batch.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
@@ -423,6 +440,46 @@ def sa_optimize(pos, chrom, rev, score, umap_local, mm_start, mm_n,
         ctypes.c_int64(insert_min), ctypes.c_int64(insert_max),
         ctypes.c_uint64(seed))
     return mm_active
+
+
+def sa_optimize_best(pos, chrom, rev, score, umap_local, mm_start, mm_n,
+                     mm_mate_umap, mm_mate_mmap, mm_active, bins, lo,
+                     bin_size, log_probs, iters, tmax_log, tmin_log,
+                     max_no_move, score_scale, insert_min, insert_max,
+                     seeds, n_threads=0) -> np.ndarray:
+    """Best-of-N seeded annealing chains (parallel threads); see
+    ema_native.cpp sa_optimize_best.  Mutates/returns ``mm_active`` and
+    ``bins`` with the winning chain's final state."""
+    pos = np.ascontiguousarray(pos, np.int64)
+    chrom = np.ascontiguousarray(chrom, np.int32)
+    rev = np.ascontiguousarray(rev, np.int8)
+    score = np.ascontiguousarray(score, np.float64)
+    umap_local = np.ascontiguousarray(umap_local, np.int64)
+    mm_start = np.ascontiguousarray(mm_start, np.int64)
+    mm_n = np.ascontiguousarray(mm_n, np.int64)
+    mm_mate_umap = np.ascontiguousarray(mm_mate_umap, np.int64)
+    mm_mate_mmap = np.ascontiguousarray(mm_mate_mmap, np.int64)
+    mm_active = np.ascontiguousarray(mm_active, np.int64)
+    bins = np.ascontiguousarray(bins, np.int64)
+    log_probs = np.ascontiguousarray(log_probs, np.float64)
+    seeds = np.ascontiguousarray(seeds, np.uint64)
+    get_lib().sa_optimize_best(
+        _ptr(pos, ctypes.c_int64), _ptr(chrom, ctypes.c_int32),
+        _ptr(rev, ctypes.c_int8), _ptr(score, ctypes.c_double),
+        _ptr(umap_local, ctypes.c_int64), ctypes.c_int64(umap_local.shape[0]),
+        _ptr(mm_start, ctypes.c_int64), _ptr(mm_n, ctypes.c_int64),
+        _ptr(mm_mate_umap, ctypes.c_int64), _ptr(mm_mate_mmap, ctypes.c_int64),
+        _ptr(mm_active, ctypes.c_int64), ctypes.c_int64(mm_active.shape[0]),
+        _ptr(bins, ctypes.c_int64), ctypes.c_int64(bins.shape[0]),
+        ctypes.c_int64(lo), ctypes.c_int64(bin_size),
+        _ptr(log_probs, ctypes.c_double), ctypes.c_int64(log_probs.shape[0]),
+        ctypes.c_int64(iters), ctypes.c_double(tmax_log),
+        ctypes.c_double(tmin_log), ctypes.c_int64(max_no_move),
+        ctypes.c_double(score_scale),
+        ctypes.c_int64(insert_min), ctypes.c_int64(insert_max),
+        _ptr(seeds, ctypes.c_uint64), ctypes.c_int64(seeds.shape[0]),
+        ctypes.c_int64(n_threads))
+    return mm_active, bins
 
 
 def smem_seed_batch(occ_blocks, counts, primary, fm_n, reads, lens,

@@ -15,9 +15,11 @@
 //
 // Build: g++ -O3 -shared -fPIC (see build.py).  Exposed via ctypes.
 
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
+#include <thread>
 #include <cstring>
 #include <cstdlib>
 #include <vector>
@@ -634,6 +636,76 @@ extern "C" void sa_optimize(
         }
         if (no_move >= max_no_move) break;
     }
+}
+
+// Multi-chain variant (ours; no reference analog): run n_chains seeded
+// annealing chains from the same initial state — in parallel threads —
+// and keep the assignment with the best final SA energy
+// (sum_bins log_density_prob + sum_mm score/scale; unique-mapped score
+// terms are constant across chains and omitted).  The reference runs a
+// single time-seeded chain (split.c:54-59, 223-325).
+extern "C" void sa_optimize_best(
+    const int64_t *pos, const int32_t *chrom, const int8_t *rev,
+    const double *score,
+    const int64_t *umap_local, int64_t n_umaps,
+    const int64_t *mm_start, const int64_t *mm_n,
+    const int64_t *mm_mate_umap, const int64_t *mm_mate_mmap,
+    int64_t *mm_active, int64_t n_mmaps,
+    int64_t *bins, int64_t n_bins, int64_t lo, int64_t bin_size,
+    const double *log_probs, int64_t n_log_probs,
+    int64_t iters, double tmax_log, double tmin_log,
+    int64_t max_no_move, double score_scale,
+    int64_t insert_min, int64_t insert_max,
+    const uint64_t *seeds, int64_t n_chains, int64_t n_threads) {
+    if (n_chains <= 1) {
+        sa_optimize(pos, chrom, rev, score, umap_local, n_umaps,
+                    mm_start, mm_n, mm_mate_umap, mm_mate_mmap,
+                    mm_active, n_mmaps, bins, lo, bin_size,
+                    log_probs, n_log_probs, iters, tmax_log, tmin_log,
+                    max_no_move, score_scale, insert_min, insert_max,
+                    seeds[0]);
+        return;
+    }
+    std::vector<std::vector<int64_t>> c_bins(n_chains),
+        c_active(n_chains);
+    std::vector<double> c_energy(n_chains);
+    auto run_chain = [&](int64_t c) {
+        c_bins[c].assign(bins, bins + n_bins);
+        c_active[c].assign(mm_active, mm_active + n_mmaps);
+        sa_optimize(pos, chrom, rev, score, umap_local, n_umaps,
+                    mm_start, mm_n, mm_mate_umap, mm_mate_mmap,
+                    c_active[c].data(), n_mmaps, c_bins[c].data(), lo,
+                    bin_size, log_probs, n_log_probs, iters, tmax_log,
+                    tmin_log, max_no_move, score_scale, insert_min,
+                    insert_max, seeds[c]);
+        double e = 0.0;
+        for (int64_t b = 0; b < n_bins; b++)
+            if (c_bins[c][b])
+                e += log_density_prob(c_bins[c][b], log_probs, n_log_probs);
+        for (int64_t r = 0; r < n_mmaps; r++)
+            e += score[mm_start[r] + c_active[c][r]] / score_scale;
+        c_energy[c] = e;
+    };
+    if (n_threads <= 0)
+        n_threads = (int64_t)std::thread::hardware_concurrency();
+    if (n_threads > n_chains) n_threads = n_chains;
+    if (n_threads > 1) {
+        std::vector<std::thread> pool;
+        std::atomic<int64_t> next{0};
+        for (int64_t t = 0; t < n_threads; t++)
+            pool.emplace_back([&]() {
+                for (int64_t c; (c = next.fetch_add(1)) < n_chains;)
+                    run_chain(c);
+            });
+        for (auto &th : pool) th.join();
+    } else {
+        for (int64_t c = 0; c < n_chains; c++) run_chain(c);
+    }
+    int64_t best = 0;
+    for (int64_t c = 1; c < n_chains; c++)
+        if (c_energy[c] > c_energy[best]) best = c;
+    std::copy(c_bins[best].begin(), c_bins[best].end(), bins);
+    std::copy(c_active[best].begin(), c_active[best].end(), mm_active);
 }
 
 // ---------------------------------------------------------------------------
