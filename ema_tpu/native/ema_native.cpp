@@ -730,13 +730,15 @@ struct FM {
     int64_t primary;         // full-row index of the $ BWT char
     int64_t n;               // FM text length (row space = n + 1)
 
-    static inline void add_word(uint32_t word, int nbase, int64_t cnt[4]) {
-        uint32_t m = nbase >= 16 ? 0xFFFFFFFFu
-                                 : ((1u << (2 * nbase)) - 1u);
+    // packed 2-bit words are walked as 64-bit lanes (32 bases/popcount;
+    // little-endian makes two consecutive u32 words one sequential u64)
+    static inline void add_word64(uint64_t word, int nbase,
+                                  int64_t cnt[4]) {
+        uint64_t m = nbase >= 32 ? ~0ULL : ((1ULL << (2 * nbase)) - 1ULL);
         for (int c = 0; c < 4; c++) {
-            uint32_t x = word ^ (0x55555555u * (uint32_t)c);
-            uint32_t eq = (~(x | (x >> 1))) & 0x55555555u & m;
-            cnt[c] += __builtin_popcount(eq);
+            uint64_t x = word ^ (0x5555555555555555ULL * (uint64_t)c);
+            uint64_t eq = (~(x | (x >> 1))) & 0x5555555555555555ULL & m;
+            cnt[c] += __builtin_popcountll(eq);
         }
     }
 
@@ -747,10 +749,10 @@ struct FM {
         int off = (int)(adj & 127);
         const int32_t *row = blocks + blk * 12;
         cnt[0] = row[0]; cnt[1] = row[1]; cnt[2] = row[2]; cnt[3] = row[3];
-        const uint32_t *w = (const uint32_t *)(row + 4);
-        int fw = off >> 4, rem = off & 15;
-        for (int i = 0; i < fw; i++) add_word(w[i], 16, cnt);
-        if (rem) add_word(w[fw], rem, cnt);
+        const uint64_t *w = (const uint64_t *)(row + 4);
+        int fw = off >> 5, rem = off & 31;
+        for (int i = 0; i < fw; i++) add_word64(w[i], 32, cnt);
+        if (rem) add_word64(w[fw], rem, cnt);
     }
 
     // single-char rank (occ(c, k)) — ~4x cheaper than occ4 when only one
@@ -761,17 +763,19 @@ struct FM {
         int off = (int)(adj & 127);
         const int32_t *row = blocks + blk * 12;
         int64_t cnt = row[c];
-        const uint32_t *w = (const uint32_t *)(row + 4);
-        int fw = off >> 4, rem = off & 15;
-        uint32_t pat = 0x55555555u * (uint32_t)c;
+        const uint64_t *w = (const uint64_t *)(row + 4);
+        int fw = off >> 5, rem = off & 31;
+        uint64_t pat = 0x5555555555555555ULL * (uint64_t)c;
         for (int i = 0; i < fw; i++) {
-            uint32_t x = w[i] ^ pat;
-            cnt += __builtin_popcount((~(x | (x >> 1))) & 0x55555555u);
+            uint64_t x = w[i] ^ pat;
+            cnt += __builtin_popcountll((~(x | (x >> 1)))
+                                        & 0x5555555555555555ULL);
         }
         if (rem) {
-            uint32_t x = w[fw] ^ pat;
-            cnt += __builtin_popcount((~(x | (x >> 1))) & 0x55555555u
-                                      & ((1u << (2 * rem)) - 1u));
+            uint64_t x = w[fw] ^ pat;
+            cnt += __builtin_popcountll((~(x | (x >> 1)))
+                                        & 0x5555555555555555ULL
+                                        & ((1ULL << (2 * rem)) - 1ULL));
         }
         return cnt;
     }
@@ -789,28 +793,30 @@ struct FM {
             return;
         }
         const int32_t *row = blocks + (alo >> 7) * 12;
-        const uint32_t *w = (const uint32_t *)(row + 4);
-        uint32_t pat = 0x55555555u * (uint32_t)c;
+        const uint64_t *w = (const uint64_t *)(row + 4);
+        uint64_t pat = 0x5555555555555555ULL * (uint64_t)c;
         int ol = (int)(alo & 127), oh = (int)(ahi & 127);
         int64_t cl = row[c], ch = row[c];
-        int fwh = oh >> 4, remh = oh & 15;
+        int fwh = oh >> 5, remh = oh & 31;
         for (int i = 0; i < fwh; i++) {
-            uint32_t x = w[i] ^ pat;
-            uint32_t eq = (~(x | (x >> 1))) & 0x55555555u;
-            int pc = __builtin_popcount(eq);
+            uint64_t x = w[i] ^ pat;
+            uint64_t eq = (~(x | (x >> 1))) & 0x5555555555555555ULL;
+            int pc = __builtin_popcountll(eq);
             ch += pc;
-            int lo_nb = ol - 16 * i;     // bases of this word below klo
-            if (lo_nb >= 16) cl += pc;
+            int lo_nb = ol - 32 * i;     // bases of this word below klo
+            if (lo_nb >= 32) cl += pc;
             else if (lo_nb > 0)
-                cl += __builtin_popcount(eq & ((1u << (2 * lo_nb)) - 1u));
+                cl += __builtin_popcountll(
+                    eq & ((1ULL << (2 * lo_nb)) - 1ULL));
         }
         if (remh) {
-            uint32_t x = w[fwh] ^ pat;
-            uint32_t eq = (~(x | (x >> 1))) & 0x55555555u;
-            ch += __builtin_popcount(eq & ((1u << (2 * remh)) - 1u));
-            int lo_nb = ol - 16 * fwh;   // < remh since ol <= oh
+            uint64_t x = w[fwh] ^ pat;
+            uint64_t eq = (~(x | (x >> 1))) & 0x5555555555555555ULL;
+            ch += __builtin_popcountll(eq & ((1ULL << (2 * remh)) - 1ULL));
+            int lo_nb = ol - 32 * fwh;   // < remh since ol <= oh
             if (lo_nb > 0)
-                cl += __builtin_popcount(eq & ((1u << (2 * lo_nb)) - 1u));
+                cl += __builtin_popcountll(
+                    eq & ((1ULL << (2 * lo_nb)) - 1ULL));
         }
         *rlo = cl;
         *rhi = ch;
