@@ -327,6 +327,169 @@ def _sweep_fast(R: np.ndarray, profile: config.PlatformProfile):
             E, n_clouds)
 
 
+def sweep_groups_batch(recs: np.ndarray, idents, starts: np.ndarray,
+                       profile: config.PlatformProfile,
+                       apply_opt: bool = False,
+                       rng: Optional[np.random.Generator] = None,
+                       n_pairs_list: Optional[List[int]] = None
+                       ) -> List[GroupState]:
+    """Cloud sweep for MANY barcode groups in one set of array ops.
+
+    ``recs[:starts[-1]]`` must be bc-sorted with ``starts`` the group
+    boundaries, and record ``pair`` ids must be unique across the whole
+    array (the pipeline's ``pair_offset`` guarantees this).  Produces
+    the same GroupStates ``sweep_group`` would produce per group — the
+    global lexsort/unique/segment ops replace hundreds of small per-
+    group numpy calls, which dominated the host sweep phase.  Groups
+    with same-cloud collisions (bad clouds) fall back to the per-group
+    loop path (exact drop/re-add protocol + optional SA).
+    """
+    end = int(starts[-1])
+    n_grp = len(starts) - 1
+    if end == 0 or n_grp == 0:
+        return []
+    bcs = recs["bc"][:end]
+    idents_str = idents[:end].astype(str)
+
+    # one global sweep sort: bc (outer; input is bc-sorted so each group
+    # keeps its [s, e) range), then record_cmp (chrom, pos, ident)
+    order = np.lexsort((idents_str, recs["pos"][:end],
+                        recs["chrom"][:end], bcs))
+    R = recs[:end][order]
+    RI = idents_str[order]
+    chrom, pos = R["chrom"], R["pos"]
+
+    starts = np.asarray(starts, np.int64)
+    grp_of_row = np.searchsorted(starts, np.arange(end), side="right") - 1
+    first_of_grp = np.zeros(end, bool)
+    first_of_grp[starts[:-1]] = True
+
+    # global cloud ids (per-group bases recovered below)
+    new_cloud = first_of_grp.copy()
+    new_cloud[1:] |= ((chrom[1:] != chrom[:-1])
+                      | (pos[1:] - pos[:-1] > profile.dist_thresh))
+    cloud_ids = np.cumsum(new_cloud) - 1
+    n_clouds_total = int(cloud_ids[-1]) + 1
+    cloud_base = cloud_ids[starts[:-1]]
+    cloud_cnt = np.empty(n_grp, np.int64)
+    cloud_cnt[:-1] = np.diff(cloud_base)
+    cloud_cnt[-1] = n_clouds_total - cloud_base[-1]
+
+    # entries: (pair, mate) keys, globally unique -> per-group contiguous
+    # rank ranges once ordered by first occurrence
+    keys = R["pair"].astype(np.int64) * 2 + R["mate"]
+    uniq, first_idx, inv = np.unique(keys, return_index=True,
+                                     return_inverse=True)
+    E = uniq.shape[0]
+    rank = np.empty(E, np.int64)
+    order_e = np.argsort(first_idx, kind="stable")
+    rank[order_e] = np.arange(E)
+    eid = rank[inv]
+    grp_of_entry = np.empty(E, np.int64)
+    grp_of_entry[rank] = grp_of_row[first_idx]
+    entry_base = np.searchsorted(np.sort(grp_of_row[first_idx]),
+                                 np.arange(n_grp), side="left")
+    entry_cnt = np.empty(n_grp, np.int64)
+    entry_cnt[:-1] = np.diff(entry_base)
+    entry_cnt[-1] = E - entry_base[-1]
+
+    # same-cloud duplicate for an entry = a collision -> that group takes
+    # the exact per-group loop path
+    bad_grp = np.zeros(n_grp, bool)
+    ec = eid * np.int64(n_clouds_total) + cloud_ids
+    ecs = np.sort(ec)
+    dup = np.nonzero(ecs[1:] == ecs[:-1])[0]
+    if dup.shape[0]:
+        bad_eids = (ecs[dup] // np.int64(n_clouds_total)).astype(np.int64)
+        bad_grp[grp_of_entry[bad_eids]] = True
+
+    # candidate placement (sweep order preserved per entry)
+    order_c = np.lexsort((np.arange(end), eid))
+    eid_s = eid[order_c]
+    cl_s = cloud_ids[order_c]
+    firstc = np.ones(end, bool)
+    firstc[1:] = eid_s[1:] != eid_s[:-1]
+    idxs = np.arange(end)
+    pos_in = idxs - np.maximum.accumulate(np.where(firstc, idxs, 0))
+    keep = pos_in < config.MAX_CANDIDATES
+
+    C = int(pos_in[keep].max()) + 1 if end else 1
+    cand_rec = np.zeros((E, C), np.int64)      # global sorted-row indices
+    cand_cloud = np.zeros((E, C), np.int64)    # global cloud ids
+    cmask = np.zeros((E, C), bool)
+    cand_rec[eid_s[keep], pos_in[keep]] = order_c[keep]
+    cand_cloud[eid_s[keep], pos_in[keep]] = cl_s[keep]
+    cmask[eid_s[keep], pos_in[keep]] = True
+
+    # mate links (same pair, other mate; always within the same group)
+    key_of = np.empty(E, np.int64)
+    key_of[rank] = uniq
+    other = key_of ^ 1
+    loc = np.clip(np.searchsorted(uniq, other), 0, E - 1)
+    found = uniq[loc] == other
+    mate_entry = np.where(found, rank[loc], -1).astype(np.int64)
+
+    # cloud chain components (transition edges; never cross groups)
+    comp = np.arange(n_clouds_total, dtype=np.int64)
+    if not profile.many_clouds:
+        tr = np.zeros(end, bool)
+        tr[1:] = (~firstc[1:]) & (cl_s[1:] != cl_s[:-1])
+        if tr.any():
+            uf = _UnionFind()
+            at = np.nonzero(tr)[0]
+            for a, b in zip(cl_s[at - 1], cl_s[at]):
+                uf.union(int(a), int(b))
+            for c in uf.parent:
+                comp[c] = uf.find(c)
+
+    # gamma init + cloud weights, one padded pass for every group
+    scores = np.where(cmask, R["score"][cand_rec], 0.0)
+    gammas = normalize_log_probs_batch(scores, cmask)
+    exp_cov = np.zeros(n_clouds_total, np.float64)
+    np.add.at(exp_cov, cand_cloud[cmask], gammas[cmask])
+    weights = exp_cov
+    if not profile.many_clouds and n_clouds_total:
+        weights = _normalize_chains(weights, comp)
+
+    # localize the global arrays in bulk (indices relative to each
+    # entry's own group)
+    ebase_of_entry = entry_base[grp_of_entry]
+    rstart_of_entry = starts[grp_of_entry]
+    cbase_of_entry = cloud_base[grp_of_entry]
+    cand_rec = np.where(cmask, cand_rec - rstart_of_entry[:, None], 0)
+    cand_cloud = np.where(cmask, cand_cloud - cbase_of_entry[:, None], 0)
+    mate_entry = np.where(mate_entry >= 0,
+                          mate_entry - ebase_of_entry, -1)
+
+    states: List[GroupState] = []
+    for g in range(n_grp):
+        s, e = int(starts[g]), int(starts[g + 1])
+        if e <= s:
+            continue
+        n_pairs = n_pairs_list[g] if n_pairs_list is not None else None
+        if bad_grp[g]:
+            states.append(sweep_group(
+                recs[s:e], idents_str[s:e], profile, apply_opt, rng,
+                n_pairs_in_group=n_pairs))
+            continue
+        eb, ee = int(entry_base[g]), int(entry_base[g] + entry_cnt[g])
+        cb, nc = int(cloud_base[g]), int(cloud_cnt[g])
+        n_g = e - s
+        E_g = ee - eb
+        if n_pairs is None:
+            n_pairs = np.unique(R["pair"][s:e]).shape[0]
+        needs_em = n_pairs >= config.MIN_PAIRS_FOR_EM and E_g > 0
+        states.append(GroupState(
+            R=R[s:e], RI=RI[s:e], order=order[s:e] - s, n=n_g,
+            n_entries=E_g, n_clouds=nc,
+            cand_rec=cand_rec[eb:ee], cand_cloud=cand_cloud[eb:ee],
+            cmask=cmask[eb:ee], mate_entry=mate_entry[eb:ee],
+            comp=comp[cb:cb + nc] - cb, cloud_bad=[0] * nc,
+            many=profile.many_clouds, gammas=gammas[eb:ee],
+            weights=weights[cb:cb + nc], needs_em=needs_em))
+    return states
+
+
 def _em_fields(st: GroupState):
     R, cand_rec = st.R, st.cand_rec
     active = R["active"][cand_rec] & ~R["duplicate"][cand_rec] & st.cmask

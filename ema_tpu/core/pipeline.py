@@ -949,15 +949,15 @@ class Aligner:
                 end = int(np.searchsorted(bcs, up_to_bc, side="left"))
             starts = np.concatenate(
                 [[0], np.nonzero(np.diff(bcs[:end]))[0] + 1, [end]])
-            states = []
-            for s, e in zip(starts[:-1], starts[1:]):
-                if e <= s:
-                    continue
-                n_pairs = pair_bc.get(int(bcs[s]), 0)
-                states.append(groups_mod.sweep_group(
-                    recs[s:e], idents[s:e].astype(str), self.cfg.platform,
+            if end > 0:
+                n_pairs_list = [pair_bc.get(int(bcs[s]), 0)
+                                for s in starts[:-1]]
+                states = groups_mod.sweep_groups_batch(
+                    recs, idents, starts, self.cfg.platform,
                     apply_opt=self.cfg.apply_density_opt, rng=rng,
-                    n_pairs_in_group=n_pairs))
+                    n_pairs_list=n_pairs_list)
+            else:
+                states = []
             with self._mst("em[device]" if self.cfg.device_em
                            else "em[host]", len(states)):
                 if self.cfg.device_em:
