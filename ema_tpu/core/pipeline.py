@@ -49,7 +49,6 @@ ROW_BUCKET = 256         # oriented-read rows (seeding)
 CAND_BUCKET = 512        # candidate pairs (SW scoring)
 WIN_BUCKET = 64          # SW ref-window width
 SW_CHUNK = 16 * 4096     # max candidate pairs per SW device call
-TB_CHUNK = 16 * 4096     # max candidates per host traceback slab
 
 
 def _round_up(x: int, m: int) -> int:
@@ -720,33 +719,15 @@ class Aligner:
             return _empty_candidate_set()
 
         # --- traceback for survivors: gapless shortcut + C++ DP ---------
-        # chunked: deep-repeat batches can keep ~10^6 near-tie survivors,
-        # and the [N, Wmax] window gather would otherwise spike host RSS
-        # by gigabytes (the SW/locate device calls are chunked for the
-        # same reason)
-        N_tb = co.shape[0]
-        if N_tb > TB_CHUNK:
-            nat_parts = []
-            for s in range(0, N_tb, TB_CHUNK):
-                e = min(s + TB_CHUNK, N_tb)
-                Wc = int(win_len[s:e].max())
-                cols_c = win_lo[s:e, None] + np.arange(Wc)[None, :]
-                wins_c = np.where(
-                    (cols_c < 0) | (cols_c >= idx.n), np.uint8(5),
-                    idx.text[np.clip(cols_c, 0, idx.n - 1)])
-                nat_parts.append(_traceback(
-                    oriented[co[s:e]], olens[co[s:e]], wins_c,
-                    win_len[s:e], {k: v[s:e] for k, v in sw.items()},
-                    params))
-            nat = {k: np.concatenate([p[k] for p in nat_parts])
-                   for k in nat_parts[0]}
-        else:
-            Wmax = int(win_len.max())
-            cols = win_lo[:, None] + np.arange(Wmax)[None, :]
-            wins = np.where((cols < 0) | (cols >= idx.n), np.uint8(5),
-                            idx.text[np.clip(cols, 0, idx.n - 1)])
-            nat = _traceback(oriented[co], olens[co], wins, win_len, sw,
-                             params)
+        # one threaded native call; windows are read straight off the
+        # packed genome text inside the kernel (no [N, Wmax] host gather,
+        # so deep-repeat batches with ~10^6 near-tie survivors no longer
+        # need chunking for RSS either)
+        nat = native.traceback_batch(
+            oriented, olens, co, idx.text, win_lo, win_len, sw,
+            match=params.match, mismatch=params.mismatch,
+            gap_open=params.gap_open, gap_extend=params.gap_extend,
+            clip_penalty=params.clip_penalty, max_cigar=MAX_CIGAR_OPS)
 
         gpos = win_lo + nat["pos"]
         nm = nat["nm"].astype(np.int32)
@@ -1330,79 +1311,6 @@ def _best_and_sub(owner: np.ndarray, scores: np.ndarray, n_owners: int):
 
 
 HIT_BUCKET = 8192
-
-
-def _traceback(reads: np.ndarray, rlens: np.ndarray, wins: np.ndarray,
-               win_len: np.ndarray, sw: Dict[str, np.ndarray],
-               params) -> Dict[str, np.ndarray]:
-    """CIGAR/NM for scored candidates; gapless ones bypass the C++ DP.
-
-    The SW kernel already pinned each candidate's optimal cell
-    (qb, qe, ref_end).  If the gapless alignment of read[qb:qe] at that
-    cell reproduces the kernel score exactly, the full DP would pick the
-    same path (its tie-breaking prefers the diagonal), so the CIGAR is
-    just S/M/S and NM is a vectorized base compare — with indel rate
-    ~1e-4 (align.h:70) this skips the DP for ~99% of candidates.  The
-    rest (true indels) go to native.align_batch.
-    """
-    N = reads.shape[0]
-    qb, qe, ref_end = sw["qb"], sw["qe"], sw["ref_end"]
-    span = qe - qb
-    start = ref_end - span
-    ok = (span > 0) & (start >= 0) & (ref_end <= win_len)
-
-    t = np.arange(int(span.max()) if N else 1)
-    tv = t[None, :] < span[:, None]
-    r_idx = np.minimum(qb[:, None] + t[None, :], reads.shape[1] - 1)
-    w_idx = np.minimum(start[:, None] + t[None, :], wins.shape[1] - 1)
-    rb = np.take_along_axis(reads, r_idx, axis=1)
-    cb = np.take_along_axis(wins, w_idx, axis=1)
-    is_n = tv & (rb >= 4)
-    mism = tv & ~is_n & (rb != cb)
-    mtch = tv & ~is_n & (rb == cb)
-    n_n = is_n.sum(axis=1)
-    n_mis = mism.sum(axis=1)
-    n_mat = mtch.sum(axis=1)
-    score_hyp = (params.match * n_mat - params.mismatch * n_mis - n_n
-                 - params.clip_penalty * ((qb > 0).astype(np.int64)
-                                          + (qe < rlens).astype(np.int64)))
-    gapless = ok & (score_hyp == sw["score"])
-
-    out = {
-        "score": sw["score"].astype(np.int32),
-        "pos": start.astype(np.int32),
-        "qb": qb.astype(np.int32),
-        "qe": qe.astype(np.int32),
-        "nm": (n_mis + n_n).astype(np.int32),
-        "n_cigar": np.zeros(N, np.int32),
-        "cigars": np.zeros((N, MAX_CIGAR_OPS), np.uint32),
-    }
-    # assemble S/M/S cigars for the gapless set
-    g = np.nonzero(gapless)[0]
-    if g.shape[0]:
-        lead = qb[g] > 0
-        tail = qe[g] < rlens[g]
-        nc = np.zeros(g.shape[0], np.int64)
-        out["cigars"][g[lead], 0] = (qb[g[lead]].astype(np.uint32) << 4) | 4
-        nc += lead
-        out["cigars"][g, nc] = (span[g].astype(np.uint32) << 4) | 0
-        nc += 1
-        out["cigars"][g[tail], nc[tail]] = (
-            (rlens[g[tail]] - qe[g[tail]]).astype(np.uint32) << 4) | 4
-        nc += tail
-        out["n_cigar"][g] = nc
-
-    rest = np.nonzero(~gapless)[0]
-    if rest.shape[0]:
-        nat = native.align_batch(
-            reads[rest], rlens[rest], wins[rest], win_len[rest],
-            match=params.match, mismatch=params.mismatch,
-            gap_open=params.gap_open, gap_extend=params.gap_extend,
-            clip_penalty=params.clip_penalty, max_cigar=MAX_CIGAR_OPS)
-        for k in ("score", "pos", "qb", "qe", "nm", "n_cigar"):
-            out[k][rest] = nat[k]
-        out["cigars"][rest] = nat["cigars"]
-    return out
 
 
 def _compact_seed_hits(seed_stack: np.ndarray, n_seeds: np.ndarray,

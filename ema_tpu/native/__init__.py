@@ -244,6 +244,25 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int32,
         ]
+
+        lib.traceback_batch.restype = None
+        lib.traceback_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+        ]
         _lib = lib
         return _lib
 
@@ -401,6 +420,65 @@ def align_batch(reads: np.ndarray, read_lens: np.ndarray,
         "score": score, "pos": pos, "qb": qb, "qe": qe, "nm": nm,
         "n_cigar": n_cigar, "cigars": cigars,
     }
+
+
+def traceback_batch(oriented: np.ndarray, olens: np.ndarray,
+                    rows: np.ndarray, text: np.ndarray,
+                    win_lo: np.ndarray, win_len: np.ndarray,
+                    sw: dict, match=1, mismatch=4, gap_open=6,
+                    gap_extend=1, clip_penalty=5, max_cigar=24,
+                    n_threads=0) -> dict:
+    """Gapless-shortcut + DP traceback for scored candidates; windows
+    are read directly from the packed genome ``text`` (sentinel 5 out of
+    range) — no [N, W] host gather.  See ema_native.cpp traceback_batch.
+
+    oriented: [R, m_max] uint8 read matrix; rows[b] selects candidate
+    b's read row; olens[b] its length.  sw: dict with per-candidate
+    int32 arrays score/qb/qe/ref_end.
+    """
+    oriented = np.ascontiguousarray(oriented, np.uint8)
+    rows = np.ascontiguousarray(rows, np.int64)
+    olens = np.ascontiguousarray(
+        np.asarray(olens, np.int32)[rows], np.int32)  # per candidate
+    text = np.ascontiguousarray(text, np.uint8)
+    win_lo = np.ascontiguousarray(win_lo, np.int64)
+    win_len = np.ascontiguousarray(win_len, np.int32)
+    s_sc = np.ascontiguousarray(sw["score"], np.int32)
+    s_qb = np.ascontiguousarray(sw["qb"], np.int32)
+    s_qe = np.ascontiguousarray(sw["qe"], np.int32)
+    s_re = np.ascontiguousarray(sw["ref_end"], np.int32)
+    B = rows.shape[0]
+    m_max = oriented.shape[1]
+    score = np.empty(B, np.int32)
+    pos = np.empty(B, np.int32)
+    qb = np.empty(B, np.int32)
+    qe = np.empty(B, np.int32)
+    nm = np.empty(B, np.int32)
+    n_cigar = np.zeros(B, np.int32)
+    cigars = np.zeros((B, max_cigar), np.uint32)
+    if B == 0:
+        return {"score": score, "pos": pos, "qb": qb, "qe": qe, "nm": nm,
+                "n_cigar": n_cigar, "cigars": cigars}
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 8)
+    get_lib().traceback_batch(
+        _ptr(oriented, ctypes.c_uint8), ctypes.c_int32(m_max),
+        _ptr(olens, ctypes.c_int32),
+        _ptr(rows, ctypes.c_int64), ctypes.c_int32(B),
+        _ptr(text, ctypes.c_uint8), ctypes.c_int64(text.shape[0]),
+        _ptr(win_lo, ctypes.c_int64), _ptr(win_len, ctypes.c_int32),
+        _ptr(s_sc, ctypes.c_int32), _ptr(s_qb, ctypes.c_int32),
+        _ptr(s_qe, ctypes.c_int32), _ptr(s_re, ctypes.c_int32),
+        ctypes.c_int32(match), ctypes.c_int32(mismatch),
+        ctypes.c_int32(gap_open), ctypes.c_int32(gap_extend),
+        ctypes.c_int32(clip_penalty),
+        ctypes.c_int32(n_threads),
+        _ptr(score, ctypes.c_int32), _ptr(pos, ctypes.c_int32),
+        _ptr(qb, ctypes.c_int32), _ptr(qe, ctypes.c_int32),
+        _ptr(nm, ctypes.c_int32), _ptr(cigars, ctypes.c_uint32),
+        _ptr(n_cigar, ctypes.c_int32), ctypes.c_int32(max_cigar))
+    return {"score": score, "pos": pos, "qb": qb, "qe": qe, "nm": nm,
+            "n_cigar": n_cigar, "cigars": cigars}
 
 
 def sa_optimize(pos, chrom, rev, score, umap_local, mm_start, mm_n,

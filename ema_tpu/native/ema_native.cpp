@@ -316,6 +316,100 @@ extern "C" void align_batch(const uint8_t *reads, const int32_t *m_len, int32_t 
     }
 }
 
+// CIGAR/NM for scored candidates, windows read straight off the packed
+// genome text (no [N, W] host gather): the SW kernel already pinned each
+// candidate's optimal cell (qb, qe, ref_end); if the gapless alignment
+// there reproduces the kernel score exactly the full DP would pick the
+// same path (tie-breaking prefers the diagonal), so the CIGAR is S/M/S
+// and NM is a base-compare — ~99% of candidates at indel rate 1e-4
+// (reference align.h:70).  The rest run the full DP (align_one) on a
+// per-thread window scratch.  Threaded over candidates.
+extern "C" void traceback_batch(
+    const uint8_t *oriented, int32_t m_max, const int32_t *olens,
+    const int64_t *rows, int32_t B,
+    const uint8_t *text, int64_t text_n,
+    const int64_t *win_lo, const int32_t *win_len,
+    const int32_t *sw_score, const int32_t *sw_qb, const int32_t *sw_qe,
+    const int32_t *sw_ref_end,
+    int32_t ma, int32_t mb, int32_t go, int32_t ge, int32_t clip,
+    int32_t n_threads,
+    int32_t *score, int32_t *pos, int32_t *qb, int32_t *qe,
+    int32_t *nm, uint32_t *cigars, int32_t *n_cigar, int32_t max_cigar) {
+    int32_t w_max = 1;
+    for (int32_t b = 0; b < B; b++)
+        if (win_len[b] > w_max) w_max = win_len[b];
+
+    auto work = [&](int32_t b0, int32_t b1) {
+        std::vector<uint8_t> win(w_max);
+        std::vector<uint8_t> tb((int64_t)m_max * w_max);
+        for (int32_t b = b0; b < b1; b++) {
+            const uint8_t *read = oriented + rows[b] * m_max;
+            const int32_t rlen = olens[b];
+            const int32_t qb_b = sw_qb[b], qe_b = sw_qe[b];
+            const int32_t span = qe_b - qb_b;
+            const int32_t start = sw_ref_end[b] - span;
+            uint32_t *cig = cigars + (int64_t)b * max_cigar;
+            if (span > 0 && start >= 0 && sw_ref_end[b] <= win_len[b]) {
+                int32_t n_mis = 0, n_n = 0;
+                const int64_t col0 = win_lo[b] + start;
+                for (int32_t t = 0; t < span; t++) {
+                    const uint8_t rb = read[qb_b + t];
+                    const int64_t col = col0 + t;
+                    const uint8_t cb =
+                        (col >= 0 && col < text_n) ? text[col] : 5;
+                    if (rb >= 4) n_n++;
+                    else if (rb != cb) n_mis++;
+                }
+                const int32_t n_mat = span - n_mis - n_n;
+                const int64_t hyp = (int64_t)ma * n_mat
+                    - (int64_t)mb * n_mis - n_n
+                    - (int64_t)clip * ((qb_b > 0) + (qe_b < rlen));
+                if (hyp == sw_score[b]) {
+                    score[b] = sw_score[b];
+                    pos[b] = start;
+                    qb[b] = qb_b;
+                    qe[b] = qe_b;
+                    nm[b] = n_mis + n_n;
+                    int32_t k = 0;
+                    if (qb_b > 0)
+                        cig[k++] = ((uint32_t)qb_b << 4) | 4;
+                    cig[k++] = ((uint32_t)span << 4) | 0;
+                    if (qe_b < rlen)
+                        cig[k++] = ((uint32_t)(rlen - qe_b) << 4) | 4;
+                    n_cigar[b] = k;
+                    continue;
+                }
+            }
+            const int32_t w = win_len[b];
+            const int64_t wl = win_lo[b];
+            for (int32_t t = 0; t < w; t++) {
+                const int64_t col = wl + t;
+                win[t] = (col >= 0 && col < text_n) ? text[col] : 5;
+            }
+            align_one(read, rlen, win.data(), w, ma, mb, go, ge, clip,
+                      score + b, pos + b, qb + b, qe + b, nm + b,
+                      cig, n_cigar + b, max_cigar, tb.data());
+        }
+    };
+
+    if (n_threads <= 0)
+        n_threads = (int32_t)std::thread::hardware_concurrency();
+    if (n_threads > B) n_threads = B > 0 ? B : 1;
+    if (n_threads > 1) {
+        std::vector<std::thread> pool;
+        const int32_t chunk = (B + n_threads - 1) / n_threads;
+        for (int32_t t = 0; t < n_threads; t++) {
+            const int32_t b0 = t * chunk;
+            const int32_t b1 = b0 + chunk < B ? b0 + chunk : B;
+            if (b0 >= b1) break;
+            pool.emplace_back(work, b0, b1);
+        }
+        for (auto &th : pool) th.join();
+    } else {
+        work(0, B);
+    }
+}
+
 // ---------------------------------------------------------------------------
 // Batched SAM line formatting
 // ---------------------------------------------------------------------------
