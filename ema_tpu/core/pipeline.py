@@ -535,14 +535,18 @@ class Aligner:
                 and olens_host is not None:
             # threaded host C++ banded DP straight off the packed text —
             # the CPU-backend scorer (no device roundtrip, no padding).
-            # The corridor uses the same 128-lane rounding as the device
-            # kernels so outputs stay identical across backends.
+            # The corridor is the exact spread (+2 margin): unlike the
+            # device kernels there is no 128-lane granularity, and any
+            # corridor covering the window yields the identical optimum
+            # (diagonal tie keys are absolute offsets, not W-relative) —
+            # at pipeline shapes this is ~2.5x fewer inner iterations
+            # than the 128-rounded band.
             spread = win_len.astype(np.int64) \
                 - olens_host[owners].astype(np.int64)
-            w_band = _round_up(max(int(spread.max()) + 2, 1), 128) \
-                if N else 128
+            w_band = _round_up(max(int(spread.max()) + 2, 1), 8) \
+                if N else 8
             w_band = min(w_band,
-                         _round_up(int(win_len.max()), 128) if N else 128)
+                         _round_up(int(win_len.max()), 8) if N else 8)
             return native.sw_banded_native(
                 oriented_host, olens_host, self.index.text, owners,
                 win_lo, win_len, w_band,
