@@ -278,3 +278,66 @@ class TestAlignConcordance:
             for_energy(ref), err).values())
         # seeded SA must not be meaningfully worse than the reference's
         assert e_o >= e_r - 0.02 * abs(e_r) - 1.0, (e_o, e_r)
+
+    def test_tellseq_dual_format_paired(self, tmp_path):
+        """tellseq through the reference's -1/-2 reader: 18 bp barcodes
+        via BOTH id formats the reference supports (techs.c:32-55) — the
+        longranger ' BX:Z:<bc>' suffix branch and the trailing ':<bc>'
+        branch — mixed in one run."""
+        import numpy as np
+
+        from ema_tpu import config
+        from ema_tpu.core.pipeline import Aligner, ReadBatch
+        from ema_tpu.utils import samdiff
+        from ema_tpu.utils.barcodes import encode_bc_default
+        from ema_tpu.utils.replay import ReplayWriter
+        from ema_tpu.index import build_index
+
+        contigs, ids, bc_strs, bcs, s1, q1, s2, q2 = _world(seed=31)
+        rng = np.random.default_rng(9)
+        bases = np.array(list("ACGT"))
+        bc18 = {b: "".join(rng.choice(bases, 18))
+                for b in dict.fromkeys(bc_strs)}
+        heads, decorated, nbcs = [], [], []
+        for i, bc in enumerate(bc_strs):
+            s = bc18[bc]
+            # alternate formats PER BARCODE so groups stay contiguous
+            if list(bc18).index(bc) % 2 == 0:
+                heads.append(f"t{i}")
+                decorated.append(f"t{i} BX:Z:{s}")
+            else:
+                heads.append(f"t{i}")
+                decorated.append(f"t{i}:{s}")
+            nbcs.append(encode_bc_default(s))
+
+        fq1 = tmp_path / "r1.fq"
+        fq2 = tmp_path / "r2.fq"
+        with open(fq1, "w") as f1, open(fq2, "w") as f2:
+            for i in range(len(ids)):
+                f1.write(f"@{decorated[i]}\n{s1[i]}\n+\n{q1[i]}\n")
+                f2.write(f"@{decorated[i]}\n{s2[i]}\n+\n{q2[i]}\n")
+
+        idx = build_index(contigs)
+        cfg = config.RunConfig(
+            batch_size=512, seed=7,
+            platform=config.get_platform_profile("tellseq"))
+        aligner = Aligner(idx, cfg)
+        writer = ReplayWriter(str(tmp_path / "replay"),
+                              idx.names, [int(x) for x in idx.lengths])
+        aligner.replay_sink = writer.add
+        batch = ReadBatch.from_pairs(heads, nbcs, s1, q1, s2, q2)
+        lines = aligner.align_batch_to_sam(batch)
+        writer.close()
+        ours = tmp_path / "ours.sam"
+        ours.write_text("".join(l if l.endswith("\n") else l + "\n"
+                                for l in lines))
+        ref = tmp_path / "ref.sam"
+        oracle.run_align_oracle_paired(tmp_path / "replay", fq1, fq2, ref,
+                                       platform="tellseq")
+        st = samdiff.diff_sams(str(ours), str(ref))
+        print(st.summary())
+        assert st.shared > 400
+        assert st.only_a == 0 and st.only_b == 0, st.mismatches[:10]
+        assert st.concordance() >= 0.999, "\n".join(
+            [st.summary()] + st.mismatches)
+        assert st.bx_match == st.shared, st.mismatches[:10]
