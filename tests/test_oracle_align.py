@@ -341,3 +341,56 @@ class TestAlignConcordance:
         assert st.concordance() >= 0.999, "\n".join(
             [st.summary()] + st.mismatches)
         assert st.bx_match == st.shared, st.mismatches[:10]
+
+    def test_dbs_paired(self, tmp_path):
+        """dbs: 20 bp barcodes from the trailing ':<bc>' of the read id
+        (techs.c:18-29 extract_bc_10x semantics at BC_LEN 20) through the
+        reference's -1/-2 reader."""
+        import numpy as np
+
+        from ema_tpu import config
+        from ema_tpu.core.pipeline import Aligner, ReadBatch
+        from ema_tpu.utils import samdiff
+        from ema_tpu.utils.barcodes import encode_bc_default
+        from ema_tpu.utils.replay import ReplayWriter
+        from ema_tpu.index import build_index
+
+        contigs, ids, bc_strs, bcs, s1, q1, s2, q2 = _world(seed=41)
+        rng = np.random.default_rng(17)
+        bases = np.array(list("ACGT"))
+        bc20 = {b: "".join(rng.choice(bases, 20))
+                for b in dict.fromkeys(bc_strs)}
+        heads = [f"d{i}" for i in range(len(ids))]
+        nbcs = [encode_bc_default(bc20[b]) for b in bc_strs]
+
+        fq1 = tmp_path / "r1.fq"
+        fq2 = tmp_path / "r2.fq"
+        with open(fq1, "w") as f1, open(fq2, "w") as f2:
+            for i in range(len(ids)):
+                rid = f"{heads[i]}:{bc20[bc_strs[i]]}"
+                f1.write(f"@{rid}\n{s1[i]}\n+\n{q1[i]}\n")
+                f2.write(f"@{rid}\n{s2[i]}\n+\n{q2[i]}\n")
+
+        idx = build_index(contigs)
+        cfg = config.RunConfig(batch_size=512, seed=7,
+                               platform=config.get_platform_profile("dbs"))
+        aligner = Aligner(idx, cfg)
+        writer = ReplayWriter(str(tmp_path / "replay"),
+                              idx.names, [int(x) for x in idx.lengths])
+        aligner.replay_sink = writer.add
+        batch = ReadBatch.from_pairs(heads, nbcs, s1, q1, s2, q2)
+        lines = aligner.align_batch_to_sam(batch)
+        writer.close()
+        ours = tmp_path / "ours.sam"
+        ours.write_text("".join(l if l.endswith("\n") else l + "\n"
+                                for l in lines))
+        ref = tmp_path / "ref.sam"
+        oracle.run_align_oracle_paired(tmp_path / "replay", fq1, fq2, ref,
+                                       platform="dbs")
+        st = samdiff.diff_sams(str(ours), str(ref))
+        print(st.summary())
+        assert st.shared > 400
+        assert st.only_a == 0 and st.only_b == 0, st.mismatches[:10]
+        assert st.concordance() >= 0.999, "\n".join(
+            [st.summary()] + st.mismatches)
+        assert st.bx_match == st.shared, st.mismatches[:10]
