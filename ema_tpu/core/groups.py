@@ -327,6 +327,12 @@ def _sweep_fast(R: np.ndarray, profile: config.PlatformProfile):
             E, n_clouds)
 
 
+# batched-sweep deep-group valve: a group whose deepest entry keeps more
+# than this many candidates is swept by the per-group loop path instead,
+# so one dispersed-repeat read cannot widen every group's padded arrays
+DEEP_SWEEP_C = 256
+
+
 def sweep_groups_batch(recs: np.ndarray, idents, starts: np.ndarray,
                        profile: config.PlatformProfile,
                        apply_opt: bool = False,
@@ -344,6 +350,7 @@ def sweep_groups_batch(recs: np.ndarray, idents, starts: np.ndarray,
     with same-cloud collisions (bad clouds) fall back to the per-group
     loop path (exact drop/re-add protocol + optional SA).
     """
+    starts = np.unique(np.asarray(starts, np.int64))  # drops empty groups
     end = int(starts[-1])
     n_grp = len(starts) - 1
     if end == 0 or n_grp == 0:
@@ -359,7 +366,6 @@ def sweep_groups_batch(recs: np.ndarray, idents, starts: np.ndarray,
     RI = idents_str[order]
     chrom, pos = R["chrom"], R["pos"]
 
-    starts = np.asarray(starts, np.int64)
     grp_of_row = np.searchsorted(starts, np.arange(end), side="right") - 1
     first_of_grp = np.zeros(end, bool)
     first_of_grp[starts[:-1]] = True
@@ -413,7 +419,17 @@ def sweep_groups_batch(recs: np.ndarray, idents, starts: np.ndarray,
     pos_in = idxs - np.maximum.accumulate(np.where(firstc, idxs, 0))
     keep = pos_in < config.MAX_CANDIDATES
 
-    C = int(pos_in[keep].max()) + 1 if end else 1
+    # per-group candidate depth; one deep entry must not widen every
+    # group's padded arrays (RSS) nor flip their EM routing (the deep-
+    # group tests read cmask.shape[1]) — deep groups take the loop path
+    depth = np.bincount(eid_s[keep], minlength=E)
+    grp_depth = np.zeros(n_grp, np.int64)
+    np.maximum.at(grp_depth, grp_of_entry, depth)
+    bad_grp |= grp_depth > DEEP_SWEEP_C
+    bad_entry = bad_grp[grp_of_entry]
+    keep &= ~bad_entry[eid_s]
+
+    C = int(pos_in[keep].max()) + 1 if keep.any() else 1
     cand_rec = np.zeros((E, C), np.int64)      # global sorted-row indices
     cand_cloud = np.zeros((E, C), np.int64)    # global cloud ids
     cmask = np.zeros((E, C), bool)
@@ -479,13 +495,17 @@ def sweep_groups_batch(recs: np.ndarray, idents, starts: np.ndarray,
         if n_pairs is None:
             n_pairs = np.unique(R["pair"][s:e]).shape[0]
         needs_em = n_pairs >= config.MIN_PAIRS_FOR_EM and E_g > 0
+        # column-slice to the group's OWN candidate depth: EM routing
+        # reads cmask.shape[1] and must not see the flush-global pad
+        C_g = max(int(grp_depth[g]), 1)
         states.append(GroupState(
             R=R[s:e], RI=RI[s:e], order=order[s:e] - s, n=n_g,
             n_entries=E_g, n_clouds=nc,
-            cand_rec=cand_rec[eb:ee], cand_cloud=cand_cloud[eb:ee],
-            cmask=cmask[eb:ee], mate_entry=mate_entry[eb:ee],
+            cand_rec=cand_rec[eb:ee, :C_g],
+            cand_cloud=cand_cloud[eb:ee, :C_g],
+            cmask=cmask[eb:ee, :C_g], mate_entry=mate_entry[eb:ee],
             comp=comp[cb:cb + nc] - cb, cloud_bad=[0] * nc,
-            many=profile.many_clouds, gammas=gammas[eb:ee],
+            many=profile.many_clouds, gammas=gammas[eb:ee, :C_g],
             weights=weights[cb:cb + nc], needs_em=needs_em))
     return states
 

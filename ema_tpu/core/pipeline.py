@@ -92,7 +92,7 @@ def _orient_device(spad, slpad):
 @functools.partial(jax.jit, static_argnames=(
     "w_max", "w_band", "match", "mismatch", "gap_open", "gap_extend",
     "clip", "sw_impl"))
-def _gather_score(text, oriented, olens, owners, win_lo, win_len, *,
+def _gather_score(text, oriented, olens, owners, win_lo, win_len, wl, *,
                   w_max, w_band, match, mismatch, gap_open, gap_extend,
                   clip, sw_impl="banded"):
     """Gather reads + ref windows on device, then batched SW scoring.
@@ -110,13 +110,14 @@ def _gather_score(text, oriented, olens, owners, win_lo, win_len, *,
     if sw_impl == "banded16":
         from ema_tpu.ops.sw_pallas import sw_score_banded_pallas16
         sw_fn = functools.partial(sw_score_banded_pallas16,
-                                  w_band=w_band)
+                                  w_band=w_band, wl=wl)
     elif sw_impl == "banded_pallas":
         from ema_tpu.ops.sw_pallas import sw_score_banded_pallas
-        sw_fn = functools.partial(sw_score_banded_pallas, w_band=w_band)
+        sw_fn = functools.partial(sw_score_banded_pallas, w_band=w_band,
+                                  wl=wl)
     elif sw_impl == "banded":
         from ema_tpu.ops.sw import sw_score_banded
-        sw_fn = functools.partial(sw_score_banded, w_band=w_band)
+        sw_fn = functools.partial(sw_score_banded, w_band=w_band, wl=wl)
     else:
         sw_fn = sw_score_batch
     return sw_fn(reads, rlens, wins, win_len,
@@ -485,16 +486,20 @@ class Aligner:
         with self._mst("sw[device]", co.shape[0]):
             sw = self._score_windows(opad_dev, lpad_dev, co, win_lo,
                                      win_len, row_map, olens_host=olens,
-                                     oriented_host=oriented)
+                                     oriented_host=oriented,
+                                     wl=cands.wl)
 
         # --- mate rescue ------------------------------------------------
         ro, rlo, rlen = self._rescue_windows(
             n_reads, olens, co, win_lo, sw["score"], params)
         if ro.shape[0]:
             with self._mst("sw[device]", ro.shape[0]):
+                # rescue = full SW over the insert window (mem_matesw):
+                # the corridor is the whole window, no chain constraint
                 rsw = self._score_windows(opad_dev, lpad_dev, ro, rlo,
                                           rlen, row_map, olens_host=olens,
-                                          oriented_host=oriented)
+                                          oriented_host=oriented,
+                                          wl=rlen.astype(np.int32))
             min_rescue = params.min_seed_len * params.match
             keep_r = rsw["score"] >= min_rescue
             co = np.concatenate([co, ro[keep_r]])
@@ -513,7 +518,7 @@ class Aligner:
 
     def _score_windows(self, oriented_dev, olens_dev, owners, win_lo,
                        win_len, row_map=None, olens_host=None,
-                       oriented_host=None):
+                       oriented_host=None, wl=None):
         """Score candidate (read, window) pairs.
 
         ``oriented_dev``/``olens_dev`` are the device-resident padded read
@@ -522,6 +527,13 @@ class Aligner:
         — reads and ref windows are gathered on device (the genome lives
         in HBM, self.text_dev).  ``row_map = (n_reads, rows_pad)`` maps
         logical oriented-read ids to device rows.
+
+        ``wl`` (int32 [N]) is the per-candidate LOGICAL corridor:
+        diagonals k >= wl[b] are excluded in every kernel (host and
+        device), so a candidate's result depends only on its own chain
+        geometry (ops/chaining.py emits it) — not on the physical lane
+        padding of the kernel that scored it, nor on which candidates
+        share the call/chunk.  None = the full window (mate rescue).
         """
         N = owners.shape[0]
         if N == 0:
@@ -531,22 +543,16 @@ class Aligner:
         # max_occ-scale hit caps) run in fixed-size chunks: bounds device
         # memory for the [N, Wmax] window gather and reuses one compiled
         # program for the big chunks
+        wl_cand = (np.ascontiguousarray(wl, np.int32) if wl is not None
+                   else win_len.astype(np.int32))
+        np.maximum(wl_cand, 1, out=wl_cand)
         if self._sw_impl == "native" and oriented_host is not None \
                 and olens_host is not None:
             # threaded host C++ banded DP straight off the packed text —
-            # the CPU-backend scorer (no device roundtrip, no padding).
-            # The corridor is the exact spread (+2 margin): unlike the
-            # device kernels there is no 128-lane granularity, and any
-            # corridor covering the window yields the identical optimum
-            # (diagonal tie keys are absolute offsets, not W-relative) —
-            # at pipeline shapes this is ~2.5x fewer inner iterations
-            # than the 128-rounded band.
-            spread = win_len.astype(np.int64) \
-                - olens_host[owners].astype(np.int64)
-            w_band = _round_up(max(int(spread.max()) + 2, 1), 8) \
-                if N else 8
-            w_band = min(w_band,
-                         _round_up(int(win_len.max()), 8) if N else 8)
+            # the CPU-backend scorer (no device roundtrip, no padding;
+            # per-candidate exact corridor, ~2.5x fewer inner iterations
+            # than the 128-rounded band at pipeline shapes)
+            w_band = int(wl_cand.max()) if N else 1
             return native.sw_banded_native(
                 oriented_host, olens_host, self.index.text, owners,
                 win_lo, win_len, w_band,
@@ -554,23 +560,23 @@ class Aligner:
                 mismatch=self.cfg.aligner.mismatch,
                 gap_open=self.cfg.aligner.gap_open,
                 gap_extend=self.cfg.aligner.gap_extend,
-                clip=self.cfg.aligner.clip_penalty)
+                clip=self.cfg.aligner.clip_penalty, wl=wl_cand)
         if N > SW_CHUNK:
             outs = [self._score_windows(
                         oriented_dev, olens_dev, owners[s:s + SW_CHUNK],
                         win_lo[s:s + SW_CHUNK], win_len[s:s + SW_CHUNK],
                         row_map, olens_host=olens_host,
-                        oriented_host=oriented_host)
+                        oriented_host=oriented_host,
+                        wl=wl_cand[s:s + SW_CHUNK])
                     for s in range(0, N, SW_CHUNK)]
             return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
-        # banded-corridor width: widest (window - read) diagonal range in
-        # this call, lane-aligned (ops/sw.sw_score_banded) — computed on
-        # LOGICAL oriented ids, before the device-row remap
+        # physical band width: lane-aligned cover of the widest logical
+        # corridor in this call (the per-candidate wl mask makes results
+        # independent of this padding) — computed on LOGICAL oriented
+        # ids, before the device-row remap
         Wmax = _round_up(int(win_len.max()), WIN_BUCKET)
-        if self._sw_impl.startswith("banded") and olens_host is not None:
-            spread = win_len.astype(np.int64) \
-                - olens_host[owners].astype(np.int64)
-            w_band = _round_up(max(int(spread.max()) + 2, 1), 128)
+        if self._sw_impl.startswith("banded"):
+            w_band = _round_up(max(int(wl_cand.max()), 1), 128)
             w_band = min(w_band, _round_up(Wmax, 128))
         else:
             w_band = _round_up(Wmax, 128)
@@ -586,11 +592,13 @@ class Aligner:
         wlo[:N] = win_lo
         wlen = np.zeros(Npad, np.int32)
         wlen[:N] = win_len
+        wlp = np.zeros(Npad, np.int32)
+        wlp[:N] = wl_cand
         p = self.cfg.aligner
         out = _gather_score(
             self.text_dev, oriented_dev, olens_dev,
             self._shard_rows(own), self._shard_rows(wlo),
-            self._shard_rows(wlen),
+            self._shard_rows(wlen), self._shard_rows(wlp),
             w_max=Wmax, w_band=w_band, match=p.match,
             mismatch=p.mismatch,
             gap_open=p.gap_open, gap_extend=p.gap_extend,

@@ -92,7 +92,7 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_int32,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
         ]
         lib.sw_banded_native_scalar.restype = None
         lib.sw_banded_native_scalar.argtypes = [
@@ -106,7 +106,7 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_int32,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
         ]
 
         lib.bc_hash_build.restype = None
@@ -659,7 +659,7 @@ def sw_banded_native(oriented: np.ndarray, olens: np.ndarray,
                      win_lo: np.ndarray, win_len: np.ndarray,
                      w_band: int, match=1, mismatch=4, gap_open=6,
                      gap_extend=1, clip=5, n_threads=0,
-                     force_scalar=False):
+                     force_scalar=False, wl=None):
     """Threaded host banded-SW scorer (see ema_native.cpp); same outputs
     and tie rules as ops/sw.sw_score_banded.  Windows are gathered from
     ``text`` directly (win_lo may be negative; out-of-text columns read
@@ -691,7 +691,9 @@ def sw_banded_native(oriented: np.ndarray, olens: np.ndarray,
         ctypes.c_int32(clip),
         _ptr(score, ctypes.c_int32), _ptr(qb, ctypes.c_int32),
         _ptr(qe, ctypes.c_int32), _ptr(ref_end, ctypes.c_int32),
-        ctypes.c_int32(n_threads))
+        ctypes.c_int32(n_threads),
+        (None if wl is None
+         else _ptr(np.ascontiguousarray(wl, np.int32), ctypes.c_int32)))
     return {"score": score, "qb": qb, "qe": qe, "ref_end": ref_end}
 
 

@@ -773,9 +773,12 @@ extern "C" void sa_optimize_best(
                     tmin_log, max_no_move, score_scale, insert_min,
                     insert_max, seeds[c]);
         double e = 0.0;
+        // every bin contributes, INCLUDING empty ones: the annealed
+        // objective's transition deltas include log_density_prob(0)
+        // (~log 0.6), so chains ending with different empty-bin counts
+        // would otherwise be mis-ranked
         for (int64_t b = 0; b < n_bins; b++)
-            if (c_bins[c][b])
-                e += log_density_prob(c_bins[c][b], log_probs, n_log_probs);
+            e += log_density_prob(c_bins[c][b], log_probs, n_log_probs);
         for (int64_t r = 0; r < n_mmaps; r++)
             e += score[mm_start[r] + c_active[c][r]] / score_scale;
         c_energy[c] = e;
@@ -1492,7 +1495,8 @@ extern "C" void sw_banded_native_scalar(
     int32_t match, int32_t mismatch, int32_t gap_open, int32_t gap_extend,
     int32_t clip,
     int32_t *out_score, int32_t *out_qb, int32_t *out_qe,
-    int32_t *out_ref_end, int32_t n_threads) {
+    int32_t *out_ref_end, int32_t n_threads,
+    const int32_t *wl /* per-candidate logical corridor; NULL = W */) {
     const int32_t NEGS = swb::NEGS;
     const int32_t goe = gap_open + gap_extend;
 
@@ -1509,6 +1513,7 @@ extern "C" void sw_banded_native_scalar(
         const int64_t *__restrict ownersc = owners;
         const int64_t *__restrict win_loc = win_lo;
         const int32_t *__restrict win_lenc = win_len;
+        const int32_t *__restrict wlc = wl;
         std::vector<int32_t> HP(Wc + 2, NEGS), FP(Wc + 2, NEGS);
         std::vector<int32_t> SHP(Wc + 2, 0), SFP(Wc + 2, 0);
         std::vector<int32_t> HD(Wc + 1), SD(Wc + 1);
@@ -1521,6 +1526,7 @@ extern "C" void sw_banded_native_scalar(
             const int32_t rl = olensc[ownersc[c]];
             const int64_t lo = win_loc[c];
             const int32_t nl = win_lenc[c];
+            const int32_t Wb = (wlc && wlc[c] < Wc) ? wlc[c] : Wc;
             wref.resize((size_t)nl);
             {
                 int64_t a = lo < 0 ? 0 : lo;
@@ -1536,7 +1542,7 @@ extern "C" void sw_banded_native_scalar(
             std::fill(SF.begin(), SF.end(), 0);
 
             int32_t bv = NEGS, bd = 0, bi = 0, bs = 0, bk = 0;
-            int32_t prev_kmax = Wc;
+            int32_t prev_kmax = Wb;
             int32_t *__restrict hp = HP.data(), *__restrict fp = FP.data();
             int32_t *__restrict shp = SHP.data(), *__restrict sfp = SFP.data();
             int32_t *__restrict hd = HD.data(), *__restrict sd = SD.data();
@@ -1550,7 +1556,7 @@ extern "C" void sw_banded_native_scalar(
                 const int32_t fresh = (i == 1) ? 0 : -clipc;
                 const int32_t end_adj = (i == rl) ? 0 : -clipc;
                 const int32_t fresh_s = i - 1;
-                int32_t kmax = nl - i < Wc - 1 ? nl - i : Wc - 1;
+                int32_t kmax = nl - i < Wb - 1 ? nl - i : Wb - 1;
                 if (kmax < -1) kmax = -1;
                 const uint8_t *__restrict wrow = wref.data() + (i - 1);
                 const int32_t kn = kmax + 1;
@@ -1618,7 +1624,7 @@ extern "C" void sw_banded_native_scalar(
                     }
                 }
                 for (int32_t k = kn > 0 ? kn : 0;
-                     k <= prev_kmax + 1 && k <= Wc + 1; k++) {
+                     k <= prev_kmax + 1 && k <= Wb + 1; k++) {
                     hp[k] = NEGS; fp[k] = NEGS; shp[k] = 0; sfp[k] = 0;
                 }
                 prev_kmax = kmax;
@@ -1846,7 +1852,8 @@ extern "C" void sw_banded_native_simd(
     int32_t match, int32_t mismatch, int32_t gap_open, int32_t gap_extend,
     int32_t clip,
     int32_t *out_score, int32_t *out_qb, int32_t *out_qe,
-    int32_t *out_ref_end, int32_t n_threads) {
+    int32_t *out_ref_end, int32_t n_threads,
+    const int32_t *wl /* per-candidate logical corridor; NULL = W */) {
 
     auto run = [&](int64_t blk_s, int64_t blk_e) {
         const int64_t Lc = L, text_nc = text_n;
@@ -1865,17 +1872,20 @@ extern "C" void sw_banded_native_simd(
 
         std::vector<uint8_t> readT, wrefT;
         std::vector<int32_t> st((size_t)(Wc + 2) * LN * 4 + 64);
-        alignas(64) int32_t rlv[LN], nlv[LN];
+        alignas(64) int32_t rlv[LN], nlv[LN], wlv[LN];
 
         for (int64_t b0 = blk_s; b0 < blk_e; b0 += LN) {
             const int nb = (int)std::min<int64_t>(LN, blk_e - b0);
-            int32_t m_max = 0, nl_max = 0;
+            int32_t m_max = 0, nl_max = 0, Wg = 1;
             for (int l = 0; l < LN; l++) {
                 const int64_t c = b0 + (l < nb ? l : 0);
                 rlv[l] = l < nb ? olens[owners[c]] : 0;
                 nlv[l] = l < nb ? win_len[c] : 0;
+                wlv[l] = (l < nb && wl && wl[c] < Wc) ? wl[c] : Wc;
+                if (l >= nb) wlv[l] = 0;
                 m_max = std::max(m_max, rlv[l]);
                 nl_max = std::max(nl_max, nlv[l]);
+                Wg = std::max(Wg, wlv[l]);
             }
             readT.assign((size_t)m_max * LN, 4);
             const int32_t wrows = std::max(nl_max, m_max - 1 + Wc) + 1;
@@ -1902,6 +1912,7 @@ extern "C" void sw_banded_native_simd(
             }
             const __m512i vrl = _mm512_load_si512(rlv);
             const __m512i vnl = _mm512_load_si512(nlv);
+            const __m512i vwl = _mm512_load_si512(wlv);
 
             __m512i bv = vneg, bd = vzero, bi = vzero, bs = vzero,
                     bk = vzero;
@@ -1915,7 +1926,9 @@ extern "C" void sw_banded_native_simd(
                 const __m512i vend_adj = _mm512_mask_mov_epi32(
                     _mm512_set1_epi32(-clip),
                     _mm512_cmpeq_epi32_mask(vi, vrl), vzero);
-                const __m512i vkmax = _mm512_sub_epi32(vnl, vi);
+                const __m512i vkmax = _mm512_min_epi32(
+                    _mm512_sub_epi32(vnl, vi),
+                    _mm512_sub_epi32(vwl, _mm512_set1_epi32(1)));
                 const __m128i rbytes = _mm_loadu_si128(
                     (const __m128i *)(readT.data() + (size_t)(i - 1) * LN));
                 const __m512i rcv = _mm512_cvtepu8_epi32(rbytes);
@@ -1931,7 +1944,7 @@ extern "C" void sw_banded_native_simd(
                 __m512i SHK = _mm512_loadu_si512(row0 + 2 * LN);
                 const uint8_t *wbase = wrefT.data() + (size_t)(i - 1) * LN;
 
-                for (int32_t k = 0; k < Wc; k++) {
+                for (int32_t k = 0; k < Wg; k++) {
                     int32_t *rowk = S + (size_t)k * 4 * LN;
                     int32_t *rowk1 = rowk + 4 * LN;
                     const __m512i HK1 = _mm512_loadu_si512(rowk1);
@@ -2011,9 +2024,9 @@ extern "C" void sw_banded_native_simd(
                     HK = HK1; SHK = SHK1;
                     kge = _mm512_add_epi32(kge, vge);
                 }
-                // clear the k == Wc boundary row the next row reads at k+1
+                // clear the k == Wg boundary row the next row reads at k+1
                 {
-                    int32_t *rowW = S + (size_t)Wc * 4 * LN;
+                    int32_t *rowW = S + (size_t)Wg * 4 * LN;
                     _mm512_storeu_si512(rowW, vneg);
                     _mm512_storeu_si512(rowW + LN, vneg);
                     _mm512_storeu_si512(rowW + 2 * LN, vzero);
@@ -2079,7 +2092,8 @@ extern "C" void sw_banded_native(
     int32_t match, int32_t mismatch, int32_t gap_open, int32_t gap_extend,
     int32_t clip,
     int32_t *out_score, int32_t *out_qb, int32_t *out_qe,
-    int32_t *out_ref_end, int32_t n_threads) {
+    int32_t *out_ref_end, int32_t n_threads,
+    const int32_t *wl /* per-candidate logical corridor; NULL = W */) {
 #if defined(__AVX512F__)
     static const bool force_scalar = [] {
         const char *e = getenv("EMA_TPU_SW_NATIVE_SCALAR");
@@ -2089,12 +2103,12 @@ extern "C" void sw_banded_native(
         sw_banded_native_simd(oriented, L, olens, text, text_n, owners,
                               win_lo, win_len, N, W, match, mismatch,
                               gap_open, gap_extend, clip, out_score,
-                              out_qb, out_qe, out_ref_end, n_threads);
+                              out_qb, out_qe, out_ref_end, n_threads, wl);
         return;
     }
 #endif
     sw_banded_native_scalar(oriented, L, olens, text, text_n, owners,
                             win_lo, win_len, N, W, match, mismatch,
                             gap_open, gap_extend, clip, out_score,
-                            out_qb, out_qe, out_ref_end, n_threads);
+                            out_qb, out_qe, out_ref_end, n_threads, wl);
 }

@@ -27,6 +27,7 @@ class Candidates:
     owner: np.ndarray       # int64 [N] oriented-read index
     win_lo: np.ndarray      # int64 [N] text coord of window start
     win_len: np.ndarray     # int32 window length
+    wl: np.ndarray          # int32 logical SW corridor (diagonal range)
     weight: np.ndarray      # int32 total seed bases in the chain
     seedcov: np.ndarray     # int32 approx read bases covered by seeds
     n_seeds: np.ndarray     # int32 seeds in the chain
@@ -35,7 +36,7 @@ class Candidates:
 def _empty_cands() -> Candidates:
     z32 = np.zeros(0, np.int32)
     return Candidates(owner=np.zeros(0, np.int64),
-                      win_lo=np.zeros(0, np.int64), win_len=z32,
+                      win_lo=np.zeros(0, np.int64), win_len=z32, wl=z32,
                       weight=z32, seedcov=z32, n_seeds=z32)
 
 
@@ -127,11 +128,17 @@ def chain_hits(owner: np.ndarray, qb: np.ndarray, seed_len: np.ndarray,
     # banded row-sweep SW kernel needs (ops/sw.sw_score_banded)
     lo = d_lo - pad
     hi = np.minimum(d_hi + rl + pad, text_len)
+    # logical SW corridor: the chain's guaranteed diagonal range
+    # (d_lo - pad .. d_hi + pad), independent of end-of-text window
+    # truncation; the kernels exclude diagonals k >= wl so a
+    # candidate's score never depends on kernel lane padding
+    wl = np.minimum((d_hi - d_lo) + 2 * pad + 2, hi - lo)
 
     return Candidates(
         owner=o,
         win_lo=lo.astype(np.int64),
         win_len=(hi - lo).astype(np.int32),
+        wl=np.maximum(wl, 1).astype(np.int32),
         weight=c_weight[keep].astype(np.int32),
         seedcov=c_seedcov[keep].astype(np.int32),
         n_seeds=c_nseeds[keep].astype(np.int32))

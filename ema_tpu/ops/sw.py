@@ -175,7 +175,8 @@ def sw_score_banded(reads: jax.Array, read_lens: jax.Array,
                     refs: jax.Array, ref_lens: jax.Array,
                     w_band: int,
                     match: int = 1, mismatch: int = 4,
-                    gap_open: int = 6, gap_extend: int = 1, clip: int = 5):
+                    gap_open: int = 6, gap_extend: int = 1, clip: int = 5,
+                    wl: jax.Array = None):
     """Banded SW scorer: row sweep over diagonal-offset lanes.
 
     Same outputs/semantics as sw_score_batch restricted to alignments
@@ -183,6 +184,12 @@ def sw_score_banded(reads: jax.Array, read_lens: jax.Array,
     window construction guarantees for every chained hit (ops/chaining.py
     clamps windows to the chain diagonal range +- pad), mirroring the
     reference's banded extension (BWA w=100; SURVEY §2.3).
+
+    ``wl`` (optional int32 [B]) is the per-candidate LOGICAL corridor:
+    diagonals k >= wl[b] are excluded even though the physical lane
+    count w_band is padded to its granularity — candidate b's result
+    then depends only on its own window, not on which candidates share
+    the call, and matches any other kernel given the same wl.
 
     Complexity: m sequential steps over [B, w_band] lanes (the
     anti-diagonal sweep needs m+n steps over [B, m] lanes).  The
@@ -199,6 +206,11 @@ def sw_score_banded(reads: jax.Array, read_lens: jax.Array,
     k_idx = jnp.arange(W, dtype=jnp.int32)[None, :]              # [1, W]
     rl = read_lens[:, None].astype(jnp.int32)
     nl = ref_lens[:, None].astype(jnp.int32)
+    # per-candidate logical corridor: lanes k >= wl[b] never participate
+    # (diagonal limit; makes results independent of the physical W and of
+    # which candidates share the call)
+    kmask = (jnp.ones((B, W), bool) if wl is None
+             else k_idx < wl[:, None].astype(jnp.int32))
 
     # window cols padded so the per-row slice [i-1, i-1+W) is in-bounds
     ref_pad = jnp.pad(refs.astype(jnp.int32), ((0, 0), (0, m + W)),
@@ -224,7 +236,7 @@ def sw_score_banded(reads: jax.Array, read_lens: jax.Array,
 
         ref_row = jax.lax.dynamic_slice_in_dim(ref_pad, i - 1, W, axis=1)
         read_col = jax.lax.dynamic_slice_in_dim(read_pad, i - 1, 1, axis=1)
-        valid = (i <= rl) & (i + k_idx <= nl)
+        valid = (i <= rl) & (i + k_idx <= nl) & kmask
 
         sub = jnp.where((read_col >= 4) | (ref_row >= 4), -1,
                         jnp.where(read_col == ref_row, match, -mismatch))

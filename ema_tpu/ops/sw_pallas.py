@@ -254,7 +254,8 @@ def sw_score_banded_auto(reads, read_lens, refs, ref_lens, w_band, **kw):
                                    w_band, **kw)
 
 
-def _banded_kernel(reads_ref, rlen_ref, refs_ref, nlen_ref, out_ref, *,
+def _banded_kernel(reads_ref, rlen_ref, refs_ref, nlen_ref, wl_ref,
+                   out_ref, *,
                    m, n_pad, W, match, mismatch, gap_open, gap_extend,
                    clip):
     """Banded row-sweep (see sw.sw_score_banded for the recurrences).
@@ -282,6 +283,8 @@ def _banded_kernel(reads_ref, rlen_ref, refs_ref, nlen_ref, out_ref, *,
     k_idx = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
     rl = rlen_ref[:, 0][:, None]
     nl = nlen_ref[:, 0][:, None]
+    # per-candidate logical corridor (lanes k >= wl excluded)
+    kmask = k_idx < wl_ref[:, 0][:, None]
     ke = k_idx * gap_extend
 
     # rolling buffers: lane 0 of read_roll is read[i-1]; lanes [0, W) of
@@ -314,7 +317,7 @@ def _banded_kernel(reads_ref, rlen_ref, refs_ref, nlen_ref, out_ref, *,
         read_col = jnp.sum(jnp.where(rlane0, read_roll, 0), axis=1,
                            keepdims=True, dtype=jnp.int32)
         ref_row = ref_roll[:, :W]
-        valid = (i <= rl) & (i + k_idx <= nl)
+        valid = (i <= rl) & (i + k_idx <= nl) & kmask
 
         sub = jnp.where((read_col >= 4) | (ref_row >= 4), -1,
                         jnp.where(read_col == ref_row, match, -mismatch))
@@ -400,7 +403,7 @@ def sw_score_banded_pallas(reads, read_lens, refs, ref_lens, w_band,
                            match: int = 1, mismatch: int = 4,
                            gap_open: int = 6, gap_extend: int = 1,
                            clip: int = 5, interpret: bool = False,
-                           tile_b: int = TILE_B):
+                           tile_b: int = TILE_B, wl=None):
     """Pallas banded SW scorer; drop-in for sw.sw_score_banded."""
     B, m = reads.shape
     _, n = refs.shape
@@ -415,6 +418,9 @@ def sw_score_banded_pallas(reads, read_lens, refs, ref_lens, w_band,
                    ((0, Bp - B), (0, n_pad - n)), constant_values=5)
     read_lens = jnp.pad(read_lens.astype(jnp.int32), (0, Bp - B))
     ref_lens = jnp.pad(ref_lens.astype(jnp.int32), (0, Bp - B))
+    wl_arr = (jnp.full(B, W, jnp.int32) if wl is None
+              else wl.astype(jnp.int32))
+    wl_arr = jnp.pad(wl_arr, (0, Bp - B))
 
     kernel = functools.partial(
         _banded_kernel, m=m, n_pad=n_pad, W=W, match=match,
@@ -432,12 +438,15 @@ def sw_score_banded_pallas(reads, read_lens, refs, ref_lens, w_band,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TB, 8), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, 8), jnp.int32),
         interpret=interpret,
-    )(reads, read_lens[:, None], refs, ref_lens[:, None])
+    )(reads, read_lens[:, None], refs, ref_lens[:, None],
+      wl_arr[:, None])
 
     return {
         "score": out[:B, 0],
@@ -450,7 +459,8 @@ def sw_score_banded_pallas(reads, read_lens, refs, ref_lens, w_band,
 NEG16 = -16384   # int16 sentinel; worst-case per-row decrements stay > -32768
 
 
-def _banded_kernel16(reads_ref, rlen_ref, refs_ref, nlen_ref, out_ref, *,
+def _banded_kernel16(reads_ref, rlen_ref, refs_ref, nlen_ref, wl_ref,
+                     out_ref, *,
                      m, n_pad, W, match, mismatch, gap_open, gap_extend,
                      clip):
     """int16 variant of _banded_kernel: scores/trackers fit comfortably
@@ -465,6 +475,8 @@ def _banded_kernel16(reads_ref, rlen_ref, refs_ref, nlen_ref, out_ref, *,
     k_idx = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
     rl = rlen_ref[:, 0][:, None].astype(jnp.int32)
     nl = nlen_ref[:, 0][:, None].astype(jnp.int32)
+    # per-candidate logical corridor (lanes k >= wl excluded)
+    kmask = k_idx < wl_ref[:, 0][:, None].astype(jnp.int32)
     ke = (k_idx * gap_extend).astype(i16)
 
     m_pad = _round_up(m + 1, 128)
@@ -498,7 +510,7 @@ def _banded_kernel16(reads_ref, rlen_ref, refs_ref, nlen_ref, out_ref, *,
         read_col = jnp.sum(jnp.where(rlane0, read_roll, 0), axis=1,
                            keepdims=True, dtype=jnp.int32)
         ref_row = ref_roll[:, :W]
-        valid = (i <= rl) & (i + k_idx <= nl)
+        valid = (i <= rl) & (i + k_idx <= nl) & kmask
         icol = jnp.full((B, 1), 0, jnp.int32) + i    # [B,1] row index
 
         sub = jnp.where(
@@ -572,7 +584,8 @@ def _banded_kernel16(reads_ref, rlen_ref, refs_ref, nlen_ref, out_ref, *,
 def sw_score_banded_pallas16(reads, read_lens, refs, ref_lens, w_band,
                              match: int = 1, mismatch: int = 4,
                              gap_open: int = 6, gap_extend: int = 1,
-                             clip: int = 5, interpret: bool = False):
+                             clip: int = 5, interpret: bool = False,
+                             wl=None):
     """int16 Pallas banded SW scorer (NEG reported as the int32 NEG so
     outputs remain drop-in comparable)."""
     B, m = reads.shape
@@ -587,6 +600,9 @@ def sw_score_banded_pallas16(reads, read_lens, refs, ref_lens, w_band,
                    ((0, Bp - B), (0, n_pad - n)), constant_values=5)
     read_lens = jnp.pad(read_lens.astype(jnp.int32), (0, Bp - B))
     ref_lens = jnp.pad(ref_lens.astype(jnp.int32), (0, Bp - B))
+    wl_arr = (jnp.full(B, W, jnp.int32) if wl is None
+              else wl.astype(jnp.int32))
+    wl_arr = jnp.pad(wl_arr, (0, Bp - B))
 
     kernel = functools.partial(
         _banded_kernel16, m=m, n_pad=n_pad, W=W, match=match,
@@ -604,12 +620,15 @@ def sw_score_banded_pallas16(reads, read_lens, refs, ref_lens, w_band,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_B, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TILE_B, 8), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, 8), jnp.int32),
         interpret=interpret,
-    )(reads, read_lens[:, None], refs, ref_lens[:, None])
+    )(reads, read_lens[:, None], refs, ref_lens[:, None],
+      wl_arr[:, None])
 
     score = out[:B, 0]
     # normalize the int16 sentinel to the common NEG for no-alignment rows

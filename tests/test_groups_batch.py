@@ -109,3 +109,51 @@ def test_batched_sweep_empty():
     assert groups.sweep_groups_batch(
         recs, idents, np.array([0, 0]),
         config.get_platform_profile("10x")) == []
+
+
+def test_deep_entry_does_not_widen_other_groups():
+    """One dispersed-repeat read with hundreds of single-cloud candidates
+    must not widen other groups' padded arrays (RSS / EM routing): the
+    deep group falls back to the loop path, the rest keep their own
+    candidate depth."""
+    profile = config.get_platform_profile("10x")
+    rows = []
+    idents = []
+    # group A: normal, 2 candidates deep
+    for p in range(3):
+        for mate in (0, 1):
+            for c in range(2):
+                rows.append((100, p, mate, 0, 1000 + p * 50 + c * 200_000))
+                idents.append(f"a{p}")
+    # group B: one read with DEEP_SWEEP_C+40 dispersed candidates
+    # (each its own cloud -> no collision)
+    deep_n = groups.DEEP_SWEEP_C + 40
+    for c in range(deep_n):
+        rows.append((200, 50, 0, 0, 1_000_000 + c * 200_000))
+        idents.append("deep")
+    rows.append((200, 50, 1, 0, 1_000_200))
+    idents.append("deep")
+    recs = empty_records(len(rows))
+    for i, (bc, pp, mate, ch, pos) in enumerate(rows):
+        recs["bc"][i] = bc
+        recs["pair"][i] = pp
+        recs["mate"][i] = mate
+        recs["chrom"][i] = ch
+        recs["pos"][i] = pos
+        recs["score"][i] = -1.0
+    idents = np.array(idents, dtype=object)
+    o = np.argsort(recs["bc"], kind="stable")
+    recs, idents = recs[o], idents[o]
+    starts = np.concatenate(
+        [[0], np.nonzero(np.diff(recs["bc"]))[0] + 1, [len(recs)]])
+    states = groups.sweep_groups_batch(recs, idents, starts, profile)
+    assert len(states) == 2
+    # group A keeps its own narrow padding
+    assert states[0].cmask.shape[1] == 2
+    # group B (loop path) has the deep entry, MAX_CANDIDATES-capped
+    assert states[1].cmask.shape[1] == min(deep_n, config.MAX_CANDIDATES)
+    # both agree with the per-group reference path
+    for st, (s, e) in zip(states, zip(starts[:-1], starts[1:])):
+        ref = groups.sweep_group(recs[s:e], idents[s:e].astype(str),
+                                 profile)
+        _assert_states_equal(st, ref, "deep")

@@ -219,3 +219,49 @@ class TestNativeScorer:
                                     win_lo, win_len, W, force_scalar=True)
         for k in ("score", "qb", "qe", "ref_end"):
             np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+class TestCrossBackendPipeline:
+    def test_native_and_xla_scorers_identical_sam(self):
+        """The per-candidate logical corridor makes the full pipeline's
+        SAM output identical whichever SW scorer runs (host C++ vs XLA
+        banded) — including contig-edge overhangs, truncated windows and
+        repeat families where physical lane padding used to differ."""
+        import numpy as np
+
+        from tests.simulate import rand_genome, simulate_pairs, to_str
+        from ema_tpu.index import build_index
+        from ema_tpu import config
+        from ema_tpu.core.pipeline import Aligner, ReadBatch
+
+        rng = np.random.default_rng(4242)
+        g = rand_genome(rng, 300_000)
+        unit = g[40_000:41_500].copy()
+        for k in range(12):                     # repeat family
+            g[50_000 + k * 1_600:50_000 + k * 1_600 + 1_500] = unit
+        gs = to_str(g)
+        ids, bc_strs, bcs, s1, q1, s2, q2, _ = simulate_pairs(
+            rng, gs, n_barcodes=30, frags_per_bc=(2, 3),
+            pairs_per_frag=(10, 20), frag_len=20_000, read_len=100,
+            err=0.005)
+        # contig-edge overhang reads (window truncation paths)
+        ids += ["edgeA", "edgeB"]
+        bcs += [bcs[0], bcs[0]]
+        s1 += ["A" * 40 + gs[:60], gs[-60:] + "C" * 40]
+        q1 += ["I" * 100] * 2
+        s2 += [gs[200:300], gs[-300:-200]]
+        q2 += ["I" * 100] * 2
+
+        idx = build_index({"c": g})
+        outs = {}
+        import os
+        for impl in ("native", "banded"):
+            os.environ["EMA_TPU_SW_IMPL"] = impl
+            try:
+                al = Aligner(idx, config.RunConfig(batch_size=512, seed=7))
+                assert al._sw_impl == impl
+                batch = ReadBatch.from_pairs(ids, bcs, s1, q1, s2, q2)
+                outs[impl] = sorted(al.align_batch_to_sam(batch))
+            finally:
+                del os.environ["EMA_TPU_SW_IMPL"]
+        assert outs["native"] == outs["banded"]

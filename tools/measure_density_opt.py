@@ -100,7 +100,9 @@ def _cloud_energies(recs, error_rate: float):
         pos = np.array([r["pos"] for r in rs], np.int64)
         lo = pos.min()
         bins = np.bincount((pos - lo) // config.BIN_SIZE)
-        e = sum(_log_density_prob(int(c), ldp) for c in bins if c > 0)
+        # empty bins contribute log_density_prob(0) too (the SA
+        # objective's transition deltas include the 0 <-> 1 terms)
+        e = sum(_log_density_prob(int(c), ldp) for c in bins)
         e += sum(_gen_score(r["cigar"], r["nm"], error_rate) for r in rs) \
             / config.SCORE_SCALE
         energies[key] = (e, len(rs))
@@ -189,8 +191,8 @@ def main() -> int:
     ours = _parse_sam(ours_path)
     refs = [_parse_sam(p) for p in ref_paths]
     ref = refs[0]
-    shared = sorted(set(ours) & set(set(ref)))
-    only = abs(len(ours) - len(ref)) + len(set(ours) ^ set(ref))
+    shared = sorted(set(ours) & set(ref))
+    only = len(set(ours) ^ set(ref))
 
     det = det_ok = sto = sto_pos_ok = 0
     for k in shared:
