@@ -131,3 +131,84 @@ class TestAlign:
         assert out["score"][0] == 10
         assert out["score"][1] == 8
         assert out["pos"][1] == 2
+
+
+class TestTracebackBatch:
+    def test_matches_align_batch_on_windows(self):
+        """traceback_batch (gapless shortcut + DP off the packed text)
+        must equal align_batch run on the materialized windows — same
+        score/pos/qb/qe/NM/CIGAR, including indel and out-of-text
+        sentinel cases."""
+        rng = np.random.default_rng(77)
+        n = 5000
+        text = rng.integers(0, 4, n).astype(np.uint8)
+        R, L = 40, 90
+        oriented = rng.integers(0, 5, (R, L)).astype(np.uint8)
+        olens = rng.integers(50, L + 1, R).astype(np.int32)
+        B = 160
+        rows = rng.integers(0, R, B).astype(np.int64)
+        win_lo = rng.integers(-40, n - 60, B).astype(np.int64)
+        win_len = rng.integers(80, 200, B).astype(np.int32)
+        # plant exact and indel-bearing alignments for half the cases
+        for c in range(0, B, 2):
+            r = int(rows[c])
+            rl = int(olens[r])
+            off = int(rng.integers(0, 30))
+            seq = oriented[r, :rl].copy()
+            if c % 4 == 0 and rl > 40:          # plant a deletion
+                seq = np.concatenate([seq[:20], seq[25:]])
+            for j, v in enumerate(seq):
+                col = int(win_lo[c]) + off + j
+                if 0 <= col < n and v < 4:
+                    text[col] = v
+
+        # score with the native banded scorer to get sw fields
+        sw = native.sw_banded_native(oriented, olens, text, rows,
+                                     win_lo, win_len, 128)
+        sw["ref_end"] = sw["ref_end"].astype(np.int32)
+
+        got = native.traceback_batch(oriented, olens, rows, text,
+                                     win_lo, win_len, sw)
+
+        # reference: the contract traceback_batch replaced — gapless
+        # shortcut against the SAME sw fields, DP (align_batch) on the
+        # materialized windows for the rest
+        W = int(win_len.max())
+        cols = win_lo[:, None] + np.arange(W)[None, :]
+        wins = np.where((cols < 0) | (cols >= n), 5,
+                        text[np.clip(cols, 0, n - 1)]).astype(np.uint8)
+        qb, qe, ref_end = sw["qb"], sw["qe"], sw["ref_end"]
+        span = qe - qb
+        start = ref_end - span
+        rl = olens[rows]
+        want = native.align_batch(oriented[rows], rl, wins, win_len,
+                                  max_cigar=24)
+        for b in range(B):
+            ok = span[b] > 0 and start[b] >= 0 \
+                and ref_end[b] <= win_len[b]
+            if not ok:
+                continue
+            rb = oriented[rows[b], qb[b]:qe[b]].astype(np.int64)
+            cb = wins[b, start[b]:ref_end[b]].astype(np.int64)
+            n_n = int((rb >= 4).sum())
+            mism = int(((rb < 4) & (rb != cb)).sum())
+            hyp = (span[b] - mism - n_n) - 4 * mism - n_n \
+                - 5 * (int(qb[b] > 0) + int(qe[b] < rl[b]))
+            if hyp == sw["score"][b]:       # gapless path
+                want["score"][b] = sw["score"][b]
+                want["pos"][b] = start[b]
+                want["qb"][b] = qb[b]
+                want["qe"][b] = qe[b]
+                want["nm"][b] = mism + n_n
+                cig = []
+                if qb[b] > 0:
+                    cig.append((int(qb[b]) << 4) | 4)
+                cig.append((int(span[b]) << 4) | 0)
+                if qe[b] < rl[b]:
+                    cig.append((int(rl[b] - qe[b]) << 4) | 4)
+                want["cigars"][b] = 0
+                want["cigars"][b, :len(cig)] = cig
+                want["n_cigar"][b] = len(cig)
+        for k in ("score", "pos", "qb", "qe", "nm", "n_cigar"):
+            np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+        np.testing.assert_array_equal(got["cigars"], want["cigars"])
