@@ -27,6 +27,7 @@ timeout 2400 python tools/ab_align.py devem hostem || true
 # 3. the headline number (supervisor handles mid-run wedges)
 timeout 1800 python bench.py
 
-# 4. refresh BASELINE config artifacts on the TPU path
-EMA_TPU_BENCH_PLATFORM=tpu timeout 2400 python tools/bench_configs.py config3 || true
-EMA_TPU_BENCH_PLATFORM=tpu timeout 2400 python tools/bench_configs.py config4 || true
+# 4. refresh BASELINE config artifacts (backend auto-resolves to TPU
+#    when the tunnel is live; artifacts carry a platform tag)
+timeout 2400 python tools/bench_configs.py config3 || true
+timeout 2400 python tools/bench_configs.py config4 || true
