@@ -912,6 +912,154 @@ def finish_group(st: GroupState, cloud_id_start: int = 0) -> GroupResult:
     )
 
 
+def finish_groups_batch(states: List[GroupState],
+                        bases: List[int]) -> List[GroupResult]:
+    """finish_group for MANY groups in one set of array ops.
+
+    Stacks the per-group candidate arrays (padded to the batch's max
+    candidate depth, bounded by DEEP_SWEEP_C) and runs the selection
+    argmax/second, emit ordering, scatter outputs and duplicate marking
+    globally; groups too deep for the stack (loop-path fallbacks) or
+    empty keep the per-group path.  Produces exactly finish_group's
+    results per group (equivalence-tested)."""
+    out: List[Optional[GroupResult]] = [None] * len(states)
+    sel = [i for i, st in enumerate(states)
+           if st.n and st.n_entries
+           and st.cmask.shape[1] <= DEEP_SWEEP_C]
+    for i, st in enumerate(states):
+        if i not in set(sel):
+            out[i] = finish_group(st, bases[i])
+    if not sel:
+        return out
+    sts = [states[i] for i in sel]
+    K = len(sts)
+    E_g = np.array([st.n_entries for st in sts], np.int64)
+    N_g = np.array([st.n for st in sts], np.int64)
+    ent_base = np.concatenate([[0], np.cumsum(E_g)])
+    rec_base = np.concatenate([[0], np.cumsum(N_g)])
+    E_tot, N_tot = int(ent_base[-1]), int(rec_base[-1])
+    C = max(st.cmask.shape[1] for st in sts)
+
+    G = np.full((E_tot, C), -np.inf)
+    CM = np.zeros((E_tot, C), bool)
+    CR = np.zeros((E_tot, C), np.int64)
+    CC = np.zeros((E_tot, C), np.int64)
+    for k, st in enumerate(sts):
+        eb, ee = ent_base[k], ent_base[k + 1]
+        c = st.cmask.shape[1]
+        G[eb:ee, :c] = st.gammas
+        CM[eb:ee, :c] = st.cmask
+        CR[eb:ee, :c] = st.cand_rec + rec_base[k]
+        CC[eb:ee, :c] = st.cand_cloud
+    ACT = np.concatenate([st.R["active"] for st in sts])
+    ME = np.concatenate([st.mate_entry for st in sts])
+    e_local = np.concatenate([np.arange(e) for e in E_g])
+    grp_of_e = np.repeat(np.arange(K), E_g)
+
+    masked_g = np.where(CM & ACT[CR], G, -np.inf)
+    e_ar = np.arange(E_tot)
+    b_idx = np.argmax(masked_g, axis=1)
+    b_gam = masked_g[e_ar, b_idx]
+    dead = ~np.isfinite(b_gam)
+    b_idx = np.where(dead, 0, b_idx)
+    b_gam = np.where(dead, -1.0, b_gam)
+    mg2 = masked_g.copy()
+    mg2[e_ar, np.argmax(masked_g, axis=1)] = -np.inf
+    s_idx = np.argmax(mg2, axis=1)
+    s_val = mg2[e_ar, s_idx]
+
+    r_of = CR[e_ar, b_idx]
+    gam_of = np.where(b_gam > -1.0, b_gam, -1.0)
+    cl_of = CC[e_ar, b_idx]
+    want_alt = (b_gam <= config.SECONDARY_ALIGN_THRESH) & (s_val > 0)
+    alt_of = np.where(want_alt, CR[e_ar, s_idx], -1)
+
+    # head order = reverse insertion order per group
+    emit_m = (ME < 0) | (ME < e_local)
+    eidx = np.nonzero(emit_m)[0]
+    order_e = eidx[np.lexsort((-e_local[eidx], grp_of_e[eidx]))]
+    m_e = ME[order_e]
+    m_glob = np.where(m_e >= 0, ent_base[grp_of_e[order_e]] + m_e, -1)
+
+    gamma_out = np.zeros(N_tot, np.float64)
+    cloud_out = np.zeros(N_tot, np.int64)
+    alt_out = np.full(N_tot, -1, np.int64)
+    selected_mate = np.full(N_tot, -1, np.int64)
+    ents = np.concatenate([order_e, m_glob[m_glob >= 0]])
+    rids = r_of[ents]
+    gamma_out[rids] = gam_of[ents]
+    cloud_out[rids] = cl_of[ents]
+    alt_out[rids] = alt_of[ents]
+
+    best_a = r_of[order_e]
+    best_b = np.where(m_glob >= 0, r_of[np.maximum(m_glob, 0)], -1)
+    paired = best_b >= 0
+    selected_mate[best_a[paired]] = best_b[paired]
+    selected_mate[best_b[paired]] = best_a[paired]
+
+    # duplicate marking (align.c:574-585), group-segmented lexsort
+    many = sts[0].many
+    RC = {f: np.concatenate([st.R[f] for st in sts])
+          for f in ("mate", "rev", "chrom", "pos")}
+    dup_local: List[np.ndarray] = [np.zeros(0, np.int64)] * K
+    if not many and order_e.shape[0]:
+        fa = np.stack([best_a,
+                       np.where(paired, best_b, -1)], axis=1).ravel()
+        fa = fa[fa >= 0]
+        g_of_f = np.searchsorted(rec_base, fa, side="right") - 1
+        mates = selected_mate[fa]
+        has_mate = mates >= 0
+        mchrom = np.where(has_mate, RC["chrom"][np.maximum(mates, 0)],
+                          np.iinfo(np.int64).max)
+        mpos = np.where(has_mate, RC["pos"][np.maximum(mates, 0)],
+                        np.iinfo(np.int64).max)
+        keys = np.stack([
+            g_of_f, RC["mate"][fa], RC["rev"][fa], RC["chrom"][fa],
+            RC["pos"][fa], mchrom, mpos], axis=1)
+        order2 = np.lexsort(tuple(keys.T[::-1]))
+        sk = keys[order2]
+        same = np.zeros(fa.shape[0], bool)
+        same[1:] = (sk[1:] == sk[:-1]).all(axis=1)
+        dups = fa[order2[same]]
+        gd = g_of_f[order2[same]]
+        o3 = np.argsort(gd, kind="stable")
+        dups, gd = dups[o3], gd[o3]
+        cuts = np.searchsorted(gd, np.arange(K + 1))
+        for k in range(K):
+            dup_local[k] = dups[cuts[k]:cuts[k + 1]] - rec_base[k]
+
+    # per-group emit_pairs segmentation (localized record ids)
+    ge = grp_of_e[order_e]
+    cuts_e = np.searchsorted(ge, np.arange(K + 1))
+    for k, (i, st) in enumerate(zip(sel, sts)):
+        s0, e0 = int(cuts_e[k]), int(cuts_e[k + 1])
+        rb = rec_base[k]
+        a_l = best_a[s0:e0] - rb
+        b_l = np.where(best_b[s0:e0] >= 0, best_b[s0:e0] - rb, -1)
+        if dup_local[k].shape[0]:
+            st.R["duplicate"][dup_local[k]] = True
+        r0, r1 = int(rec_base[k]), int(rec_base[k + 1])
+        nc = st.n_clouds
+        cl = cloud_out[r0:r1]
+        sm = selected_mate[r0:r1]
+        al = alt_out[r0:r1]
+        out[i] = GroupResult(
+            records=st.R,
+            idents=st.RI,
+            order=st.order,
+            emit_pairs=list(zip(a_l.tolist(), b_l.tolist())),
+            gamma=gamma_out[r0:r1],
+            cloud_id=cl + bases[i],
+            cloud_bad=np.array(st.cloud_bad, np.int8)[
+                np.clip(cl, 0, max(nc - 1, 0))] if nc
+            else np.zeros(st.n, np.int8),
+            alt_idx=np.where(al >= 0, al - rb, -1),
+            selected_mate=np.where(sm >= 0, sm - rb, -1),
+            n_clouds=nc,
+        )
+    return out
+
+
 def process_barcode_group(records: np.ndarray, idents: np.ndarray,
                           profile: config.PlatformProfile,
                           cloud_id_start: int = 0,

@@ -984,8 +984,11 @@ class Aligner:
                         with self._id_lock:
                             base = self._cloud_id
                             self._cloud_id += st.n_clouds
-                    finished.append(
-                        (g_bc, groups_mod.finish_group(st, base)))
+                    finished.append((g_bc, base))
+                results = groups_mod.finish_groups_batch(
+                    states, [b for _, b in finished])
+                finished = [(g_bc, res)
+                            for (g_bc, _), res in zip(finished, results)]
                 # emission batches across ALL of this emit batch's groups
                 # (one native call; per-group numpy dispatch dominated
                 # the host phase) — scalar fallback stays per-group

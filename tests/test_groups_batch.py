@@ -157,3 +157,53 @@ def test_deep_entry_does_not_widen_other_groups():
         ref = groups.sweep_group(recs[s:e], idents[s:e].astype(str),
                                  profile)
         _assert_states_equal(st, ref, "deep")
+
+
+def test_finish_groups_batch_matches_per_group():
+    """finish_groups_batch must reproduce finish_group exactly: same
+    emit pairs/order, gammas, cloud ids, alts, mates, dup marks."""
+    import copy
+
+    for trial in range(6):
+        rng = np.random.default_rng(100 + trial)
+        recs, idents = _rand_world(rng, int(rng.integers(2, 20)),
+                                   trial % 2 == 1)
+        bcs = recs["bc"]
+        starts = np.concatenate(
+            [[0], np.nonzero(np.diff(bcs))[0] + 1, [len(bcs)]])
+        profile = config.get_platform_profile("10x" if trial % 3 else "tru")
+        sts_a = groups.sweep_groups_batch(recs.copy(), idents, starts,
+                                          profile,
+                                          rng=np.random.default_rng(1))
+        sts_b = groups.sweep_groups_batch(recs.copy(), idents, starts,
+                                          profile,
+                                          rng=np.random.default_rng(1))
+        # run EM on both (same path) so gammas are post-EM
+        groups.run_em_host_batch(sts_a)
+        groups.run_em_host_batch(sts_b)
+        # randomly deactivate some records identically (SA analog)
+        for st_a, st_b in zip(sts_a, sts_b):
+            kill = np.random.default_rng(5).random(st_a.n) < 0.05
+            st_a.R["active"][kill] = False
+            st_b.R["active"][kill] = False
+        bases = [1000 * k for k in range(len(sts_a))]
+        got = groups.finish_groups_batch(sts_a, bases)
+        want = [groups.finish_group(st, b) for st, b in zip(sts_b, bases)]
+        assert len(got) == len(want)
+        for k, (a, b) in enumerate(zip(got, want)):
+            assert a.emit_pairs == b.emit_pairs, (trial, k, "pairs")
+            np.testing.assert_array_equal(a.gamma, b.gamma,
+                                          err_msg=f"{k} gamma")
+            np.testing.assert_array_equal(a.cloud_id, b.cloud_id,
+                                          err_msg=f"{k} cloud")
+            np.testing.assert_array_equal(a.cloud_bad, b.cloud_bad,
+                                          err_msg=f"{k} bad")
+            np.testing.assert_array_equal(a.alt_idx, b.alt_idx,
+                                          err_msg=f"{k} alt")
+            np.testing.assert_array_equal(a.selected_mate,
+                                          b.selected_mate,
+                                          err_msg=f"{k} mate")
+            np.testing.assert_array_equal(a.records["duplicate"],
+                                          b.records["duplicate"],
+                                          err_msg=f"{k} dup")
+            assert a.n_clouds == b.n_clouds
