@@ -393,8 +393,10 @@ def sweep_groups_batch(recs: np.ndarray, idents, starts: np.ndarray,
     eid = rank[inv]
     grp_of_entry = np.empty(E, np.int64)
     grp_of_entry[rank] = grp_of_row[first_idx]
-    entry_base = np.searchsorted(np.sort(grp_of_row[first_idx]),
-                                 np.arange(n_grp), side="left")
+    # grp_of_entry is non-decreasing along rank order (groups are
+    # contiguous in sweep order), so the per-group base is a searchsorted
+    entry_base = np.searchsorted(grp_of_entry, np.arange(n_grp),
+                                 side="left")
     entry_cnt = np.empty(n_grp, np.int64)
     entry_cnt[:-1] = np.diff(entry_base)
     entry_cnt[-1] = E - entry_base[-1]
@@ -480,8 +482,6 @@ def sweep_groups_batch(recs: np.ndarray, idents, starts: np.ndarray,
     states: List[GroupState] = []
     for g in range(n_grp):
         s, e = int(starts[g]), int(starts[g + 1])
-        if e <= s:
-            continue
         n_pairs = n_pairs_list[g] if n_pairs_list is not None else None
         if bad_grp[g]:
             states.append(sweep_group(
@@ -926,8 +926,9 @@ def finish_groups_batch(states: List[GroupState],
     sel = [i for i, st in enumerate(states)
            if st.n and st.n_entries
            and st.cmask.shape[1] <= DEEP_SWEEP_C]
+    sel_set = set(sel)
     for i, st in enumerate(states):
-        if i not in set(sel):
+        if i not in sel_set:
             out[i] = finish_group(st, bases[i])
     if not sel:
         return out
@@ -958,13 +959,13 @@ def finish_groups_batch(states: List[GroupState],
 
     masked_g = np.where(CM & ACT[CR], G, -np.inf)
     e_ar = np.arange(E_tot)
-    b_idx = np.argmax(masked_g, axis=1)
-    b_gam = masked_g[e_ar, b_idx]
+    am = np.argmax(masked_g, axis=1)
+    b_gam = masked_g[e_ar, am]
     dead = ~np.isfinite(b_gam)
-    b_idx = np.where(dead, 0, b_idx)
+    b_idx = np.where(dead, 0, am)
     b_gam = np.where(dead, -1.0, b_gam)
     mg2 = masked_g.copy()
-    mg2[e_ar, np.argmax(masked_g, axis=1)] = -np.inf
+    mg2[e_ar, am] = -np.inf
     s_idx = np.argmax(mg2, axis=1)
     s_val = mg2[e_ar, s_idx]
 

@@ -543,9 +543,8 @@ class Aligner:
         # max_occ-scale hit caps) run in fixed-size chunks: bounds device
         # memory for the [N, Wmax] window gather and reuses one compiled
         # program for the big chunks
-        wl_cand = (np.ascontiguousarray(wl, np.int32) if wl is not None
-                   else win_len.astype(np.int32))
-        np.maximum(wl_cand, 1, out=wl_cand)
+        wl_cand = np.maximum(wl if wl is not None else win_len,
+                             1).astype(np.int32)
         if self._sw_impl == "native" and oriented_host is not None \
                 and olens_host is not None:
             # threaded host C++ banded DP straight off the packed text —
