@@ -265,3 +265,74 @@ class TestCrossBackendPipeline:
             finally:
                 del os.environ["EMA_TPU_SW_IMPL"]
         assert outs["native"] == outs["banded"]
+
+
+class TestLogicalCorridor:
+    def test_wl_masking_identical_across_kernels(self):
+        """Per-candidate logical corridors (wl) must produce identical
+        outputs from the XLA row-sweep and both Pallas kernels
+        (interpret mode), for random corridors narrower than the
+        physical band."""
+        import jax.numpy as jnp
+
+        from ema_tpu.ops.sw import sw_score_banded
+        from ema_tpu.ops.sw_pallas import (sw_score_banded_pallas,
+                                           sw_score_banded_pallas16)
+
+        rng = np.random.default_rng(3)
+        B, m, W = 32, 80, 128
+        n = m + W + 20
+        reads = rng.integers(0, 5, (B, m)).astype(np.int32)
+        rlens = rng.integers(40, m + 1, B).astype(np.int32)
+        refs = rng.integers(0, 6, (B, n)).astype(np.int32)
+        nlens = rng.integers(90, n + 1, B).astype(np.int32)
+        wl = rng.integers(1, W + 1, B).astype(np.int32)
+
+        want = {k: np.asarray(v) for k, v in sw_score_banded(
+            jnp.asarray(reads), jnp.asarray(rlens), jnp.asarray(refs),
+            jnp.asarray(nlens), W, wl=jnp.asarray(wl)).items()}
+        a = {k: np.asarray(v) for k, v in sw_score_banded_pallas(
+            jnp.asarray(reads), jnp.asarray(rlens), jnp.asarray(refs),
+            jnp.asarray(nlens), W, interpret=True,
+            wl=jnp.asarray(wl)).items()}
+        b = {k: np.asarray(v) for k, v in sw_score_banded_pallas16(
+            jnp.asarray(reads), jnp.asarray(rlens), jnp.asarray(refs),
+            jnp.asarray(nlens), W, interpret=True,
+            wl=jnp.asarray(wl)).items()}
+        for k in ("score", "qb", "qe", "ref_end"):
+            np.testing.assert_array_equal(a[k], want[k],
+                                          err_msg="pallas " + k)
+            np.testing.assert_array_equal(b[k], want[k],
+                                          err_msg="pallas16 " + k)
+
+    def test_wl_masking_native_matches_xla(self):
+        """The host kernels honor the same per-candidate corridor."""
+        import jax.numpy as jnp
+
+        from ema_tpu import native
+        from ema_tpu.ops.sw import sw_score_banded
+
+        rng = np.random.default_rng(9)
+        R, L, n = 24, 70, 4000
+        oriented = rng.integers(0, 5, (R, L)).astype(np.uint8)
+        olens = rng.integers(40, L + 1, R).astype(np.int32)
+        text = rng.integers(0, 4, n).astype(np.uint8)
+        N, W = 100, 128
+        owners = rng.integers(0, R, N).astype(np.int64)
+        win_lo = rng.integers(-30, n - 90, N).astype(np.int64)
+        win_len = rng.integers(90, 220, N).astype(np.int32)
+        wl = rng.integers(1, W + 1, N).astype(np.int32)
+
+        for force_scalar in (False, True):
+            got = native.sw_banded_native(oriented, olens, text, owners,
+                                          win_lo, win_len, W, wl=wl,
+                                          force_scalar=force_scalar)
+            cols = win_lo[:, None] + np.arange(int(win_len.max()))[None, :]
+            wins = np.where((cols < 0) | (cols >= n), 5,
+                            text[np.clip(cols, 0, n - 1)]).astype(np.int32)
+            want = {k: np.asarray(v) for k, v in sw_score_banded(
+                jnp.asarray(oriented[owners].astype(np.int32)),
+                jnp.asarray(olens[owners]), jnp.asarray(wins),
+                jnp.asarray(win_len), W, wl=jnp.asarray(wl)).items()}
+            for k in ("score", "qb", "qe", "ref_end"):
+                np.testing.assert_array_equal(got[k], want[k], err_msg=k)
