@@ -193,7 +193,9 @@ class RunConfig:
                                         # (CLI -t; auto: 4 on TPU, 5 on
                                         # CPU backends)
     device_em: Optional[bool] = None    # run EM on device (auto: True on
-                                        # TPU backends, False on CPU)
+                                        # every backend — the jitted EM
+                                        # wins on CPU too; host path
+                                        # selectable via device_em=False)
     data_parallel_chips: bool = True    # shard device calls over all local
                                         # chips (auto-off with one device)
     nobc: bool = False                  # no-barcode mode: each pair is its

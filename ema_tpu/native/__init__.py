@@ -267,6 +267,23 @@ def get_lib() -> ctypes.CDLL:
         return _lib
 
 
+_fingerprint = None
+
+
+def lib_fingerprint() -> str:
+    """CRC32 of the built .so, for keying disk caches whose contents
+    depend on the native library (e.g. libstdc++ map-iteration-order
+    replays).  A toolchain or source change produces a new .so and hence
+    a new key, so stale cached orders can't be silently reused."""
+    global _fingerprint
+    if _fingerprint is None:
+        import zlib
+        get_lib()  # ensure the .so exists and is current
+        with open(_SO, "rb") as f:
+            _fingerprint = f"{zlib.crc32(f.read()):08x}"
+    return _fingerprint
+
+
 def _ptr(a: np.ndarray, ctype):
     return a.ctypes.data_as(ctypes.POINTER(ctype))
 

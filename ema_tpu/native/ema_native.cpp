@@ -1685,6 +1685,11 @@ extern "C" void bc_hash_build(const uint32_t *keys, const double *vals,
 
 static inline double bc_hash_get(const uint32_t *slots, const double *svals,
                                  uint32_t mask, uint32_t k) {
+    // Key 0 (all-A barcode) is the empty-slot sentinel and is never a
+    // valid whitelist key; without this guard a k==0 probe would match
+    // the first empty slot (s == k) and report a bogus HIT with an
+    // uninitialized prior, diverging from the numpy fallback.
+    if (k == 0) return -1.0;
     uint32_t h = bc_hash_mix(k) & mask;
     for (;;) {
         const uint32_t s = slots[h];

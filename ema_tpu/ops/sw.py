@@ -200,6 +200,12 @@ def sw_score_banded(reads: jax.Array, read_lens: jax.Array,
     B, m = reads.shape
     _, n = refs.shape
     W = w_band
+    # the tie-break key packs the read row index into the low 10 bits
+    # (d_key below); reads >= 1024 bp would overflow into the primary key
+    # and silently change the documented tie order (min d=2i+k, then min i)
+    if m >= 1024:
+        raise ValueError(f"banded SW tie-break packing requires read "
+                         f"length < 1024 (got m={m})")
     reads = reads.astype(jnp.int32)
     goe = gap_open + gap_extend
 

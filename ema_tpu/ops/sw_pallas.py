@@ -409,6 +409,10 @@ def sw_score_banded_pallas(reads, read_lens, refs, ref_lens, w_band,
     _, n = refs.shape
     W = w_band
     assert W % 128 == 0, "w_band must be lane-aligned"
+    # tie-break packing (d_key) reserves 10 low bits for the row index
+    if m >= 1024:
+        raise ValueError(f"banded SW tie-break packing requires read "
+                         f"length < 1024 (got m={m})")
     n_pad = _round_up(m + W, 128)
     TB = tile_b
     Bp = _round_up(max(B, 1), TB)
@@ -592,6 +596,9 @@ def sw_score_banded_pallas16(reads, read_lens, refs, ref_lens, w_band,
     _, n = refs.shape
     W = w_band
     assert W % 128 == 0
+    if m >= 1024:
+        raise ValueError(f"banded SW tie-break packing requires read "
+                         f"length < 1024 (got m={m})")
     n_pad = _round_up(m + W, 128)
     Bp = _round_up(max(B, 1), TILE_B)
     reads = jnp.pad(reads.astype(jnp.int32), ((0, Bp - B), (0, 0)),

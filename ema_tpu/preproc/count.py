@@ -118,7 +118,10 @@ def umap_order_cached(keys: np.ndarray) -> np.ndarray:
     if no_disk or keys.shape[0] < 500_000:
         return native.umap_order_u32(keys)
     kb = np.ascontiguousarray(keys, np.uint32).tobytes()
-    tag = f"{zlib.crc32(kb):08x}_{len(kb)}"
+    # keyed by key content AND the native .so fingerprint: the replayed
+    # iteration order depends on the libstdc++/native build that produced
+    # it, so a toolchain change must invalidate the cache (ADVICE r3)
+    tag = f"{zlib.crc32(kb):08x}_{len(kb)}_{native.lib_fingerprint()}"
     cache_dir = os.environ.get("EMA_TPU_CACHE_DIR",
                                "/tmp/ema_tpu_jax_cache")
     path = os.path.join(cache_dir, f"wl_order_v1_{tag}.npy")
@@ -347,14 +350,18 @@ def haplotag_emission_order() -> np.ndarray:
         return _HAPLOTAG_CACHE["order"]
     import os
 
+    from ema_tpu import native
+
     n = 96 ** 4
     no_disk = os.environ.get("EMA_TPU_NO_DISK_CACHE", "").lower() \
         in ("1", "true", "yes")
     cache_dir = os.environ.get("EMA_TPU_CACHE_DIR",
                                "/tmp/ema_tpu_jax_cache")
-    # v1: order depends only on the libstdc++ unordered_map growth
-    # policy, stable for a given toolchain; bump on native-lib changes
-    path = os.path.join(cache_dir, f"haplotag_order_v1_{n}.npy")
+    # the replayed order depends on the libstdc++/native build, so the
+    # .so fingerprint is part of the key (auto-invalidates on toolchain
+    # or source changes; ADVICE r3)
+    path = os.path.join(
+        cache_dir, f"haplotag_order_v1_{n}_{native.lib_fingerprint()}.npy")
     order = None
     if not no_disk:
         try:
@@ -364,7 +371,6 @@ def haplotag_emission_order() -> np.ndarray:
         except Exception:
             pass
     if order is None:
-        from ema_tpu import native
         order = native.umap_order_u32(haplotag_all_codes())
         if not no_disk:
             try:

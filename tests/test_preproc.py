@@ -210,6 +210,10 @@ class TestNativeCorrectParity:
         codes[3000:3500, 7] = 4         # one N
         codes[3500:3600, 2] = 4
         codes[3500:3600, 9] = 4         # two Ns -> nobucket
+        # all-A barcodes (bc encodes to 0, the native hash's empty-slot
+        # sentinel): must be a whitelist MISS eligible for H1 correction
+        # on both paths, not a bogus exact hit (ADVICE r3, medium)
+        codes[3600:3650] = 0
         quals = rng.integers(0, 34, (K, 16)).astype(np.int64)
         keys = codes * 34 + quals
 

@@ -1,0 +1,40 @@
+#!/bin/bash
+# Tunnel watcher: probe the TPU tunnel on a slow cadence (a wedged probe
+# burns the single host core, so keep the duty cycle low), and run the
+# hardware-timing queue (tools/tpu_queue.sh) the first time it answers.
+#
+#   bash tools/tpu_watch.sh &   # logs to /tmp/tpu_watch.log
+#
+# Exits 0 after a successful queue run, 2 if the tunnel never recovered
+# within MAX_HOURS.
+set -u
+cd "$(dirname "$0")/.."
+LOG=/tmp/tpu_watch.log
+MAX_HOURS=${MAX_HOURS:-10}
+PROBE_TIMEOUT=${PROBE_TIMEOUT:-120}
+SLEEP=${SLEEP:-540}
+deadline=$(( $(date +%s) + MAX_HOURS * 3600 ))
+
+probe() {
+  timeout "$PROBE_TIMEOUT" python -c "
+import numpy as np, jax, jax.numpy as jnp
+d = jax.devices()
+assert d and d[0].platform != 'cpu', d
+print('devices:', d)
+print('roundtrip:', np.asarray(jnp.arange(8) + 1))
+" >>"$LOG" 2>&1
+}
+
+echo "=== tpu_watch start $(date -u +%FT%TZ) ===" >>"$LOG"
+while [ "$(date +%s)" -lt "$deadline" ]; do
+  if probe; then
+    echo "=== TUNNEL ALIVE $(date -u +%FT%TZ) — running queue ===" >>"$LOG"
+    bash tools/tpu_queue.sh >>"$LOG" 2>&1
+    echo "=== queue done rc=$? $(date -u +%FT%TZ) ===" >>"$LOG"
+    exit 0
+  fi
+  echo "--- wedged $(date -u +%FT%TZ); sleeping ${SLEEP}s ---" >>"$LOG"
+  sleep "$SLEEP"
+done
+echo "=== tpu_watch gave up $(date -u +%FT%TZ) ===" >>"$LOG"
+exit 2
