@@ -75,7 +75,9 @@ def main() -> None:
                EMA_TPU_BENCH_REQUIRE_TPU="1",
                EMA_TPU_PROBE_TIMEOUT="120")
     tpu_res = None
+    tpu_attempts = 0
     for attempt in range(3):
+        tpu_attempts += 1
         tpu_res = run_inner(env, 540)
         if tpu_res is not None:
             break
@@ -95,6 +97,10 @@ def main() -> None:
     for r in (tpu_res, cpu_res):
         if r:
             best[f"{r.get('platform', '?')}_pairs_per_sec"] = r["value"]
+    # self-describe backend availability so a missing TPU number is
+    # explicit in the artifact rather than silently a CPU fallback
+    best["tpu_attempted"] = tpu_attempts
+    best["tpu_failed"] = tpu_res is None
     print(json.dumps(best))
 
 

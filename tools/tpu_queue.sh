@@ -16,16 +16,20 @@ print('roundtrip:', np.asarray(jnp.arange(8) + 1))
 " || { echo "TUNNEL WEDGED - aborting queue"; exit 1; }
 
 # 1. kernel-level: packed-scan banded Pallas vs XLA scan (w/ the new
-#    per-candidate corridor input), TILE_B sweep
-timeout 1800 python tools/bench_sw.py
+#    per-candidate corridor input), TILE_B sweep + roofline artifact
+#    (each step checkpoints its own artifact so a later wedge cannot
+#    lose the session's earlier results)
+timeout 1800 python tools/bench_sw.py --json BENCH_SW_r04.json
 
 # 2. pipeline-level A/Bs through the oscillating tunnel (same-window
 #    alternating passes): pallas-vs-banded, devem-vs-hostem
-timeout 2400 python tools/ab_align.py pallas banded || true
-timeout 2400 python tools/ab_align.py devem hostem || true
+timeout 2400 python tools/ab_align.py pallas banded \
+    | tee AB_PALLAS_BANDED_r04.txt || true
+timeout 2400 python tools/ab_align.py devem hostem \
+    | tee AB_DEVEM_HOSTEM_r04.txt || true
 
 # 3. the headline number (supervisor handles mid-run wedges)
-timeout 1800 python bench.py
+timeout 1800 python bench.py | tee BENCH_QUEUE_r04.json
 
 # 4. refresh BASELINE config artifacts (backend auto-resolves to TPU
 #    when the tunnel is live; artifacts carry a platform tag)
