@@ -249,11 +249,20 @@ def main(argv=None) -> int:
         ap.add_argument("-j", dest="workers", type=int, default=None,
                         help="parallel shard-build processes "
                              "(default: one per shard up to cpu count)")
+        ap.add_argument("--from-bwa", action="store_true",
+                        help="build from an existing `bwa index` "
+                             "(<ref>.pac/.ann/.amb) instead of parsing "
+                             "the FASTA (reference: bwa_idx_load, "
+                             "bwabridge.c:79)")
         a = ap.parse_args(rest)
         from ema_tpu.index import (MAX_SHARD_BASES, build_and_save_sharded,
                                    build_index)
         from ema_tpu.index.build import parse_fasta
-        contigs = parse_fasta(a.ref)
+        if a.from_bwa:
+            from ema_tpu.index.bwa_import import load_bwa_contigs
+            contigs = load_bwa_contigs(a.ref)
+        else:
+            contigs = parse_fasta(a.ref)
         total = sum(arr.shape[0] for arr in contigs.values())
         if a.shard_bases or total > MAX_SHARD_BASES:
             build_and_save_sharded(

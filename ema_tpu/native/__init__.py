@@ -142,6 +142,14 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.umap_order_u32_sim.restype = ctypes.c_int64
+        lib.umap_order_u32_sim.argtypes = \
+            lib.umap_order_u32.argtypes + [ctypes.c_int32]
+        lib.bc_encode_block.restype = None
+        lib.bc_encode_block.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_uint32),
+        ]
 
         lib.bucket_assign_pq.restype = None
         lib.bucket_assign_pq.argtypes = [
@@ -793,20 +801,46 @@ def _auto_threads() -> int:
     return min(os.cpu_count() or 1, 16)
 
 
-def umap_order_u32(keys: np.ndarray) -> np.ndarray:
+def bc_encode_block(data: np.ndarray, stride: int) -> np.ndarray:
+    """Strided raw bytes -> preproc-encoded uint32 barcodes (first base in
+    the high bits, hash_dna codes; count.cc:130).  ``data`` is a flat
+    uint8 buffer of n rows of ``stride`` bytes, the first 16 of each row
+    being the barcode bases."""
+    data = np.ascontiguousarray(data, np.uint8)
+    n = data.shape[0] // stride
+    out = np.empty(n, np.uint32)
+    get_lib().bc_encode_block(
+        _ptr(data, ctypes.c_uint8), ctypes.c_int64(n),
+        ctypes.c_int64(stride), _ptr(out, ctypes.c_uint32))
+    return out
+
+
+def umap_order_u32(keys: np.ndarray, sim: bool | None = None,
+                   distinct: bool = False) -> np.ndarray:
     """Reference-compatible emission order (see ema_native.cpp).
 
-    Replays the key insertion sequence into a real libstdc++
-    std::unordered_map and returns, in map-iteration order, the index of
-    each distinct key's first occurrence — the order the reference uses
-    for .ema-ncnt emission and bucket assignment (count.cc:160-170,
-    correct.cc:407-412).
+    Replays the key insertion sequence through libstdc++'s hashtable
+    mechanics and returns, in map-iteration order, the index of each
+    distinct key's first occurrence — the order the reference uses for
+    .ema-ncnt emission and bucket assignment (count.cc:160-170,
+    correct.cc:407-412).  Default is the flat-array simulation
+    (umap_order_u32_sim, several x faster, equality-tested vs the real
+    map); EMA_TPU_UMAP_SIM=0 or sim=False forces the real
+    std::unordered_map replay.  ``distinct=True`` (sim only) skips the
+    duplicate probe when the caller pre-deduplicated keys.
     """
+    if sim is None:
+        sim = os.environ.get("EMA_TPU_UMAP_SIM", "1") != "0"
     keys = np.ascontiguousarray(keys, np.uint32)
     out = np.empty(keys.shape[0], np.int64)
-    n = get_lib().umap_order_u32(
-        _ptr(keys, ctypes.c_uint32), ctypes.c_int64(keys.shape[0]),
-        _ptr(out, ctypes.c_int64))
+    if sim:
+        n = get_lib().umap_order_u32_sim(
+            _ptr(keys, ctypes.c_uint32), ctypes.c_int64(keys.shape[0]),
+            _ptr(out, ctypes.c_int64), ctypes.c_int32(int(distinct)))
+    else:
+        n = get_lib().umap_order_u32(
+            _ptr(keys, ctypes.c_uint32), ctypes.c_int64(keys.shape[0]),
+            _ptr(out, ctypes.c_int64))
     return out[:n]
 
 

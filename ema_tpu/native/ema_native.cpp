@@ -1436,6 +1436,129 @@ extern "C" int64_t umap_order_u32(const uint32_t *keys, int64_t n,
     return w;
 }
 
+// Flat-array simulation of libstdc++'s _Hashtable insertion mechanics —
+// same iteration order as umap_order_u32 (asserted for every call shape
+// in tests/test_native.py) at ~8x the speed: no per-node malloc, no
+// pointer chasing through heap nodes.  Growth thresholds come from the
+// REAL std::__detail::_Prime_rehash_policy in the linked libstdc++, so
+// the rehash schedule is exact by construction; the singly-linked
+// global-list mechanics below mirror _M_insert_bucket_begin and
+// _M_rehash_aux (bits/hashtable.h): a node entering an empty bucket is
+// pushed to the global head, a node entering an occupied bucket is
+// inserted at that bucket's front, and rehash re-inserts nodes in old
+// global order.  std::hash<uint32_t> is the identity.
+// distinct != 0 asserts the caller pre-deduplicated keys: the duplicate
+// probe walk (which cannot change the outcome) is skipped.
+extern "C" int64_t umap_order_u32_sim(const uint32_t *keys, int64_t n,
+                                      int64_t *out_idx, int32_t distinct) {
+    // node ids / indices are int32 (keys fit: a uint32 key space holds
+    // < 2^32 distinct keys and real inputs are << 2^31) — halves the
+    // working set, which is what this loop is bound on
+    if (n >= INT32_MAX) return -1;
+    std::__detail::_Prime_rehash_policy pol(1.0f);
+    std::vector<uint32_t> kv;     // node id -> key
+    std::vector<int32_t> src;     // node id -> first-occurrence index
+    std::vector<int32_t> nxt;     // node id -> next node in global list
+    kv.reserve(n); src.reserve(n); nxt.reserve(n);
+    // bucket -> "before node" of the bucket's first element:
+    //   -1 = empty bucket, -2 = &before_begin, >=0 = node id
+    std::vector<int32_t> before(1, -1);
+    size_t bucket_count = 1;
+    int32_t head = -1;            // before_begin._M_nxt
+
+    for (int64_t i = 0; i < n; i++) {
+        uint32_t k = keys[i];
+        size_t b = (size_t)k % bucket_count;
+        // duplicate probe: walk the bucket (ends where the successor's
+        // bucket index changes, as _M_find_node does)
+        bool found = false;
+        if (!distinct && before[b] != -1) {
+            int32_t p = before[b] == -2 ? head : nxt[before[b]];
+            while (p != -1) {
+                if (kv[p] == k) { found = true; break; }
+                int32_t q = nxt[p];
+                if (q == -1 || (size_t)kv[q] % bucket_count != b) break;
+                p = q;
+            }
+        }
+        if (found) continue;
+
+        auto need = pol._M_need_rehash(bucket_count, kv.size(), 1);
+        if (need.first) {
+            size_t nb = need.second;
+            std::vector<int32_t> nbefore(nb, -1);
+            int32_t p = head;
+            head = -1;
+            size_t bbegin_bkt = 0;   // bucket of the current global head
+            while (p != -1) {
+                int32_t nx = nxt[p];
+                size_t pb = (size_t)kv[p] % nb;
+                if (nbefore[pb] == -1) {
+                    nxt[p] = head;
+                    if (head != -1) nbefore[bbegin_bkt] = p;
+                    head = p;
+                    nbefore[pb] = -2;
+                    bbegin_bkt = pb;
+                } else if (nbefore[pb] == -2) {
+                    nxt[p] = head;
+                    head = p;
+                } else {
+                    int32_t bef = nbefore[pb];
+                    nxt[p] = nxt[bef];
+                    nxt[bef] = p;
+                }
+                p = nx;
+            }
+            before.swap(nbefore);
+            bucket_count = nb;
+            b = (size_t)k % bucket_count;
+        }
+
+        int32_t node = (int32_t)kv.size();
+        kv.push_back(k);
+        src.push_back((int32_t)i);
+        nxt.push_back(-1);
+        if (before[b] == -1) {
+            // empty bucket: push to global head; the old head's bucket
+            // now has `node` as its before-node
+            nxt[node] = head;
+            if (head != -1)
+                before[(size_t)kv[head] % bucket_count] = node;
+            head = node;
+            before[b] = -2;
+        } else if (before[b] == -2) {
+            nxt[node] = head;
+            head = node;
+        } else {
+            int32_t bef = before[b];
+            nxt[node] = nxt[bef];
+            nxt[bef] = node;
+        }
+    }
+
+    int64_t w = 0;
+    for (int32_t p = head; p != -1; p = nxt[p]) out_idx[w++] = src[p];
+    return w;
+}
+
+// Preproc barcode encoding (count.cc:130): 16 bases -> uint32, first
+// base in the HIGH bits, hash_dna (ACGTacgt -> 0..3, else 0).  One pass
+// over strided raw file/FASTQ bytes — replaces the numpy gather +
+// 16-pass shift/or loop on 4M-row whitelists.
+extern "C" void bc_encode_block(const uint8_t *data, int64_t n,
+                                int64_t stride, uint32_t *out) {
+    uint8_t lut[256];
+    memset(lut, 0, sizeof lut);
+    const char *b = "ACGTacgt";
+    for (int i = 0; i < 8; i++) lut[(uint8_t)b[i]] = (uint8_t)(i & 3);
+    for (int64_t r = 0; r < n; r++) {
+        const uint8_t *p = data + r * stride;
+        uint32_t v = 0;
+        for (int i = 0; i < 16; i++) v = (v << 2) | lut[p[i]];
+        out[r] = v;
+    }
+}
+
 // Greedy min-heap bucket assignment (correct.cc:389-412): buckets are file
 // indices 1..n_buckets (0 is ema-nobc); the priority queue orders by
 // (current size, file index) and each barcode — visited in map-iteration

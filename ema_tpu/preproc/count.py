@@ -69,14 +69,17 @@ def load_whitelist_file_order(path: str) -> np.ndarray:
     ``counts[barcode] = 0`` inserts, count.cc:58-63).  File order matters:
     it determines the reference-compatible .ema-ncnt emission and bucket
     assignment order (see native.umap_order_u32)."""
+    from ema_tpu import native
+
     with open(path, "rb") as f:
         data = f.read()
     arr = np.frombuffer(data, np.uint8)
-    # fast path: uniform "<16 bases>\n" lines (every real 10x whitelist)
+    # fast path: uniform "<16 bases>\n" lines (every real 10x whitelist) —
+    # encoded straight off the strided file bytes in native C++
     if (arr.shape[0] % (BC_LEN + 1) == 0 and arr.shape[0]
             and (arr.reshape(-1, BC_LEN + 1)[:, BC_LEN] == ord("\n")).all()
             and b"#" not in data):
-        block = arr.reshape(-1, BC_LEN + 1)[:, :BC_LEN]
+        bcs = native.bc_encode_block(arr, BC_LEN + 1)
     else:
         rows = []
         for line in data.splitlines():
@@ -87,9 +90,13 @@ def load_whitelist_file_order(path: str) -> np.ndarray:
         if not rows:
             return np.zeros(0, np.uint32)
         block = np.frombuffer(b"".join(rows), np.uint8).reshape(-1, BC_LEN)
-    bcs = encode_bc_preproc(HASH_DNA[block]).astype(np.uint32)
+        bcs = native.bc_encode_block(np.ascontiguousarray(block).reshape(-1),
+                                     BC_LEN)
     if (bcs == 0).any():
         raise ValueError("Invalid barcode AAA...AA whitelisted")
+    srt = np.sort(bcs)
+    if not (srt[1:] == srt[:-1]).any():
+        return bcs          # no duplicates (every real whitelist)
     _, first = np.unique(bcs, return_index=True)
     return bcs[np.sort(first)]
 
@@ -102,6 +109,10 @@ def load_whitelist_preproc(path: str) -> np.ndarray:
 
 def umap_order_cached(keys: np.ndarray) -> np.ndarray:
     """native.umap_order_u32 with a content-keyed disk cache.
+
+    Callers must pass pre-deduplicated keys (both call sites pass
+    load_whitelist_file_order output, which dedups): the distinct=True
+    fast path skips the hashtable duplicate probe.
 
     The libstdc++ map-order replay costs ~3s for a 4M-barcode whitelist
     and runs once per count AND once per preproc invocation on the same
@@ -116,7 +127,7 @@ def umap_order_cached(keys: np.ndarray) -> np.ndarray:
     no_disk = os.environ.get("EMA_TPU_NO_DISK_CACHE", "").lower() \
         in ("1", "true", "yes")
     if no_disk or keys.shape[0] < 500_000:
-        return native.umap_order_u32(keys)
+        return native.umap_order_u32(keys, distinct=True)
     kb = np.ascontiguousarray(keys, np.uint32).tobytes()
     # keyed by key content AND the native .so fingerprint: the replayed
     # iteration order depends on the libstdc++/native build that produced
@@ -131,7 +142,7 @@ def umap_order_cached(keys: np.ndarray) -> np.ndarray:
             return got.astype(np.int64)
     except Exception:
         pass
-    order = native.umap_order_u32(keys)
+    order = native.umap_order_u32(keys, distinct=True)
     try:
         os.makedirs(cache_dir, exist_ok=True)
         tmp = f"{path}.tmp.{os.getpid()}"
@@ -143,38 +154,37 @@ def umap_order_cached(keys: np.ndarray) -> np.ndarray:
     return order
 
 
-def iter_fastq_pairs(stream) -> Iterator[List[bytes]]:
-    """Yield 8-line chunks (one read pair) from an interleaved FASTQ.
+def iter_fastq_line_blocks(stream) -> Iterator[List[bytes]]:
+    """Yield flat line lists (length a multiple of 8; one read pair per
+    8 lines) from an interleaved FASTQ.
 
     Block reads + one bulk split per ~4MB instead of 8 readline() calls
     per pair (~5x on the preproc streaming paths).  A truncated trailing
-    pair yields with empty strings for the missing lines, like the old
-    readline-based reader."""
+    pair is padded with empty strings, like a readline-based reader."""
     pend = b""
     lines: List[bytes] = []
-    lo = 0
     while True:
         block = stream.read(1 << 22)
         if not block:
             break
         parts = (pend + block).split(b"\n")
         pend = parts.pop()
-        if lines and lo:
-            lines = lines[lo:]
-            lo = 0
         lines.extend(parts)
         n8 = (len(lines) // 8) * 8
-        while lo < n8:
-            yield lines[lo:lo + 8]
-            lo += 8
-    lines = lines[lo:]
+        if n8:
+            yield lines[:n8]
+            lines = lines[n8:]
     if pend:
         lines.append(pend)
-    for s in range(0, len(lines), 8):
-        pair = lines[s:s + 8]
-        if len(pair) < 8:
-            pair = pair + [b""] * (8 - len(pair))
-        yield pair
+    if lines:
+        yield lines + [b""] * ((-len(lines)) % 8)
+
+
+def iter_fastq_pairs(stream) -> Iterator[List[bytes]]:
+    """Yield 8-line chunks (one read pair) from an interleaved FASTQ."""
+    for lines in iter_fastq_line_blocks(stream):
+        for s in range(0, len(lines), 8):
+            yield lines[s:s + 8]
 
 
 def fused_keys_and_barcodes(seqs: np.ndarray, quals: np.ndarray):
@@ -188,36 +198,84 @@ def fused_keys_and_barcodes(seqs: np.ndarray, quals: np.ndarray):
     n_codes = HASH_DNA_N[seqs]
     key = (n_codes.astype(np.uint8) * QUAL_BASE
            + np.maximum(q, 0).astype(np.uint8))
-    bc = encode_bc_preproc(HASH_DNA[seqs])
+    if seqs.flags.c_contiguous and seqs.shape[1] == BC_LEN:
+        from ema_tpu import native
+        bc = native.bc_encode_block(seqs.reshape(-1), BC_LEN)
+    else:
+        bc = encode_bc_preproc(HASH_DNA[seqs])
     has_n = (n_codes == 4).any(axis=1)
     return ok, has_n, bc, key
 
 
 class FullCountMap:
-    """fused-key -> count map with block spill (count.cc:16-34)."""
+    """fused-key -> count map with block spill (count.cc:16-34).
+
+    Vectorized: batches buffer raw [N, 16] key arrays; consolidation
+    merges them into one sorted (key -> count) table.  The 16 key bytes
+    are held as two native u64 columns (decoded big-endian, so the
+    numeric (a, b) lexsort order IS the lexicographic byte order) and
+    sorted with np.lexsort — much faster than a structured-dtype sort.
+    Spill blocks are written sorted by the 16 key bytes — the reference's
+    std::map iteration order.  Block BOUNDARIES vs the reference are
+    implementation-defined either way (the reference spills on an
+    estimated memory threshold, count.cc:144-146); inputs that fit one
+    block — the byte-parity contract — are identical.
+    """
+
+    CONSOLIDATE_ROWS = 2_000_000
 
     def __init__(self, out_path: str | None, max_entries: int = 8_000_000):
-        self.map: Dict[bytes, int] = {}
         self.out = open(out_path, "wb") if out_path else None
         self.max_entries = max_entries
+        self.ka = np.empty(0, np.uint64)
+        self.kb = np.empty(0, np.uint64)
+        self.counts = np.empty(0, np.int64)
+        self.pend: List[np.ndarray] = []
+        self.pend_rows = 0
 
     def add_batch(self, keys: np.ndarray):
-        m = self.map
-        for k in keys:
-            kb = k.tobytes()
-            m[kb] = m.get(kb, 0) + 1
-        if self.out is not None and len(m) >= self.max_entries:
-            self.spill()
+        if keys.shape[0]:
+            self.pend.append(np.ascontiguousarray(keys))
+            self.pend_rows += keys.shape[0]
+        if self.pend_rows >= self.CONSOLIDATE_ROWS:
+            self._consolidate()
+            if self.out is not None and self.ka.shape[0] >= self.max_entries:
+                self.spill()
+
+    def _consolidate(self):
+        if not self.pend:
+            return
+        raw = np.concatenate(self.pend).view(">u8").reshape(-1, 2)
+        self.pend = []
+        self.pend_rows = 0
+        a = np.concatenate([self.ka, raw[:, 0].astype(np.uint64)])
+        b = np.concatenate([self.kb, raw[:, 1].astype(np.uint64)])
+        c = np.concatenate(
+            [self.counts, np.ones(raw.shape[0], np.int64)])
+        order = np.lexsort((b, a))
+        a, b, c = a[order], b[order], c[order]
+        new = np.empty(a.shape[0], bool)
+        new[0] = True
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        idx = np.cumsum(new) - 1
+        self.ka, self.kb = a[new], b[new]
+        self.counts = np.bincount(
+            idx, weights=c, minlength=int(idx[-1]) + 1).astype(np.int64)
 
     def spill(self):
-        # blocks are written sorted by the 16 key bytes — the reference's
-        # std::map<string, int64_t> iteration order (count.cc:16-34)
-        self.out.write(struct.pack("<q", len(self.map)))
-        for k in sorted(self.map):
-            self.out.write(k)
-            self.out.write(struct.pack("<q", self.map[k]))
+        self._consolidate()
+        n = self.ka.shape[0]
+        rec = np.empty(n, np.dtype([("a", ">u8"), ("b", ">u8"),
+                                    ("cnt", "<i8")]))
+        rec["a"] = self.ka
+        rec["b"] = self.kb
+        rec["cnt"] = self.counts
+        self.out.write(struct.pack("<q", n))
+        self.out.write(rec.tobytes())
         self.out.flush()
-        self.map.clear()
+        self.ka = np.empty(0, np.uint64)
+        self.kb = np.empty(0, np.uint64)
+        self.counts = np.empty(0, np.int64)
 
     def close(self):
         if self.out is not None:
@@ -242,15 +300,25 @@ def count(whitelist_path: str, output_prefix: str, stream,
     fc = FullCountMap(f"{output_prefix}.ema-fcnt", max_map_entries)
 
     total = nice = ignored = 0
-    batch_seq: List[bytes] = []
-    batch_qual: List[bytes] = []
+    min_len = config.MIN_READ_SIZE
 
-    def flush():
-        nonlocal total, nice, ignored
-        if not batch_seq:
-            return
-        seqs = np.frombuffer(b"".join(batch_seq), np.uint8).reshape(-1, BC_LEN)
-        quals = np.frombuffer(b"".join(batch_qual), np.uint8).reshape(-1, BC_LEN)
+    # bulk path: one ~4MB line block at a time, column slices for
+    # seq1/qual1, one array build per block (no per-pair batching)
+    for lines in iter_fastq_line_blocks(stream):
+        seqs1 = lines[1::8]
+        quals1 = lines[3::8]
+        sel_s: List[bytes] = []
+        sel_q: List[bytes] = []
+        for s, q in zip(seqs1, quals1):
+            if len(s) >= min_len:
+                sel_s.append(s[:BC_LEN])
+                sel_q.append(q[:BC_LEN])
+            else:
+                ignored += 1
+        if not sel_s:
+            continue
+        seqs = np.frombuffer(b"".join(sel_s), np.uint8).reshape(-1, BC_LEN)
+        quals = np.frombuffer(b"".join(sel_q), np.uint8).reshape(-1, BC_LEN)
         ok, has_n, bc, key = fused_keys_and_barcodes(seqs, quals)
         good = ok
         total += int(good.sum())
@@ -260,19 +328,6 @@ def count(whitelist_path: str, output_prefix: str, stream,
         np.add.at(counts, idxc[hit], 1)
         nice += int(hit.sum())
         fc.add_batch(key[good])
-        batch_seq.clear()
-        batch_qual.clear()
-
-    for pair in iter_fastq_pairs(stream):
-        seq1, qual1 = pair[1], pair[3]
-        if len(seq1) < config.MIN_READ_SIZE:
-            ignored += 1
-            continue
-        batch_seq.append(seq1[:BC_LEN])
-        batch_qual.append(qual1[:BC_LEN])
-        if len(batch_seq) >= chunk_pairs:
-            flush()
-    flush()
     fc.close()
 
     # map sorted-order counts back to file order for reference-compatible
@@ -371,7 +426,7 @@ def haplotag_emission_order() -> np.ndarray:
         except Exception:
             pass
     if order is None:
-        order = native.umap_order_u32(haplotag_all_codes())
+        order = native.umap_order_u32(haplotag_all_codes(), distinct=True)
         if not no_disk:
             try:
                 os.makedirs(cache_dir, exist_ok=True)

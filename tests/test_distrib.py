@@ -238,6 +238,59 @@ def test_concurrent_buckets_equal_serial(tmp_path):
                 assert seen.setdefault(mi, bx) == bx, (mi, bx)
 
 
+@pytest.mark.parametrize("seed,n_jobs", [(21, 3), (22, 4), (23, 2)])
+def test_concurrent_buckets_stress_randomized(tmp_path, seed, n_jobs):
+    """Randomized bucket-size/thread-count stress for the -j path
+    (VERDICT r3 #9): skewed bucket sizes — empty files, singleton
+    buckets, one bucket holding most of the reads — across several
+    thread counts must still emit exactly the serial records.  Extends
+    test_concurrent_buckets_equal_serial beyond its single shape; the
+    reference's analog is one-OpenMP-thread-per-file (main.c:396-406)."""
+    from ema_tpu import cli
+    from tests.simulate import rand_genome, simulate_pairs, to_str
+
+    rng = np.random.default_rng(seed)
+    genome = rand_genome(rng, 60_000)
+    gs = to_str(genome)
+    fa = tmp_path / "ref.fa"
+    fa.write_text(">c1\n" + "\n".join(
+        gs[i:i + 70] for i in range(0, len(gs), 70)) + "\n")
+
+    ids, bc_strs, bcs, s1, q1, s2, q2, truth = simulate_pairs(
+        rng, gs, n_barcodes=10, frags_per_bc=(1, 2),
+        pairs_per_frag=(3, 6), frag_len=9_000, read_len=80, err=0.003)
+
+    # skewed routing: ~60% of barcodes into bucket 0, the rest spread
+    # thin; plus one intentionally empty bucket file
+    n_buckets = int(rng.integers(3, 7))
+    route = {}
+    for b in set(bc_strs):
+        route[b] = 0 if rng.random() < 0.6 \
+            else int(rng.integers(1, n_buckets))
+    buckets = []
+    for bkt in range(n_buckets + 1):          # +1 = guaranteed-empty file
+        p = tmp_path / f"ema-bin-{bkt:03d}"
+        with open(p, "w") as f:
+            for i in range(len(ids)):
+                if route[bc_strs[i]] == bkt:
+                    f.write(f"{bc_strs[i]} {ids[i]} {s1[i]} {q1[i]} "
+                            f"{s2[i]} {q2[i]}\n")
+        buckets.append(str(p))
+
+    serial = str(tmp_path / "serial.sam")
+    conc = str(tmp_path / "conc.sam")
+    assert cli.main(["align", "-r", str(fa), "-x", "--no-coalesce",
+                     "-j", "1", "-o", serial] + buckets) == 0
+    assert cli.main(["align", "-r", str(fa), "-x", "--no-coalesce",
+                     "-j", str(n_jobs), "-o", conc] + buckets) == 0
+
+    def body(p):
+        return sorted(ln for ln in open(p) if not ln.startswith("@"))
+
+    bs, bc2 = body(serial), body(conc)
+    assert bs == bc2 and len(bs) > 0
+
+
 def test_mi_shift_fits_int32():
     """MI namespace bases must fit SAM's int32 'i' tag for any bucket
     count (the width adapts: 500 buckets -> 2^22 each, 1000 -> 2^21)."""

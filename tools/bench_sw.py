@@ -1,47 +1,36 @@
 """SW-kernel microbenchmark + speed-of-light artifact at pipeline shapes.
 
-Compares the scorers (anti-diagonal scan / anti-diagonal Pallas / banded
-scan / banded Pallas) on the attached device, measures the device's
-achievable int32 VPU throughput with a pure-ALU Pallas probe, and writes
-a roofline artifact (BENCH_SW_r04.json):
+Measures the scorers (banded Pallas first — the product kernel — then
+the XLA banded scan, the legacy anti-diagonal pair, and TILE_B
+variants), a pure-ALU VPU int32 peak probe, and the band padding waste
+vs the true per-candidate corridor; writes a roofline artifact.
 
-  - per-variant ms and Gcell/s (banded cells = B*m*W)
-  - measured VPU int32 ops/s (probe kernel, serial-chain ILP=8)
-  - static ops/cell count for the banded kernel -> % of roofline
-  - band padding waste: mean per-candidate logical corridor wl vs the
-    128-rounded physical band W, sampled from real pipeline chaining
-
-Time is measured to full host readback (block_until_ready returns early
-through the axon tunnel).  Run ONE at a time; the tunnel admits a single
-client.
+Tunnel-wedge hardened: the attached-TPU tunnel gives short live windows
+(observed: roundtrip OK, wedged 3 minutes later), so EVERY measurement
+runs in its own subprocess under its own timeout, most-valuable first,
+and the artifact is (re)written after each step — a mid-run wedge keeps
+everything already measured.  Each child probes the backend first
+(ensure_backend) and exits 3 if a TPU was required but unavailable.
 
     PYTHONPATH=. python tools/bench_sw.py [cpu] [--json OUT.json]
+    python tools/bench_sw.py --child <step> --outdir D   (internal)
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
-if len(sys.argv) > 1 and sys.argv[1] == "cpu":
-    os.environ["EMA_TPU_PLATFORM"] = "cpu"
-
-from ema_tpu.utils.backend import ensure_backend
-
-ensure_backend()
-
-import jax
-import jax.numpy as jnp
-
-from ema_tpu.ops import sw
-from ema_tpu.ops import sw_pallas
+B_DEFAULT = int(os.environ.get("EMA_TPU_BENCH_SW_B", "16384"))
+SHAPE = (B_DEFAULT, 100, 192, 128)      # B, m, n, W (pipeline shape)
 
 # Static int32-VPU op count per banded DP cell for _banded_kernel's
 # packed-scan path at W=128 (one lane-row = one cell).  Counted from the
@@ -53,8 +42,28 @@ from ema_tpu.ops import sw_pallas
 #   cand 2, best updates 4, read/ref rolls 3.
 BANDED_OPS_PER_CELL = 93
 
+# (step name, needs_tpu, timeout_s) in capture-priority order: the
+# banded Pallas kernel is the product kernel — it goes first so a short
+# tunnel window still yields the headline number.
+STEPS = [
+    ("banded-pallas", True, 600),
+    ("vpu-probe", True, 420),
+    ("banded-scan", False, 600),
+    ("banded-pallas-t128", True, 420),
+    ("banded-pallas-t512", True, 420),
+    ("banded-pallas-t1024", True, 420),
+    ("pallas", True, 600),
+    ("scan", False, 900),
+    ("wl-sample", False, 900),
+]
 
-def make_case(rng, B, m, n, W):
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_case(B, m, n, W):
+    rng = np.random.default_rng(0)
     reads = rng.integers(0, 4, (B, m)).astype(np.int32)
     refs = rng.integers(0, 4, (B, n)).astype(np.int32)
     rlens = np.full(B, m, np.int32)
@@ -66,29 +75,82 @@ def make_case(rng, B, m, n, W):
         for _ in range(3):
             p = rng.integers(0, m)
             refs[b, o + p] = (refs[b, o + p] + 1) % 4
-    return (jnp.asarray(reads), jnp.asarray(rlens),
+    return reads, rlens, refs, nlens
+
+
+def _variant_fn(name):
+    import jax.numpy as jnp  # noqa: F401
+    from ema_tpu.ops import sw, sw_pallas
+    B, m, n, W = SHAPE
+    table = {
+        "scan": lambda a: sw.sw_score_batch(*a),
+        "banded-scan": lambda a: sw.sw_score_banded(*a, W),
+        "pallas": lambda a: sw_pallas.sw_score_batch_pallas(*a),
+        "banded-pallas": lambda a: sw_pallas.sw_score_banded_pallas(*a, W),
+        "banded-pallas-t128": lambda a: sw_pallas.sw_score_banded_pallas(
+            *a, W, tile_b=128),
+        "banded-pallas-t512": lambda a: sw_pallas.sw_score_banded_pallas(
+            *a, W, tile_b=512),
+        "banded-pallas-t1024": lambda a: sw_pallas.sw_score_banded_pallas(
+            *a, W, tile_b=1024),
+    }
+    return table[name]
+
+
+def child_variant(name, outdir):
+    from ema_tpu.utils.backend import ensure_backend
+    ensure_backend(probe=True)
+    import jax
+    import jax.numpy as jnp
+
+    needs_tpu = dict((s, t) for s, t, _ in STEPS)[name]
+    plat = jax.default_backend()
+    if needs_tpu and plat not in ("tpu", "axon"):
+        log(f"{name}: TPU required, backend={plat}")
+        sys.exit(3)
+    B, m, n, W = SHAPE
+    reads, rlens, refs, nlens = make_case(B, m, n, W)
+    args = (jnp.asarray(reads), jnp.asarray(rlens),
             jnp.asarray(refs), jnp.asarray(nlens))
-
-
-def timed(fn, args, iters=5):
-    out = fn(args)                       # compile + warm
+    fn = _variant_fn(name)
+    t0 = time.time()
+    out = fn(args)
     base = {k: np.asarray(v) for k, v in out.items()}
+    warm = time.time() - t0
+    iters = 5
     t0 = time.time()
     for _ in range(iters):
         out = fn(args)
-        _ = np.asarray(out["score"])     # force readback
+        _ = np.asarray(out["score"])     # force full readback
     dt = (time.time() - t0) / iters
-    return dt, base
+    np.savez(os.path.join(outdir, f"{name}.npz"),
+             **{k: v for k, v in base.items()})
+    bcells = B * m * W
+    cells = B * m * n
+    c = bcells if "banded" in name else cells
+    res = {"ms": round(dt * 1e3, 2),
+           "gcells_per_s": round(c / dt / 1e9, 3),
+           "full_window_gcells_per_s": round(cells / dt / 1e9, 3),
+           "warm_s": round(warm, 1), "platform": plat}
+    with open(os.path.join(outdir, f"{name}.json"), "w") as f:
+        json.dump(res, f)
+    log(f"{name}: {dt*1e3:.2f} ms  {c/dt/1e9:.2f} Gcell/s (warm {warm:.0f}s)")
 
 
-def vpu_peak_probe(iters=3):
-    """Measured int32 VPU throughput: a Pallas kernel running K rounds of
-    8 independent 3-op dependency chains (xor/add/max) on a [256, 128]
-    VMEM block.  8-way ILP covers the VPU's multiple ALUs; the xor of the
-    loop index defeats constant folding.  Returns achieved int32 ops/s.
-    """
+def child_vpu_probe(outdir):
+    """Measured int32 VPU throughput: K rounds of 8 independent 3-op
+    dependency chains (xor/add/max) on a [256, 128] VMEM block.  8-way
+    ILP covers the VPU's multiple ALUs; the xor of the loop index
+    defeats constant folding.  Writes achieved int32 ops/s."""
+    from ema_tpu.utils.backend import ensure_backend
+    ensure_backend(probe=True)
+    import jax
+    import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        sys.exit(3)
 
     B, L, K, CHAINS = 256, 128, 4096, 8
     OPS = B * L * K * CHAINS * 3
@@ -107,40 +169,42 @@ def vpu_peak_probe(iters=3):
         o_ref[:] = tot
 
     x = jnp.arange(B * L, dtype=jnp.int32).reshape(B, L)
-    fn = pl.pallas_call(
+    fn = jax.jit(pl.pallas_call(
         kern,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, L), jnp.int32))
-    fn = jax.jit(fn)
-    _ = np.asarray(fn(x))                # compile + warm
+        out_shape=jax.ShapeDtypeStruct((B, L), jnp.int32)))
+    _ = np.asarray(fn(x))
     best = float("inf")
-    for _ in range(iters):
+    for _ in range(3):
         t0 = time.time()
         _ = np.asarray(fn(x))
         best = min(best, time.time() - t0)
-    return OPS / best
+    res = {"vpu_int32_tops_measured": round(OPS / best / 1e12, 4)}
+    with open(os.path.join(outdir, "vpu-probe.json"), "w") as f:
+        json.dump(res, f)
+    log(f"VPU int32 probe: {OPS/best/1e12:.3f} Tops/s")
 
 
-def sample_pipeline_wl(n_pairs=2000):
-    """Sample the per-candidate logical corridor width (wl) distribution
-    from real pipeline chaining on a simulated world, by intercepting the
-    scorer dispatch (chain-derived wl only; mate-rescue full-window calls
-    excluded).  Returns (mean_wl, p95_wl, n_samples)."""
+def child_wl_sample(outdir):
+    """Per-candidate logical corridor (wl) stats from real pipeline
+    chaining on a simulated world (chain-derived wl only)."""
+    from ema_tpu.utils.backend import ensure_backend
+    os.environ.setdefault("EMA_TPU_PLATFORM", "cpu")   # host-only stage
+    ensure_backend()
     from tests.simulate import rand_genome, simulate_pairs, to_str
     from ema_tpu import config
     from ema_tpu.core.pipeline import Aligner, ReadBatch
     from ema_tpu.index import build_index
+    from ema_tpu.ops import chaining
 
     rng = np.random.default_rng(7)
     genome = rand_genome(rng, 400_000)
     idx = build_index({"chr1": genome})
     ids, bc_strs, bcs, s1, q1, s2, q2, truth = simulate_pairs(
-        rng, to_str(genome), n_barcodes=max(n_pairs // 60, 1),
-        frags_per_bc=(2, 4), pairs_per_frag=(15, 25), frag_len=30_000,
-        read_len=100, err=0.003)
+        rng, to_str(genome), n_barcodes=33, frags_per_bc=(2, 4),
+        pairs_per_frag=(15, 25), frag_len=30_000, read_len=100, err=0.003)
     samples = []
-    from ema_tpu.ops import chaining
     orig = chaining.chain_hits
 
     def spy(*a, **kw):
@@ -156,138 +220,111 @@ def sample_pipeline_wl(n_pairs=2000):
         aligner.align_batch_to_sam(batch)
     finally:
         chaining.chain_hits = orig
-    if not samples:
-        return None
-    allwl = np.concatenate(samples)
+    allwl = np.concatenate(samples) if samples else np.zeros(0)
     allwl = allwl[allwl > 0]
-    return (float(allwl.mean()), float(np.percentile(allwl, 95)),
-            int(allwl.size))
+    W = SHAPE[3]
+    res = {"pipeline_wl_mean": round(float(allwl.mean()), 1),
+           "pipeline_wl_p95": round(float(np.percentile(allwl, 95)), 1),
+           "pipeline_wl_samples": int(allwl.size),
+           "band_padding_waste_factor": round(W / float(allwl.mean()), 2)}
+    with open(os.path.join(outdir, "wl-sample.json"), "w") as f:
+        json.dump(res, f)
+    log(f"pipeline wl: mean {res['pipeline_wl_mean']} "
+        f"p95 {res['pipeline_wl_p95']} -> waste "
+        f"{res['band_padding_waste_factor']}x at W={W}")
+
+
+def supervise(out_json):
+    outdir = out_json + ".steps"
+    os.makedirs(outdir, exist_ok=True)
+    B, m, n, W = SHAPE
+    artifact = {
+        "what": "SW kernel microbench + speed-of-light roofline",
+        "shape": {"B": B, "m": m, "n": n, "W": W},
+        "variants": {}, "steps_failed": [],
+    }
+
+    def flush():
+        # merge child artifacts -> one roofline artifact, rewritten after
+        # every step so a wedge can't lose completed measurements
+        for name, _, _ in STEPS:
+            p = os.path.join(outdir, f"{name}.json")
+            if not os.path.exists(p):
+                continue
+            with open(p) as f:
+                res = json.load(f)
+            if name == "vpu-probe" or name == "wl-sample":
+                artifact.update(res)
+            else:
+                artifact["variants"][name] = res
+        vpu = artifact.get("vpu_int32_tops_measured")
+        best = max((v["gcells_per_s"]
+                    for k, v in artifact["variants"].items()
+                    if "banded" in k and v.get("platform") != "cpu"),
+                   default=None)
+        if vpu and best:
+            ach = best * 1e9 * BANDED_OPS_PER_CELL
+            artifact["banded_ops_per_cell_static"] = BANDED_OPS_PER_CELL
+            artifact["banded_roofline_pct"] = round(
+                100.0 * ach / (vpu * 1e12), 1)
+        # cross-variant equality from saved outputs
+        outs = {}
+        for name, _, _ in STEPS:
+            p = os.path.join(outdir, f"{name}.npz")
+            if os.path.exists(p):
+                outs[name] = np.load(p)
+        names = list(outs)
+        mism = []
+        for a in names[1:]:
+            for k in ("score", "qb", "qe", "ref_end"):
+                if not np.array_equal(outs[names[0]][k], outs[a][k]):
+                    mism.append([names[0], a, k])
+                    break
+        if names:
+            artifact["bit_exact_across_variants"] = not mism
+            if mism:
+                artifact["mismatches"] = mism
+        with open(out_json, "w") as f:
+            json.dump(artifact, f, indent=1)
+
+    force_cpu = "cpu" in sys.argv[1:3]
+    for name, needs_tpu, tout in STEPS:
+        if force_cpu and needs_tpu:
+            continue
+        cmd = [sys.executable, "-u", __file__, "--child", name,
+               "--outdir", outdir]
+        env = dict(os.environ)
+        if force_cpu:
+            env["EMA_TPU_PLATFORM"] = "cpu"
+        t0 = time.time()
+        try:
+            r = subprocess.run(cmd, timeout=tout, env=env, cwd=REPO)
+            rc = r.returncode
+        except subprocess.TimeoutExpired:
+            rc = "timeout"
+        if rc:
+            artifact["steps_failed"].append(
+                {"step": name, "rc": str(rc),
+                 "wall_s": round(time.time() - t0, 1)})
+            log(f"step {name}: FAILED rc={rc}")
+        flush()
+    flush()
+    log(f"wrote {out_json}")
 
 
 def main():
-    out_json = None
+    if "--child" in sys.argv:
+        name = sys.argv[sys.argv.index("--child") + 1]
+        outdir = sys.argv[sys.argv.index("--outdir") + 1]
+        if name == "vpu-probe":
+            return child_vpu_probe(outdir)
+        if name == "wl-sample":
+            return child_wl_sample(outdir)
+        return child_variant(name, outdir)
+    out_json = "BENCH_SW_r04.json"
     if "--json" in sys.argv:
         out_json = sys.argv[sys.argv.index("--json") + 1]
-    dev = jax.devices()[0]
-    platform = dev.platform
-    print(f"device: {platform} {getattr(dev, 'device_kind', '?')}",
-          file=sys.stderr)
-    rng = np.random.default_rng(0)
-    B_env = int(os.environ.get("EMA_TPU_BENCH_SW_B", "16384"))
-    shapes = [(B_env, 100, 192, 128)]
-    artifact = {
-        "what": "SW kernel microbench + speed-of-light roofline",
-        "platform": platform,
-        "device_kind": str(getattr(dev, "device_kind", "?")),
-        "variants": {},
-    }
-    for B, m, n, W in shapes:
-        args = make_case(rng, B, m, n, W)
-        cells = B * m * n
-        bcells = B * m * W
-        results = {}
-        variants = [
-            ("scan", lambda a: sw.sw_score_batch(*a)),
-            ("banded-scan", lambda a: sw.sw_score_banded(*a, W)),
-        ]
-        if platform != "cpu":
-            variants += [
-                ("pallas", lambda a: sw_pallas.sw_score_batch_pallas(*a)),
-                ("banded-pallas",
-                 lambda a: sw_pallas.sw_score_banded_pallas(*a, W)),
-                ("banded-pallas-t128",
-                 lambda a: sw_pallas.sw_score_banded_pallas(
-                     *a, W, tile_b=128)),
-                ("banded-pallas-t512",
-                 lambda a: sw_pallas.sw_score_banded_pallas(
-                     *a, W, tile_b=512)),
-                ("banded-pallas-t1024",
-                 lambda a: sw_pallas.sw_score_banded_pallas(
-                     *a, W, tile_b=1024)),
-            ]
-        for name, fn in variants:
-            try:
-                t0c = time.time()
-                dt, out = timed(fn, args)
-                warm = time.time() - t0c - 5 * dt
-                c = bcells if "banded" in name else cells
-                results[name] = out
-                artifact["variants"][name] = {
-                    "ms": round(dt * 1e3, 2),
-                    "gcells_per_s": round(c / dt / 1e9, 3),
-                    "full_window_gcells_per_s": round(cells / dt / 1e9, 3),
-                }
-                print(f"B={B} m={m} n={n} W={W} {name:14s} "
-                      f"{dt*1e3:8.2f} ms  {c/dt/1e9:7.2f} Gcell/s "
-                      f"({cells/dt/1e9:.2f} full-window Gc/s, "
-                      f"warm {warm:.1f}s)", flush=True)
-            except Exception as e:
-                print(f"{name}: FAILED {type(e).__name__}: {e}",
-                      flush=True)
-        # cross-check equality between available variants
-        names = list(results)
-        mismatches = []
-        for a in names[1:]:
-            for k in ("score", "qb", "qe", "ref_end"):
-                if not np.array_equal(results[names[0]][k], results[a][k]):
-                    bad = np.nonzero(
-                        results[names[0]][k] != results[a][k])[0][:5]
-                    print(f"  MISMATCH {names[0]} vs {a} on {k} at {bad}")
-                    mismatches.append([names[0], a, k])
-                    break
-            else:
-                print(f"  {names[0]} == {a}")
-        artifact["bit_exact_across_variants"] = not mismatches
-        if mismatches:
-            artifact["mismatches"] = mismatches
-
-        # --- roofline: measured VPU peak vs banded kernel ops/cell ---
-        try:
-            t0 = time.time()
-            vpu = vpu_peak_probe()
-            print(f"VPU int32 probe: {vpu/1e12:.3f} Tops/s "
-                  f"(probe wall {time.time()-t0:.1f}s)", flush=True)
-            artifact["vpu_int32_tops_measured"] = round(vpu / 1e12, 4)
-            best_banded = max(
-                (v["gcells_per_s"]
-                 for k, v in artifact["variants"].items() if "banded" in k),
-                default=None)
-            if best_banded:
-                ach_ops = best_banded * 1e9 * BANDED_OPS_PER_CELL
-                artifact["banded_ops_per_cell_static"] = BANDED_OPS_PER_CELL
-                artifact["banded_roofline_pct"] = round(
-                    100.0 * ach_ops / vpu, 1)
-                print(f"banded kernel: {best_banded:.2f} Gcell/s x "
-                      f"{BANDED_OPS_PER_CELL} ops/cell = "
-                      f"{ach_ops/1e12:.3f} Tops/s = "
-                      f"{100*ach_ops/vpu:.1f}% of measured VPU peak",
-                      flush=True)
-        except Exception as e:
-            print(f"VPU probe FAILED {type(e).__name__}: {e}", flush=True)
-
-        # --- band padding waste vs the true logical corridor ---
-        try:
-            t0 = time.time()
-            wlstat = sample_pipeline_wl()
-            if wlstat:
-                mean_wl, p95_wl, n_wl = wlstat
-                artifact["pipeline_wl_mean"] = round(mean_wl, 1)
-                artifact["pipeline_wl_p95"] = round(p95_wl, 1)
-                artifact["pipeline_wl_samples"] = n_wl
-                artifact["band_padding_waste_factor"] = round(
-                    W / mean_wl, 2)
-                print(f"pipeline wl: mean {mean_wl:.1f} p95 {p95_wl:.1f} "
-                      f"over {n_wl} candidates -> padding waste "
-                      f"{W/mean_wl:.2f}x at W={W} "
-                      f"(sampled in {time.time()-t0:.1f}s)", flush=True)
-        except Exception as e:
-            print(f"wl sampling FAILED {type(e).__name__}: {e}",
-                  flush=True)
-
-    if out_json:
-        with open(out_json, "w") as f:
-            json.dump(artifact, f, indent=1)
-        print(f"wrote {out_json}", flush=True)
+    supervise(out_json)
 
 
 if __name__ == "__main__":
