@@ -139,9 +139,12 @@ def child_variant(name, outdir):
 
 def child_vpu_probe(outdir):
     """Measured int32 VPU throughput: K rounds of 8 independent 3-op
-    dependency chains (xor/add/max) on a [256, 128] VMEM block.  8-way
-    ILP covers the VPU's multiple ALUs; the xor of the loop index
-    defeats constant folding.  Writes achieved int32 ops/s."""
+    dependency chains (xor/add/max), each accumulator exactly ONE
+    (8, 128) vector register so nothing spills to VMEM (a [256, 128]
+    accumulator = 32 vregs x 8 chains spilled everything and measured
+    ~2% of peak).  8-way ILP covers the VPU's multiple ALU ports; the
+    xor of the loop index defeats constant folding.  Writes achieved
+    int32 ops/s."""
     from ema_tpu.utils.backend import ensure_backend
     ensure_backend(probe=True)
     import jax
@@ -152,7 +155,7 @@ def child_vpu_probe(outdir):
     if jax.default_backend() not in ("tpu", "axon"):
         sys.exit(3)
 
-    B, L, K, CHAINS = 256, 128, 4096, 8
+    B, L, K, CHAINS = 8, 128, 1 << 18, 8
     OPS = B * L * K * CHAINS * 3
 
     def kern(x_ref, o_ref):
@@ -180,7 +183,8 @@ def child_vpu_probe(outdir):
         t0 = time.time()
         _ = np.asarray(fn(x))
         best = min(best, time.time() - t0)
-    res = {"vpu_int32_tops_measured": round(OPS / best / 1e12, 4)}
+    res = {"vpu_int32_tops_measured": round(OPS / best / 1e12, 4),
+           "vpu_probe_iter_wall_s": round(best, 3)}
     with open(os.path.join(outdir, "vpu-probe.json"), "w") as f:
         json.dump(res, f)
     log(f"VPU int32 probe: {OPS/best/1e12:.3f} Tops/s")
@@ -243,6 +247,17 @@ def supervise(out_json):
         "shape": {"B": B, "m": m, "n": n, "W": W},
         "variants": {}, "steps_failed": [],
     }
+    if os.path.exists(out_json):
+        # carry fields captured in earlier windows (e.g. the variant set
+        # from a completed run whose raw outputs are gone)
+        try:
+            with open(out_json) as f:
+                prior = json.load(f)
+            prior.pop("steps_failed", None)
+            artifact["variants"].update(prior.pop("variants", {}))
+            artifact.update(prior)
+        except Exception:
+            pass
 
     def flush():
         # merge child artifacts -> one roofline artifact, rewritten after
@@ -288,8 +303,14 @@ def supervise(out_json):
             json.dump(artifact, f, indent=1)
 
     force_cpu = "cpu" in sys.argv[1:3]
+    fresh = "--fresh" in sys.argv
     for name, needs_tpu, tout in STEPS:
         if force_cpu and needs_tpu:
+            continue
+        done = os.path.join(outdir, f"{name}.json")
+        if not fresh and os.path.exists(done):
+            # captured in an earlier tunnel window; don't spend this one
+            log(f"step {name}: already captured, skipping (--fresh to redo)")
             continue
         cmd = [sys.executable, "-u", __file__, "--child", name,
                "--outdir", outdir]

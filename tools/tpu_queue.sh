@@ -1,8 +1,10 @@
 #!/bin/bash
-# Hardware-timing queue for the first session with a live TPU tunnel.
-# Run ONE at a time (the tunnel admits a single client); each step under
-# timeout so a mid-run wedge cannot hang the session.  Results land in
-# stdout logs + the usual artifacts; update NOTES.md "Known gaps" after.
+# Hardware-timing queue for live TPU-tunnel windows.  The tunnel gives
+# SHORT windows (observed: ~20 min alive, then wedged for hours), so
+# steps run most-valuable-first, each under its own timeout, and every
+# step checkpoints its artifact — a wedge mid-queue keeps everything
+# already captured.  Steps that need a TPU bail fast (exit 3) when the
+# backend probe lands on CPU.  Run ONE at a time (single-client tunnel).
 #
 #   bash tools/tpu_queue.sh 2>&1 | tee /tmp/tpu_queue.log
 set -x
@@ -15,23 +17,25 @@ print('devices:', jax.devices())
 print('roundtrip:', np.asarray(jnp.arange(8) + 1))
 " || { echo "TUNNEL WEDGED - aborting queue"; exit 1; }
 
-# 1. kernel-level: packed-scan banded Pallas vs XLA scan (w/ the new
-#    per-candidate corridor input), TILE_B sweep + roofline artifact
-#    (each step checkpoints its own artifact so a later wedge cannot
-#    lose the session's earlier results)
-timeout 1800 python tools/bench_sw.py --json BENCH_SW_r04.json
-
-# 2. pipeline-level A/Bs through the oscillating tunnel (same-window
-#    alternating passes): pallas-vs-banded, devem-vs-hostem
-timeout 2400 python tools/ab_align.py pallas banded \
-    | tee AB_PALLAS_BANDED_r04.txt || true
-timeout 2400 python tools/ab_align.py devem hostem \
-    | tee AB_DEVEM_HOSTEM_r04.txt || true
-
-# 3. the headline number (supervisor handles mid-run wedges)
+# 1. the headline number (pairs/s; supervisor handles mid-run wedges and
+#    records tpu_attempted/tpu_failed) — FIRST: this is the product claim
 timeout 1800 python bench.py | tee BENCH_QUEUE_r04.json
 
-# 4. refresh BASELINE config artifacts (backend auto-resolves to TPU
-#    when the tunnel is live; artifacts carry a platform tag)
+# 2. kernel roofline artifact: per-step subprocesses, skips steps already
+#    captured in earlier windows (banded-pallas numbers etc.)
+timeout 1800 python tools/bench_sw.py --json BENCH_SW_r04.json
+
+# 3. pipeline-level A/Bs through the oscillating tunnel (same-window
+#    alternating passes); EMA_TPU_BENCH_REQUIRE_TPU makes them exit fast
+#    when the tunnel wedged between steps
+EMA_TPU_BENCH_REQUIRE_TPU=1 timeout 2400 python tools/ab_align.py pallas banded \
+    | tee AB_PALLAS_BANDED_r04.txt || true
+EMA_TPU_BENCH_REQUIRE_TPU=1 timeout 2400 python tools/ab_align.py devem hostem \
+    | tee AB_DEVEM_HOSTEM_r04.txt || true
+
+# 4. refresh BASELINE config artifacts (platform-tagged; only worth the
+#    window when the tunnel is still alive, hence last)
 timeout 2400 python tools/bench_configs.py config3 || true
 timeout 2400 python tools/bench_configs.py config4 || true
+
+touch .tpu_queue_completed

@@ -27,13 +27,18 @@ print('roundtrip:', np.asarray(jnp.arange(8) + 1))
 
 echo "=== tpu_watch start $(date -u +%FT%TZ) ===" >>"$LOG"
 while [ "$(date +%s)" -lt "$deadline" ]; do
+  if [ -e .tpu_queue_completed ]; then
+    echo "=== queue fully completed; watcher exiting $(date -u +%FT%TZ) ===" >>"$LOG"
+    exit 0
+  fi
   if probe; then
     echo "=== TUNNEL ALIVE $(date -u +%FT%TZ) — running queue ===" >>"$LOG"
     bash tools/tpu_queue.sh >>"$LOG" 2>&1
     echo "=== queue done rc=$? $(date -u +%FT%TZ) ===" >>"$LOG"
-    exit 0
+    # keep watching: a wedge mid-queue leaves steps uncaptured; the
+    # queue skips what previous windows already recorded
   fi
-  echo "--- wedged $(date -u +%FT%TZ); sleeping ${SLEEP}s ---" >>"$LOG"
+  echo "--- probe cycle done $(date -u +%FT%TZ); sleeping ${SLEEP}s ---" >>"$LOG"
   sleep "$SLEEP"
 done
 echo "=== tpu_watch gave up $(date -u +%FT%TZ) ===" >>"$LOG"
