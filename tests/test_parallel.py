@@ -69,3 +69,47 @@ def test_step_finds_true_positions(toy):
     hit = np.abs((gpos + STATIC["window_pad"]) - starts) <= STATIC["window_pad"]
     assert (score > 0.8 * L).mean() >= 0.8
     assert hit[score > 0.8 * L].mean() >= 0.9
+
+
+def test_full_pipeline_meshed_sam_equality():
+    """The REAL Aligner on the virtual 8-device mesh emits exactly the
+    single-device SAM (chaining, traceback, EM, selection, emission all
+    sharded) — the pytest twin of __graft_entry__.dryrun_multichip's
+    half 3 (VERDICT r3 #3)."""
+    import os
+
+    from tests.simulate import rand_genome, simulate_pairs, to_str
+    from ema_tpu import config
+    from ema_tpu.core.pipeline import Aligner, ReadBatch
+    from ema_tpu.index import build_index
+
+    saved = {k: os.environ.get(k)
+             for k in ("EMA_TPU_SW_IMPL", "EMA_TPU_SEED_IMPL")}
+    os.environ["EMA_TPU_SW_IMPL"] = "banded"
+    os.environ["EMA_TPU_SEED_IMPL"] = "device"
+    try:
+        rng = np.random.default_rng(29)
+        genome = rand_genome(rng, 80_000)
+        idx = build_index({"chr1": genome})
+        ids, bc_strs, bcs, s1, q1, s2, q2, truth = simulate_pairs(
+            rng, to_str(genome), n_barcodes=4, frags_per_bc=(2, 3),
+            pairs_per_frag=(12, 20), frag_len=12_000, read_len=100,
+            err=0.003)
+        batch = ReadBatch.from_pairs(ids, bcs, s1, q1, s2, q2)
+
+        meshed = Aligner(idx, config.RunConfig())
+        assert meshed._data_sharding is not None \
+            and meshed._data_sharding.mesh.size > 1
+        single = Aligner(idx, config.RunConfig(data_parallel_chips=False))
+        assert single._data_sharding is None
+
+        sam_m = meshed.align_batch_to_sam(batch)
+        sam_s = single.align_batch_to_sam(batch)
+        assert sam_m == sam_s
+        assert len(sam_m) >= 2 * len(ids)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v

@@ -124,3 +124,44 @@ class TestSmallGroupNoEM:
             assert r["flag"] & 2, r
         poss = sorted(r["pos"] for r in recs)
         assert poss == [p + 1, p + 151]
+
+
+def test_accuracy_gate_repeat_world():
+    """Front-half accuracy gate (VERDICT r3 #5): >=98% of mapped primary
+    records within +-5bp of simulation truth at err=0.003 on a world
+    WITH repeat families; mapq>=30 records must be >=99.5% correct (the
+    calibration claim ACCURACY_r04.json publishes at chr20 scale)."""
+    rng = np.random.default_rng(41)
+    G = 2_000_000
+    genome = rand_genome(rng, G)
+    unit_len = G // 2500
+    for fam in range(3):
+        src = int(rng.integers(0, G - unit_len))
+        unit = genome[src:src + unit_len].copy()
+        for c in range(8):
+            at = int(rng.integers(0, G - unit_len))
+            genome[at:at + unit_len] = unit
+    idx = build_index({"chr1": genome})
+    ids, bc_strs, bcs, s1, q1, s2, q2, truth = simulate_pairs(
+        rng, to_str(genome), n_barcodes=80, frags_per_bc=(2, 3),
+        pairs_per_frag=(15, 25), frag_len=30_000, read_len=100,
+        err=0.003)
+    batch = ReadBatch.from_pairs(ids, bcs, s1, q1, s2, q2)
+    lines = Aligner(idx).align_batch_to_sam(batch)
+    truth_by_id = {ids[i]: truth[i] for i in range(len(ids))}
+    n = n_ok = hi = hi_ok = 0
+    for l in lines:
+        s = parse_sam_line(l)
+        if s["flag"] & (4 | 0x100 | 0x800):
+            continue
+        t = truth_by_id[s["qname"]]
+        want = t["pos1"] if (s["flag"] & 64) else t["pos2"]
+        ok = abs(s["pos"] - want) <= 5
+        n += 1
+        n_ok += ok
+        if s["mapq"] >= 30:
+            hi += 1
+            hi_ok += ok
+    assert n >= len(ids)                      # both mates, most pairs
+    assert n_ok / n >= 0.98, (n_ok, n)
+    assert hi and hi_ok / hi >= 0.995, (hi_ok, hi)

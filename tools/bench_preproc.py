@@ -119,6 +119,16 @@ def main():
         env = dict(os.environ, EMA_TPU_PLATFORM="cpu",
                    PYTHONPATH=REPO + os.pathsep
                    + os.environ.get("PYTHONPATH", ""))
+        # clean env: drop the harness's axon sitecustomize (its .pth
+        # imports all of jax at interpreter start, ~1.9s); count/preproc
+        # never touch jax, and a real deployment has no such tax.  Both
+        # timings are recorded; the ambient one includes harness plumbing
+        # the reference binary doesn't pay.
+        clean_pp = os.pathsep.join(
+            p for p in (REPO + os.pathsep
+                        + os.environ.get("PYTHONPATH", "")).split(os.pathsep)
+            if p and "axon_site" not in p)
+        env_clean = dict(env, PYTHONPATH=clean_pp)
 
         # --- reference ---
         ref_cnt = os.path.join(td, "refcnt")
@@ -131,13 +141,22 @@ def main():
              "0", ref_cnt + ".ema-ncnt"], fq)
 
         # --- ours ---
+        # a fresh cache dir makes the first run genuinely cold (the
+        # shared /tmp cache may hold this whitelist's map order from an
+        # earlier bench invocation)
+        cache = os.path.join(td, "cache")
+        env = dict(env, EMA_TPU_CACHE_DIR=cache)
+        env_clean = dict(env_clean, EMA_TPU_CACHE_DIR=cache)
         our_cnt = os.path.join(td, "ourcnt")
         t_our_count = run_timed(
             [sys.executable, "-m", "ema_tpu.cli", "count", "-w", wl,
-             "-o", our_cnt], fq, env=env)
+             "-o", our_cnt], fq, env=env_clean)
         # warm pass: the whitelist map-order disk cache is now populated
         # (every run after the first on a given whitelist pays this)
         t_our_count_warm = run_timed(
+            [sys.executable, "-m", "ema_tpu.cli", "count", "-w", wl,
+             "-o", our_cnt], fq, env=env_clean)
+        t_our_count_ambient = run_timed(
             [sys.executable, "-m", "ema_tpu.cli", "count", "-w", wl,
              "-o", our_cnt], fq, env=env)
         our_out = os.path.join(td, "ourout")
@@ -145,7 +164,7 @@ def main():
         t_our_pre = run_timed(
             [sys.executable, "-m", "ema_tpu.cli", "preproc", "-w", wl,
              "-o", our_out, "-n", "50", "-h", our_cnt + ".ema-ncnt"],
-            fq, env=env)
+            fq, env=env_clean)
 
         # --- byte parity before reporting any number ---
         for a, b in (((our_cnt + ".ema-ncnt"), (ref_cnt + ".ema-ncnt")),
@@ -164,8 +183,13 @@ def main():
             "wl_size": wl_size,
             "byte_identical": True,
             "ours": {"count_s": round(t_our_count, 2),
+                     "count_ambient_env_s": round(t_our_count_ambient, 2),
                      "count_warm_s": round(t_our_count_warm, 2),
                      "preproc_s": round(t_our_pre, 2)},
+            "env_note": ("count_s/preproc_s use a PYTHONPATH without the "
+                         "harness's axon sitecustomize (which imports jax "
+                         "at interpreter start, ~1.9s, unused by these "
+                         "stages); count_ambient_env_s keeps it"),
             "reference": {"count_s": round(t_ref_count, 2),
                           "preproc_s": round(t_ref_pre, 2)},
             "speedup_count": round(t_ref_count / t_our_count, 3),

@@ -55,9 +55,20 @@ def main() -> None:
     rng = np.random.default_rng(2026)
     t0 = time.time()
     genome = rand_genome(rng, a.genome)
+    # plant repeat families (~2% of the genome) so multi-mapping reads
+    # exist and the mapq calibration bins are populated — a plain random
+    # genome maps 100% at mapq>=50, which validates nothing about mapq
+    n_fam, n_copies, unit_len = 4, 12, a.genome // 2500
+    for fam in range(n_fam):
+        src = int(rng.integers(0, a.genome - unit_len))
+        unit = genome[src:src + unit_len].copy()
+        for c in range(n_copies):
+            at = int(rng.integers(0, a.genome - unit_len))
+            genome[at:at + unit_len] = unit
     gs = to_str(genome)
     idx = build_index({"chr20sim": genome})
-    log(f"index: {a.genome/1e6:.0f} Mbp in {time.time()-t0:.0f}s")
+    log(f"index: {a.genome/1e6:.0f} Mbp ({n_fam}x{n_copies} repeat "
+        f"units of {unit_len} bp) in {time.time()-t0:.0f}s")
 
     t0 = time.time()
     ids, bc_strs, bcs, s1, q1, s2, q2, truth = simulate_pairs(
@@ -98,6 +109,8 @@ def main() -> None:
         mapq_tot[mq] += 1
         mapq_err[mq] += not ok
 
+    hi = mapq_tot[30:].sum()
+    hi_err = mapq_err[30:].sum()
     bins = [(0, 10), (10, 20), (20, 30), (30, 40), (40, 50), (50, 61)]
     calib = {}
     for lo, hi in bins:
@@ -119,6 +132,8 @@ def main() -> None:
         "mapped_pct": round(100.0 * n_mapped / max(n_primary, 1), 3),
         "at_truth_pct_of_mapped": round(100.0 * n_at / max(n_mapped, 1), 3),
         "at_truth_pct_of_all": round(100.0 * n_at / max(n_primary, 1), 3),
+        "at_truth_pct_mapq30plus": round(
+            100.0 * (1 - hi_err / max(hi, 1)), 3),
         "proper_pair_pct": round(100.0 * n_proper / max(n_primary, 1), 3),
         "mapq_calibration": calib,
         "align_wall_s": round(wall, 1),

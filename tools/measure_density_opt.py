@@ -122,6 +122,11 @@ def main() -> int:
         print("reference tree unavailable", file=sys.stderr)
         return 1
 
+    n_runs = 3
+    for i, a in enumerate(sys.argv):
+        if a == "--seeds" and i + 1 < len(sys.argv):
+            n_runs = int(sys.argv[i + 1])
+
     rng = np.random.default_rng(20260818)
     g1 = rand_genome(rng, 700_000)
     unit = g1[200_000:201_500].copy()
@@ -155,7 +160,7 @@ def main() -> int:
     t0 = time.time()
     idx = build_index(contigs)
     ours_paths = []
-    for si, seed in enumerate((7, 8, 9)):
+    for si, seed in enumerate(range(7, 7 + n_runs)):
         aligner = Aligner(idx, config.RunConfig(
             batch_size=1024, seed=seed, apply_density_opt=True))
         if si == 0:
@@ -179,13 +184,13 @@ def main() -> int:
     # and compare our deterministic shipped behavior against each roll.
     t0 = time.time()
     ref_paths = []
-    for r in range(3):
+    for r in range(n_runs):
         p = os.path.join(tmp, f"ref{r}.sam")
         oracle.run_align_oracle(os.path.join(tmp, "replay"), bucket, p,
                                 apply_opt=1)
         ref_paths.append(p)
-        if r < 2:
-            time.sleep(1.1)
+        if r < n_runs - 1:
+            time.sleep(1.1)               # time-seeded: distinct rolls
     t_ref = time.time() - t0
 
     ours = _parse_sam(ours_path)
@@ -227,13 +232,26 @@ def main() -> int:
     wins = int(sum(ours_mean[b] > ref_mean[b] + tol for b in both))
     losses = int(sum(ours_mean[b] < ref_mean[b] - tol for b in both))
     ties = len(both) - wins - losses
+    # Wilson 95% CI on the win fraction among decided barcodes — the
+    # statistical support VERDICT r3 #6 asks for (claim advantage only
+    # if the lower bound clears 0.5)
+    nd = wins + losses
+    if nd:
+        z = 1.959964
+        ph = wins / nd
+        den = 1 + z * z / nd
+        ctr = (ph + z * z / (2 * nd)) / den
+        hw = z * ((ph * (1 - ph) / nd + z * z / (4 * nd * nd)) ** 0.5) / den
+        win_ci = (round(ctr - hw, 4), round(ctr + hw, 4))
+    else:
+        win_ci = (None, None)
     ours_totals = [round(sum(po[b] for b in both), 3) for po in per_bx_os]
     tot_o = sum(ours_totals) / len(ours_totals)
     ref_totals = [round(sum(pr[b] for b in both), 3) for pr in per_bx_rs]
     tot_r = sum(ref_totals) / len(ref_totals)
 
     out = {
-        "round": 3,
+        "round": int(os.environ.get("EMA_TPU_ROUND", "04")),
         "what": "-d density-optimizer quality parity vs the reference's "
                 "own compiled annealer (time-seeded -> tolerance-based "
                 "comparison per SURVEY; identical candidates via "
@@ -254,14 +272,23 @@ def main() -> int:
         "energy_ref_runs": ref_totals,
         "energy_ref_mean": round(tot_r, 3),
         "energy_wins": wins, "energy_ties": ties, "energy_losses": losses,
-        "note": "energy is the SA objective of the FINAL picks; higher is "
-                "better; ours = 3 RunConfig seeds of the shipped config "
-                "(SPLIT_RESTARTS chains, best-energy pick), reference = "
-                "3 rolls of its time-seeded single chain; wins/ties/"
-                "losses compare per-barcode means",
+        "win_rate_decided": round(wins / nd, 4) if nd else None,
+        "win_rate_wilson95": list(win_ci),
+        "n_runs_per_side": n_runs,
+        "claim": ("advantage" if nd and win_ci[0] is not None
+                  and win_ci[0] > 0.5 else
+                  "parity" if nd and win_ci[1] is not None
+                  and win_ci[1] >= 0.5 else "disadvantage"),
+        "note": f"energy is the SA objective of the FINAL picks; higher "
+                f"is better; ours = {n_runs} RunConfig seeds of the "
+                f"shipped config (SPLIT_RESTARTS chains, best-energy "
+                f"pick), reference = {n_runs} rolls of its time-seeded "
+                f"single chain; wins/ties/losses compare per-barcode "
+                f"means; the claim key is gated on the Wilson interval",
     }
+    rnd = os.environ.get("EMA_TPU_ROUND", "04")
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "DENSITY_r03.json")
+        os.path.abspath(__file__))), f"DENSITY_r{rnd}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
