@@ -21,14 +21,33 @@ _lock = threading.Lock()
 _lib = None
 
 
+def _sanitize_mode() -> str:
+    """EMA_TPU_NATIVE_SANITIZE=thread|address builds an instrumented .so
+    (separate file, so the fast lib isn't clobbered).  The TSAN build is
+    the race-detection analog of the reference CI's sanitizer rows
+    (SURVEY §5): tests/test_native_tsan.py runs the threaded kernels
+    under it via LD_PRELOAD=libtsan."""
+    return os.environ.get("EMA_TPU_NATIVE_SANITIZE", "")
+
+
+def _so_path() -> str:
+    san = _sanitize_mode()
+    return _SO if san not in ("thread", "address") \
+        else os.path.join(_DIR, f"libema_native_{san[0]}san.so")
+
+
 def _build() -> None:
+    so = _so_path()
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
         "-march=native", "-funroll-loops",
-        _SRC, "-o", _SO + ".tmp",
     ]
+    san = _sanitize_mode()
+    if san in ("thread", "address"):
+        cmd += [f"-fsanitize={san}", "-g", "-fno-omit-frame-pointer"]
+    cmd += [_SRC, "-o", so + ".tmp"]
     subprocess.run(cmd, check=True, capture_output=True, text=True)
-    os.replace(_SO + ".tmp", _SO)
+    os.replace(so + ".tmp", so)
 
 
 def get_lib() -> ctypes.CDLL:
@@ -38,10 +57,11 @@ def get_lib() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
-        if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        so = _so_path()
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(_SRC)):
             _build()
-        lib = ctypes.CDLL(_SO)
+        lib = ctypes.CDLL(so)
 
         lib.sais_u8.restype = None
         lib.sais_u8.argtypes = [
@@ -287,7 +307,7 @@ def lib_fingerprint() -> str:
     if _fingerprint is None:
         import zlib
         get_lib()  # ensure the .so exists and is current
-        with open(_SO, "rb") as f:
+        with open(_so_path(), "rb") as f:
             _fingerprint = f"{zlib.crc32(f.read()):08x}"
     return _fingerprint
 
