@@ -181,7 +181,10 @@ def _bench() -> None:
         passes.append(time.time() - t0)
         dt = min(dt, passes[-1])
         log(f"pass {k}: {passes[-1]:.1f}s (best {dt:.1f}s)")
-        if (len(passes) >= 2
+        # require >= 4 passes before an early exit: through the tunnel
+        # the first timed passes still warm compile/transfer caches
+        # (observed: pass walls keep dropping past pass 2)
+        if (len(passes) >= 4
                 and sorted(passes)[1] <= 1.2 * dt and dt <= 10.0):
             break
     pps = n_pairs / dt

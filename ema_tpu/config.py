@@ -192,10 +192,12 @@ class RunConfig:
     inflight_chunks: Optional[int] = None   # device chunks in flight
                                         # (CLI -t; auto: 4 on TPU, 5 on
                                         # CPU backends)
-    device_em: Optional[bool] = None    # run EM on device (auto: True on
-                                        # every backend — the jitted EM
-                                        # wins on CPU too; host path
-                                        # selectable via device_em=False)
+    device_em: Optional[bool] = None    # run EM on device (auto: host EM
+                                        # on a single TPU chip — the EM
+                                        # round trip loses the A/B there —
+                                        # device EM on multi-chip meshes
+                                        # and on CPU backends, where the
+                                        # jitted EM wins ~10%)
     data_parallel_chips: bool = True    # shard device calls over all local
                                         # chips (auto-off with one device)
     nobc: bool = False                  # no-barcode mode: each pair is its

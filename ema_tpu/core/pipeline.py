@@ -208,11 +208,19 @@ class Aligner:
                 "smem" if (_os.cpu_count() or 1) > 1 else "greedy")
             device_em = self.cfg.device_em
             if device_em is None:
-                # on-device EM everywhere: XLA's fusion beats the padded
-                # numpy batch even on XLA:CPU (~10% whole-pipeline at
-                # bench shapes; the host path stays selectable via
-                # RunConfig(device_em=False) and remains equality-tested)
-                device_em = True
+                # auto, from same-window A/Bs: on a SINGLE TPU chip the
+                # EM round trip costs more than the tiny host EM saves
+                # (hostem 12,414 vs devem 11,214 pairs/s,
+                # AB_DEVEM_HOSTEM_r04.txt), so host EM; with a local
+                # device mesh the sharded device EM scales with chips;
+                # on CPU backends the XLA-jitted EM beats the padded
+                # numpy batch (~10% whole-pipeline, r03).  Both paths
+                # stay selectable via RunConfig(device_em=...) and
+                # remain equality-tested.
+                if jax.default_backend() in ("tpu", "axon"):
+                    device_em = len(jax.local_devices()) > 1
+                else:
+                    device_em = True
             self.cfg = _dc.replace(
                 self.cfg, device_em=device_em,
                 aligner=_dc.replace(self.cfg.aligner, seeding=seeding))

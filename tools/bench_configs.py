@@ -91,7 +91,7 @@ def simulate(tmp, genome_bp: int, n_pairs: int, seed: int = 7):
 
 
 def write_artifact(name: str, payload: dict) -> None:
-    rnd = os.environ.get("EMA_TPU_ROUND", "03")
+    rnd = os.environ.get("EMA_TPU_ROUND", "04")
     path = os.path.join(REPO, f"BENCH_{name}_r{rnd}.json")
     with open(path, "w") as f:
         json.dump(payload, f, indent=1)
