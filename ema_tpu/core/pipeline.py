@@ -1408,11 +1408,9 @@ def _reorder_batch(batch: ReadBatch, order: np.ndarray) -> ReadBatch:
 
 
 def _cigar_ref_len(cigars: np.ndarray, n_cigar: np.ndarray) -> np.ndarray:
-    ops = cigars & 0xF
-    lens = (cigars >> 4).astype(np.int64)
-    live = np.arange(cigars.shape[1])[None, :] < n_cigar[:, None]
-    use = live & ((ops == 0) | (ops == 2))
-    return np.where(use, lens, 0).sum(axis=1)
+    B, max_ops = cigars.shape
+    off = np.arange(B, dtype=np.int64) * max_ops
+    return native.cigar_stats_pool(cigars, off, n_cigar)[4]
 
 
 def _empty_candidate_set() -> CandidateSet:

@@ -209,14 +209,11 @@ def make_contig_blob(names) -> tuple:
 
 def _ref_len_vec(pool: np.ndarray, off: np.ndarray, ln: np.ndarray,
                  max_ops: int) -> np.ndarray:
-    """Reference-consumed length per CIGAR (vectorized over records)."""
+    """Reference-consumed length per CIGAR (one native pool pass)."""
     if off.shape[0] == 0:
         return np.zeros(0, np.int64)
-    idx = off[:, None] + np.arange(max_ops)[None, :]
-    ops = pool[np.minimum(idx, pool.shape[0] - 1)]
-    live = np.arange(max_ops)[None, :] < ln[:, None]
-    use = live & (((ops & 0xF) == 0) | ((ops & 0xF) == 2))
-    return np.where(use, ops >> 4, 0).sum(axis=1).astype(np.int64)
+    from ema_tpu import native
+    return native.cigar_stats_pool(pool, off, ln)[4]
 
 
 def emit_group_lines(res, pool, max_cigar_ops, seqs, quals,

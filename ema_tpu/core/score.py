@@ -22,20 +22,16 @@ def cigar_stats(cigars: np.ndarray, n_cigar: np.ndarray):
     """Decode [B, max_ops] BAM-encoded cigars -> per-item op tallies.
 
     Returns (match_bases, indel_bases, indel_runs, clip_bases) — 'M' bases
-    include mismatches (split later using NM).
+    include mismatches (split later using NM).  One native pass over the
+    op pool (the numpy mask/where/sum stack built several [B, max_ops]
+    temporaries per emit batch).
     """
-    ops = cigars & 0xF
-    lens = (cigars >> 4).astype(np.int64)
-    live = np.arange(cigars.shape[1])[None, :] < n_cigar[:, None]
-    is_m = live & (ops == 0)
-    is_indel = live & ((ops == 1) | (ops == 2))
-    is_clip = live & ((ops == 3) | (ops == 4))
-    return (
-        np.where(is_m, lens, 0).sum(axis=1),
-        np.where(is_indel, lens, 0).sum(axis=1),
-        is_indel.sum(axis=1),
-        np.where(is_clip, lens, 0).sum(axis=1),
-    )
+    from ema_tpu import native
+
+    B, max_ops = cigars.shape
+    off = np.arange(B, dtype=np.int64) * max_ops
+    m_b, i_b, i_r, c_b, _ = native.cigar_stats_pool(cigars, off, n_cigar)
+    return m_b, i_b, i_r, c_b
 
 
 def score_alignments(cigars: np.ndarray, n_cigar: np.ndarray,

@@ -170,6 +170,11 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.c_int64, ctypes.POINTER(ctypes.c_uint32),
         ]
+        lib.cigar_stats_pool.restype = None
+        lib.cigar_stats_pool.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ] + [ctypes.POINTER(ctypes.c_int64)] * 5
 
         lib.bucket_assign_pq.restype = None
         lib.bucket_assign_pq.argtypes = [
@@ -819,6 +824,21 @@ class BarcodeHash:
 
 def _auto_threads() -> int:
     return min(os.cpu_count() or 1, 16)
+
+
+def cigar_stats_pool(pool: np.ndarray, off: np.ndarray, ln: np.ndarray):
+    """One-pass CIGAR tallies (see ema_native.cpp): returns
+    (m_bases, indel_bases, indel_runs, clip_bases, ref_len) int64 [B]."""
+    pool = np.ascontiguousarray(pool.reshape(-1), np.uint32)
+    off = np.ascontiguousarray(off, np.int64)
+    ln = np.ascontiguousarray(ln, np.int32)
+    B = off.shape[0]
+    outs = [np.empty(B, np.int64) for _ in range(5)]
+    get_lib().cigar_stats_pool(
+        _ptr(pool, ctypes.c_uint32), _ptr(off, ctypes.c_int64),
+        _ptr(ln, ctypes.c_int32), ctypes.c_int64(B),
+        *[_ptr(o, ctypes.c_int64) for o in outs])
+    return tuple(outs)
 
 
 def bc_encode_block(data: np.ndarray, stride: int) -> np.ndarray:

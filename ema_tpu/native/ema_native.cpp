@@ -1541,6 +1541,33 @@ extern "C" int64_t umap_order_u32_sim(const uint32_t *keys, int64_t n,
     return w;
 }
 
+// One-pass CIGAR tallies over a flat BAM-encoded op pool.  Replaces the
+// numpy [B, max_ops] mask/where/sum stack (several 4M-element
+// temporaries per emit batch) feeding the generative score
+// (align.c:846-913 inputs) and the ref-span computations.  off[b] is
+// record b's first op index in pool; ln[b] its op count.
+extern "C" void cigar_stats_pool(const uint32_t *pool, const int64_t *off,
+                                 const int32_t *ln, int64_t B,
+                                 int64_t *m_bases, int64_t *indel_bases,
+                                 int64_t *indel_runs, int64_t *clip_bases,
+                                 int64_t *ref_len) {
+    for (int64_t b = 0; b < B; b++) {
+        const uint32_t *c = pool + off[b];
+        const int32_t n = ln[b];
+        int64_t mb = 0, ib = 0, ir = 0, cb = 0, rl = 0;
+        for (int32_t i = 0; i < n; i++) {
+            const uint32_t op = c[i] & 0xF;
+            const int64_t l = c[i] >> 4;
+            if (op == 0) { mb += l; rl += l; }
+            else if (op == 1) { ib += l; ir++; }
+            else if (op == 2) { ib += l; ir++; rl += l; }
+            else if (op == 3 || op == 4) cb += l;
+        }
+        m_bases[b] = mb; indel_bases[b] = ib; indel_runs[b] = ir;
+        clip_bases[b] = cb; ref_len[b] = rl;
+    }
+}
+
 // Preproc barcode encoding (count.cc:130): 16 bases -> uint32, first
 // base in the HIGH bits, hash_dna (ACGTacgt -> 0..3, else 0).  One pass
 // over strided raw file/FASTQ bytes — replaces the numpy gather +
