@@ -307,21 +307,27 @@ class Aligner:
         except Exception:                        # pragma: no cover
             return "banded"
 
-    @staticmethod
-    def _probe_host_fm() -> bool:
-        """Host C++ FM ops (greedy seeding + SA locate) on CPU backends.
+    def _probe_host_fm(self) -> bool:
+        """Host C++ FM ops (greedy seeding + SA locate) vs the device
+        program.
 
-        The occ table for bacterial-scale genomes fits L2 and one scalar
-        rank query is ~20 ops, so the native walk beats the XLA:CPU
-        vectorized scan ~7x at pipeline shapes (value-identical outputs,
-        equality-tested in test_native).  TPU backends keep the fused
-        device program.  Override with EMA_TPU_SEED_IMPL=device|native.
+        CPU backends: always host — the scalar rank walk beats the
+        XLA:CPU scan ~7x at pipeline shapes (value-identical outputs,
+        equality-tested in test_native).  TPU backends: host seeding
+        when the occ table is cache-resident — the same-window hardware
+        A/B measured the hybrid (host seed+locate, device SW) at 17,866
+        vs 15,988 pairs/s for the fused device program
+        (AB_SEED_r04.txt); at GRCh38 scale the occ spills far past LLC
+        and the device program keeps HBM bandwidth, so large indexes
+        stay on device.  Override with EMA_TPU_SEED_IMPL=device|native.
         """
         import os
         env = os.environ.get("EMA_TPU_SEED_IMPL")
         if env in ("native", "device"):
             return env == "native"
-        return jax.default_backend() not in ("tpu", "axon")
+        if jax.default_backend() not in ("tpu", "axon"):
+            return True
+        return self.index.occ_blocks.nbytes <= (128 << 20)
 
     # ------------------------------------------------------------------
     # candidate generation
