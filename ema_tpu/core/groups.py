@@ -733,7 +733,7 @@ def run_em_device_batch(states: List[GroupState]) -> None:
     dispatch_em_device_batch(states)()
 
 
-def dispatch_em_device_batch(states: List[GroupState]):
+def dispatch_em_device_batch(states: List[GroupState], on_cpu: bool = False):
     """Async half of the batched device EM.
 
     Launches one padded [G, E, C] device EM call for many groups and
@@ -741,6 +741,10 @@ def dispatch_em_device_batch(states: List[GroupState]):
     writes each state's gammas.  JAX dispatch is asynchronous, so the
     device round trip overlaps whatever host work runs between dispatch
     and wait (the pipeline finishes the *previous* emit batch there).
+
+    ``on_cpu=True`` places arrays and the jitted EM on the host CPU
+    device (used on single-TPU-chip backends, where the chip round trip
+    loses the A/B but the XLA-jitted EM still beats numpy/native).
 
     Groups must share ``many``.  Shapes bucket to powers of two so XLA
     compiles a handful of programs.  Deep-candidate groups run through
@@ -793,18 +797,22 @@ def dispatch_em_device_batch(states: List[GroupState]):
             return a                         # pathological group; keep i32
         return a.astype(np.int16)
 
-    inp = em_jax.EMInputs(
-        score=jnp.asarray(d["score"]), cmask=jnp.asarray(d["cmask"]),
-        active=jnp.asarray(d["active"]),
-        cand_cloud=jnp.asarray(narrow(d["cand_cloud"])),
-        rec_chrom=jnp.asarray(narrow(d["rec_chrom"])),
-        rec_pos=jnp.asarray(d["rec_pos"]),
-        rec_rev=jnp.asarray(d["rec_rev"].astype(np.int8)),
-        mate_entry=jnp.asarray(narrow(d["mate_entry"])),
-        emask=jnp.asarray(d["emask"]),
-        comp=jnp.asarray(narrow(d["comp"])),
-        run_em=jnp.asarray(run_em))
-    gammas, _ = em_jax.em_run(inp, many=many)
+    import contextlib
+    ctx = (jax.default_device(jax.devices("cpu")[0]) if on_cpu
+           else contextlib.nullcontext())
+    with ctx:
+        inp = em_jax.EMInputs(
+            score=jnp.asarray(d["score"]), cmask=jnp.asarray(d["cmask"]),
+            active=jnp.asarray(d["active"]),
+            cand_cloud=jnp.asarray(narrow(d["cand_cloud"])),
+            rec_chrom=jnp.asarray(narrow(d["rec_chrom"])),
+            rec_pos=jnp.asarray(d["rec_pos"]),
+            rec_rev=jnp.asarray(d["rec_rev"].astype(np.int8)),
+            mate_entry=jnp.asarray(narrow(d["mate_entry"])),
+            emask=jnp.asarray(d["emask"]),
+            comp=jnp.asarray(narrow(d["comp"])),
+            run_em=jnp.asarray(run_em))
+        gammas, _ = em_jax.em_run(inp, many=many)
 
     def wait() -> None:
         gh = np.asarray(gammas, dtype=np.float64)

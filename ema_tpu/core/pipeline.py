@@ -203,24 +203,25 @@ class Aligner:
                 batch_size=self.cfg.batch_size or (4096 if on_tpu else 2048),
                 inflight_chunks=self.cfg.inflight_chunks
                 or (4 if on_tpu else 5))
+        self._em_place_cpu = False
         if self.cfg.aligner.seeding is None or self.cfg.device_em is None:
             seeding = self.cfg.aligner.seeding or (
                 "smem" if (_os.cpu_count() or 1) > 1 else "greedy")
             device_em = self.cfg.device_em
             if device_em is None:
-                # auto, from same-window A/Bs: on a SINGLE TPU chip the
-                # EM round trip costs more than the tiny host EM saves
-                # (hostem 12,414 vs devem 11,214 pairs/s,
-                # AB_DEVEM_HOSTEM_r04.txt), so host EM; with a local
-                # device mesh the sharded device EM scales with chips;
-                # on CPU backends the XLA-jitted EM beats the padded
-                # numpy batch (~10% whole-pipeline, r03).  Both paths
-                # stay selectable via RunConfig(device_em=...) and
-                # remain equality-tested.
-                if jax.default_backend() in ("tpu", "axon"):
-                    device_em = len(jax.local_devices()) > 1
-                else:
-                    device_em = True
+                # auto: jitted EM everywhere, but PLACED on the host CPU
+                # device when the backend is a single TPU chip — the
+                # same-window A/B showed the TPU round trip losing to
+                # host-side EM there (hostem 12,414 vs devem 11,214
+                # pairs/s, AB_DEVEM_HOSTEM_r04.txt), and the CPU-jitted
+                # EM beats the padded numpy batch (~10% whole-pipeline,
+                # r03).  Multi-chip meshes keep device placement (the
+                # sharded EM scales with chips).  Explicit
+                # RunConfig(device_em=True/False) pins device/native.
+                device_em = True
+                self._em_place_cpu = (
+                    jax.default_backend() in ("tpu", "axon")
+                    and len(jax.local_devices()) == 1)
             self.cfg = _dc.replace(
                 self.cfg, device_em=device_em,
                 aligner=_dc.replace(self.cfg.aligner, seeding=seeding))
@@ -964,11 +965,13 @@ class Aligner:
                     n_pairs_list=n_pairs_list)
             else:
                 states = []
-            with self._mst("em[device]" if self.cfg.device_em
+            with self._mst("em[cpu-jit]" if self._em_place_cpu
+                           else "em[device]" if self.cfg.device_em
                            else "em[host]", len(states)):
                 if self.cfg.device_em:
                     # one padded device call for all EM-gated groups
-                    em_wait = groups_mod.dispatch_em_device_batch(states)
+                    em_wait = groups_mod.dispatch_em_device_batch(
+                        states, on_cpu=self._em_place_cpu)
                 else:
                     # one padded numpy pass for all EM-gated groups
                     groups_mod.run_em_host_batch(states)
