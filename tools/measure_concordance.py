@@ -1,5 +1,5 @@
 """Measure record-level concordance vs the compiled reference align core
-at scale, and write CONCORDANCE_r03.json at the repo root.
+at scale, and write CONCORDANCE_r{round}.json at the repo root.
 
 Runs the same dual-stack drive as tests/test_oracle_align.py but on a
 larger world (~10k pairs incl. a repeat family), reporting per-field
@@ -91,7 +91,7 @@ def main() -> int:
 
     s = st.shared or 1
     out = {
-        "round": 3,
+        "round": int(os.environ.get("EMA_TPU_ROUND", "04")),
         "what": "record-level concordance vs the reference's own "
                 "compiled EM/selection/SAM stack (bwabridge candidate "
                 "replay; identical candidates both sides; -t1, no -d)",
@@ -116,7 +116,7 @@ def main() -> int:
         "mismatch_examples": st.mismatches[:10],
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "CONCORDANCE_r03.json")
+        os.path.abspath(__file__))), f"CONCORDANCE_r{os.environ.get('EMA_TPU_ROUND', '04')}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}  (ours {t_ours:.1f}s, oracle {t_ref:.1f}s)")
