@@ -168,7 +168,7 @@ def main() -> int:
         "round": 3,
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH_CONFIG5_r03.json")
+        os.path.abspath(__file__))), f"BENCH_CONFIG5_r{os.environ.get('EMA_TPU_ROUND', '04')}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     log(f"wrote {path}")
