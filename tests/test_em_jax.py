@@ -223,3 +223,29 @@ def test_sweep_collision_falls_back():
     st = groups.sweep_group(recs, np.array(idents, dtype=object),
                             config.get_platform_profile("10x"))
     assert st.cloud_bad[0] == 1
+
+
+def test_em_cpu_placement_equivalent():
+    """The single-chip-TPU EM placement (jitted EM pinned to the host
+    CPU device, pipeline._em_place_cpu) emits exactly the default
+    output — exercises the jax.default_device path end-to-end."""
+    import numpy as np
+
+    from tests.simulate import rand_genome, simulate_pairs, to_str
+    from ema_tpu import config
+    from ema_tpu.core.pipeline import Aligner, ReadBatch
+    from ema_tpu.index import build_index
+
+    rng = np.random.default_rng(33)
+    genome = rand_genome(rng, 60_000)
+    idx = build_index({"c1": genome})
+    ids, bc_strs, bcs, s1, q1, s2, q2, truth = simulate_pairs(
+        rng, to_str(genome), n_barcodes=3, frags_per_bc=(1, 2),
+        pairs_per_frag=(16, 22), frag_len=9_000, read_len=80, err=0.003)
+    batch = ReadBatch.from_pairs(ids, bcs, s1, q1, s2, q2)
+
+    base = Aligner(idx, config.RunConfig()).align_batch_to_sam(batch)
+    placed = Aligner(idx, config.RunConfig())
+    placed._em_place_cpu = True
+    assert placed.align_batch_to_sam(batch) == base
+    assert len(base) == 2 * len(ids)
