@@ -185,6 +185,10 @@ class CandidateSet:
 class Aligner:
     """Holds the index on device and runs batched alignment."""
 
+    # class default: subclasses with their own __init__ (ShardedAligner)
+    # inherit the no-placement behavior unless their resolution sets it
+    _em_place_cpu = False
+
     def __init__(self, index, cfg: Optional[config.RunConfig] = None):
         from ema_tpu.utils.backend import ensure_backend
         ensure_backend()
@@ -1252,6 +1256,8 @@ class ShardedAligner(Aligner):
         self.metrics = None
         self._sw_impl = self.subs[0]._sw_impl if self.subs else "banded"
         self._host_fm = self.subs[0]._host_fm if self.subs else False
+        if self.subs:
+            self._em_place_cpu = self.subs[0]._em_place_cpu
 
     def generate_candidates(self, batch: ReadBatch) -> CandidateSet:
         css = [sub.generate_candidates(batch) for sub in self.subs]
