@@ -30,6 +30,9 @@ def cigar_stats(cigars: np.ndarray, n_cigar: np.ndarray):
 
     B, max_ops = cigars.shape
     off = np.arange(B, dtype=np.int64) * max_ops
+    # Clamp lane counts to the pool width: the native kernel reads ln[b]
+    # ops unconditionally, so an oversized n_cigar would read out of bounds.
+    n_cigar = np.minimum(n_cigar, max_ops)
     m_b, i_b, i_r, c_b, _ = native.cigar_stats_pool(cigars, off, n_cigar)
     return m_b, i_b, i_r, c_b
 

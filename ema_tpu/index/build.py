@@ -201,8 +201,28 @@ def build_index(contigs: Dict[str, np.ndarray] | str,
         marked = (full_sa & (sa_rate - 1)) == 0
     else:
         marked = (full_sa % sa_rate) == 0
-    n_words = (n2 + 1 + 31) // 32
     rows_marked = np.nonzero(marked)[0]
+    words, mark_rank, sa_values = pack_value_samples(
+        rows_marked, full_sa[marked], n2)
+
+    return ReferenceIndex(
+        names=names, offsets=offsets, lengths=lengths, text=text,
+        n_mask_intervals=n_mask, primary=primary, counts=counts,
+        occ_blocks=occ_blocks, sa_rate=sa_rate,
+        sa_mark_words=words, sa_mark_rank=mark_rank.astype(np.int32),
+        sa_values=sa_values, fm_n=n2)
+
+
+def pack_value_samples(rows_marked: np.ndarray, values: np.ndarray,
+                       n2: int):
+    """Pack (row, SA value) samples into the locate bitmap structure.
+
+    ``rows_marked`` must be sorted ascending (full-row space 0..n2);
+    ``values`` are the SA values of those rows.  Returns
+    (sa_mark_words uint32, sa_mark_rank int32, sa_values int32).
+    """
+    rows_marked = np.asarray(rows_marked, np.int64)
+    n_words = (n2 + 1 + 31) // 32
     words = np.zeros(n_words, dtype=np.uint32)
     # rows_marked is sorted: OR the bits per word with one reduceat pass
     # (np.bitwise_or.at is an order-of-magnitude slower scalar loop)
@@ -216,14 +236,7 @@ def build_index(contigs: Dict[str, np.ndarray] | str,
     per_word = np.bincount(rows_marked >> 5, minlength=n_words)
     mark_rank = np.zeros(n_words, dtype=np.int64)
     mark_rank[1:] = np.cumsum(per_word)[:-1]
-    sa_values = full_sa[marked].astype(np.int32)
-
-    return ReferenceIndex(
-        names=names, offsets=offsets, lengths=lengths, text=text,
-        n_mask_intervals=n_mask, primary=primary, counts=counts,
-        occ_blocks=occ_blocks, sa_rate=sa_rate,
-        sa_mark_words=words, sa_mark_rank=mark_rank.astype(np.int32),
-        sa_values=sa_values, fm_n=n2)
+    return words, mark_rank.astype(np.int32), values.astype(np.int32)
 
 
 def _intervals_from_mask(mask: np.ndarray) -> np.ndarray:

@@ -877,10 +877,19 @@ def umap_order_u32(keys: np.ndarray, sim: bool | None = None,
         n = get_lib().umap_order_u32_sim(
             _ptr(keys, ctypes.c_uint32), ctypes.c_int64(keys.shape[0]),
             _ptr(out, ctypes.c_int64), ctypes.c_int32(int(distinct)))
+        if n < 0:
+            # Overflow guard in the sim (node indices are int32): fall back
+            # to the real std::unordered_map replay rather than silently
+            # truncating the output.
+            n = get_lib().umap_order_u32(
+                _ptr(keys, ctypes.c_uint32), ctypes.c_int64(keys.shape[0]),
+                _ptr(out, ctypes.c_int64))
     else:
         n = get_lib().umap_order_u32(
             _ptr(keys, ctypes.c_uint32), ctypes.c_int64(keys.shape[0]),
             _ptr(out, ctypes.c_int64))
+    if n < 0:
+        raise ValueError(f"umap_order_u32: native call failed (n={n})")
     return out[:n]
 
 

@@ -1437,8 +1437,9 @@ extern "C" int64_t umap_order_u32(const uint32_t *keys, int64_t n,
 }
 
 // Flat-array simulation of libstdc++'s _Hashtable insertion mechanics —
-// same iteration order as umap_order_u32 (asserted for every call shape
-// in tests/test_native.py) at ~8x the speed: no per-node malloc, no
+// same iteration order as umap_order_u32 (equality-tested against the
+// real map on randomized key streams with duplicates and modular
+// collisions in tests/test_native.py) at ~8x the speed: no per-node malloc, no
 // pointer chasing through heap nodes.  Growth thresholds come from the
 // REAL std::__detail::_Prime_rehash_policy in the linked libstdc++, so
 // the rehash schedule is exact by construction; the singly-linked
@@ -1467,6 +1468,14 @@ extern "C" int64_t umap_order_u32_sim(const uint32_t *keys, int64_t n,
     int32_t head = -1;            // before_begin._M_nxt
 
     for (int64_t i = 0; i < n; i++) {
+        // the loop is bound on cache misses into before[] (random access
+        // over a bucket array that grows to tens of MB); bucket_count is
+        // constant between rehashes, so the miss D iterations ahead is
+        // computable now (prefetches issued just before a rehash simply
+        // touch a stale slot — harmless)
+        if (i + 16 < n)
+            __builtin_prefetch(&before[(size_t)keys[i + 16] % bucket_count],
+                               1, 1);
         uint32_t k = keys[i];
         size_t b = (size_t)k % bucket_count;
         // duplicate probe: walk the bucket (ends where the successor's
@@ -1487,11 +1496,19 @@ extern "C" int64_t umap_order_u32_sim(const uint32_t *keys, int64_t n,
         if (need.first) {
             size_t nb = need.second;
             std::vector<int32_t> nbefore(nb, -1);
-            int32_t p = head;
+            // materialize the global chain first so the re-insert pass can
+            // prefetch nbefore[] (the chain itself can't be looked ahead)
+            std::vector<int32_t> order;
+            order.reserve(kv.size());
+            for (int32_t p = head; p != -1; p = nxt[p]) order.push_back(p);
             head = -1;
             size_t bbegin_bkt = 0;   // bucket of the current global head
-            while (p != -1) {
-                int32_t nx = nxt[p];
+            const size_t cnt = order.size();
+            for (size_t j = 0; j < cnt; j++) {
+                if (j + 16 < cnt)
+                    __builtin_prefetch(
+                        &nbefore[(size_t)kv[order[j + 16]] % nb], 1, 1);
+                int32_t p = order[j];
                 size_t pb = (size_t)kv[p] % nb;
                 if (nbefore[pb] == -1) {
                     nxt[p] = head;
@@ -1507,7 +1524,6 @@ extern "C" int64_t umap_order_u32_sim(const uint32_t *keys, int64_t n,
                     nxt[p] = nxt[bef];
                     nxt[bef] = p;
                 }
-                p = nx;
             }
             before.swap(nbefore);
             bucket_count = nb;

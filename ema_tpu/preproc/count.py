@@ -289,6 +289,9 @@ def count(whitelist_path: str, output_prefix: str, stream,
     """Run the count stage; returns stats.
 
     ``stream`` is a binary file object with interleaved FASTQ.
+    ``chunk_pairs`` applies to haplotag mode only (the sorted-run batch
+    size in ``_count_haplotag``); the whitelist path streams ~4 MB line
+    blocks regardless.
     """
     if is_haplotag:
         return _count_haplotag(output_prefix, stream, chunk_pairs)
@@ -332,7 +335,7 @@ def count(whitelist_path: str, output_prefix: str, stream,
 
     # map sorted-order counts back to file order for reference-compatible
     # emission (count.cc:160-170 iterates the unordered_map)
-    counts_file = np.zeros_like(counts)
+    counts_file = np.empty_like(counts)   # sort_idx is a permutation
     counts_file[sort_idx] = counts
     _write_ncnt(f"{output_prefix}.ema-ncnt", wl_file, counts_file)
     return {"total": total, "nice": nice, "ignored": ignored}

@@ -212,3 +212,46 @@ class TestTracebackBatch:
         for k in ("score", "pos", "qb", "qe", "nm", "n_cigar"):
             np.testing.assert_array_equal(got[k], want[k], err_msg=k)
         np.testing.assert_array_equal(got["cigars"], want["cigars"])
+
+
+class TestUmapOrderSim:
+    """The flat-array _Hashtable simulation must replay the REAL
+    std::unordered_map's iteration order for every key stream (the sim is
+    the default path and determines .ema-ncnt byte parity + bucket order,
+    count.cc:160-170 / correct.cc:407-412)."""
+
+    # Sizes straddle several _Prime_rehash_policy growth boundaries
+    # (13, 29, 59, 127, 257, 541, 1109, 2357, ...).
+    @pytest.mark.parametrize("seed,n,keyspace", [
+        (0, 1, 10), (1, 12, 8), (2, 13, 1 << 32), (3, 14, 64),
+        (4, 58, 40), (5, 60, 1 << 32), (6, 126, 100), (7, 128, 1 << 32),
+        (8, 540, 300), (9, 542, 1 << 32), (10, 1110, 700),
+        (11, 2360, 1500), (12, 10_000, 4000), (13, 10_000, 1 << 32),
+    ])
+    def test_sim_matches_real_map(self, seed, n, keyspace):
+        rng = np.random.default_rng(seed)
+        keys = rng.integers(0, keyspace, size=n, dtype=np.uint32)
+        got = native.umap_order_u32(keys, sim=True)
+        want = native.umap_order_u32(keys, sim=False)
+        np.testing.assert_array_equal(got, want)
+
+    def test_modular_collisions(self):
+        # Keys congruent mod small primes collide into the same bucket
+        # through std::hash<uint32_t> (identity) % bucket_count.
+        for prime in (13, 29, 59, 127):
+            keys = (np.arange(5 * prime, dtype=np.uint32) * prime) % (1 << 20)
+            keys = np.concatenate([keys, keys[::2]])   # duplicates
+            got = native.umap_order_u32(keys, sim=True)
+            want = native.umap_order_u32(keys, sim=False)
+            np.testing.assert_array_equal(got, want)
+
+    def test_distinct_fast_path(self):
+        rng = np.random.default_rng(99)
+        keys = rng.permutation(np.arange(3000, dtype=np.uint32))
+        got = native.umap_order_u32(keys, sim=True, distinct=True)
+        want = native.umap_order_u32(keys, sim=False)
+        np.testing.assert_array_equal(got, want)
+
+    def test_empty(self):
+        keys = np.empty(0, np.uint32)
+        assert native.umap_order_u32(keys, sim=True).shape == (0,)

@@ -84,7 +84,18 @@ def make_dataset(out_dir: str, n_pairs: int, wl_size: int, seed=7):
     return wl_path, fq_path
 
 
-def run_timed(cmd, stdin_path, env=None):
+def _prime(*paths):
+    """Pull files into the page cache so every timed run sees the same
+    I/O state (whoever runs after a churny stage would otherwise pay
+    cold-disk reads the earlier runs didn't)."""
+    for p in paths:
+        with open(p, "rb") as f:
+            while f.read(1 << 22):
+                pass
+
+
+def run_timed(cmd, stdin_path, env=None, prime=()):
+    _prime(stdin_path, *prime)
     with open(stdin_path, "rb") as f:
         t0 = time.time()
         subprocess.run(cmd, stdin=f, check=True, env=env,
@@ -119,26 +130,16 @@ def main():
         env = dict(os.environ, EMA_TPU_PLATFORM="cpu",
                    PYTHONPATH=REPO + os.pathsep
                    + os.environ.get("PYTHONPATH", ""))
-        # clean env: drop the harness's axon sitecustomize (its .pth
-        # imports all of jax at interpreter start, ~1.9s); count/preproc
-        # never touch jax, and a real deployment has no such tax.  Both
-        # timings are recorded; the ambient one includes harness plumbing
-        # the reference binary doesn't pay.
-        clean_pp = os.pathsep.join(
-            p for p in (REPO + os.pathsep
-                        + os.environ.get("PYTHONPATH", "")).split(os.pathsep)
-            if p and "axon_site" not in p)
-        env_clean = dict(env, PYTHONPATH=clean_pp)
-
         # --- reference ---
         ref_cnt = os.path.join(td, "refcnt")
         t_ref_count = run_timed(
-            [str(oracle), "count", wl, ref_cnt, "0"], fq)
+            [str(oracle), "count", wl, ref_cnt, "0"], fq, prime=(wl,))
         ref_out = os.path.join(td, "refout")
         os.makedirs(ref_out)
         t_ref_pre = run_timed(
             [str(oracle), "correct", wl, ref_out, "1", "0", "1", "50",
-             "0", ref_cnt + ".ema-ncnt"], fq)
+             "0", ref_cnt + ".ema-ncnt"], fq,
+            prime=(wl, ref_cnt + ".ema-ncnt"))
 
         # --- ours ---
         # a fresh cache dir makes the first run genuinely cold (the
@@ -146,25 +147,39 @@ def main():
         # earlier bench invocation)
         cache = os.path.join(td, "cache")
         env = dict(env, EMA_TPU_CACHE_DIR=cache)
-        env_clean = dict(env_clean, EMA_TPU_CACHE_DIR=cache)
+        # make sure the self-compiling native .so is current BEFORE timing:
+        # a source change would otherwise bill one g++ build (~6 s) to the
+        # first timed run (the reference's compile isn't timed either)
+        subprocess.run(
+            [sys.executable, "-c",
+             "from ema_tpu import native; native.get_lib()"],
+            check=True, env=env)
         our_cnt = os.path.join(td, "ourcnt")
+        # primary timing: the official CLI launcher (bin/ema-tpu), run in
+        # the AMBIENT environment — the launcher starts a -S interpreter
+        # for jax-free subcommands, so ambient==clean by construction
+        # (mirrors the reference's zero-interpreter-tax compiled binary)
+        launcher = os.path.join(REPO, "bin", "ema-tpu")
         t_our_count = run_timed(
-            [sys.executable, "-m", "ema_tpu.cli", "count", "-w", wl,
-             "-o", our_cnt], fq, env=env_clean)
+            [launcher, "count", "-w", wl, "-o", our_cnt], fq, env=env,
+            prime=(wl,))
         # warm pass: the whitelist map-order disk cache is now populated
         # (every run after the first on a given whitelist pays this)
         t_our_count_warm = run_timed(
-            [sys.executable, "-m", "ema_tpu.cli", "count", "-w", wl,
-             "-o", our_cnt], fq, env=env_clean)
+            [launcher, "count", "-w", wl, "-o", our_cnt], fq, env=env,
+            prime=(wl,))
+        # secondary: bare `python -m` in the ambient env (pays whatever
+        # interpreter startup the site config imposes — recorded so the
+        # launcher's saving is visible, not hidden)
         t_our_count_ambient = run_timed(
             [sys.executable, "-m", "ema_tpu.cli", "count", "-w", wl,
-             "-o", our_cnt], fq, env=env)
+             "-o", our_cnt], fq, env=env, prime=(wl,))
         our_out = os.path.join(td, "ourout")
         os.makedirs(our_out)
         t_our_pre = run_timed(
-            [sys.executable, "-m", "ema_tpu.cli", "preproc", "-w", wl,
+            [launcher, "preproc", "-w", wl,
              "-o", our_out, "-n", "50", "-h", our_cnt + ".ema-ncnt"],
-            fq, env=env_clean)
+            fq, env=env, prime=(wl, our_cnt + ".ema-ncnt"))
 
         # --- byte parity before reporting any number ---
         for a, b in (((our_cnt + ".ema-ncnt"), (ref_cnt + ".ema-ncnt")),
@@ -183,13 +198,16 @@ def main():
             "wl_size": wl_size,
             "byte_identical": True,
             "ours": {"count_s": round(t_our_count, 2),
-                     "count_ambient_env_s": round(t_our_count_ambient, 2),
+                     "count_pym_ambient_s": round(t_our_count_ambient, 2),
                      "count_warm_s": round(t_our_count_warm, 2),
                      "preproc_s": round(t_our_pre, 2)},
-            "env_note": ("count_s/preproc_s use a PYTHONPATH without the "
-                         "harness's axon sitecustomize (which imports jax "
-                         "at interpreter start, ~1.9s, unused by these "
-                         "stages); count_ambient_env_s keeps it"),
+            "env_note": ("count_s/preproc_s/count_warm_s time the official "
+                         "bin/ema-tpu launcher in the AMBIENT environment "
+                         "(the launcher runs jax-free subcommands under "
+                         "python -S, so site-level ML-runtime imports are "
+                         "skipped by design); count_pym_ambient_s is bare "
+                         "`python -m ema_tpu.cli` in the same ambient env "
+                         "and pays the site tax"),
             "reference": {"count_s": round(t_ref_count, 2),
                           "preproc_s": round(t_ref_pre, 2)},
             "speedup_count": round(t_ref_count / t_our_count, 3),
