@@ -259,6 +259,17 @@ def main(argv=None) -> int:
                                    build_index)
         from ema_tpu.index.build import parse_fasta
         if a.from_bwa:
+            import os as _os
+            if (_os.path.exists(a.ref + ".bwt")
+                    and _os.path.exists(a.ref + ".sa")
+                    and not a.shard_bases):
+                # complete BWA index present: consume the prebuilt
+                # FM-index directly — no suffix-array construction
+                # (bwa_idx_load semantics, bwabridge.c:77-96)
+                from ema_tpu.index.bwa_import import import_bwa_index
+                idx = import_bwa_index(a.ref)
+                idx.save(a.out or _index_path(a.ref))
+                return 0
             from ema_tpu.index.bwa_import import load_bwa_contigs
             contigs = load_bwa_contigs(a.ref)
         else:

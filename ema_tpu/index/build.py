@@ -201,9 +201,8 @@ def build_index(contigs: Dict[str, np.ndarray] | str,
         marked = (full_sa & (sa_rate - 1)) == 0
     else:
         marked = (full_sa % sa_rate) == 0
-    rows_marked = np.nonzero(marked)[0]
     words, mark_rank, sa_values = pack_value_samples(
-        rows_marked, full_sa[marked], n2)
+        marked, full_sa[marked], n2)
 
     return ReferenceIndex(
         names=names, offsets=offsets, lengths=lengths, text=text,
@@ -213,27 +212,20 @@ def build_index(contigs: Dict[str, np.ndarray] | str,
         sa_values=sa_values, fm_n=n2)
 
 
-def pack_value_samples(rows_marked: np.ndarray, values: np.ndarray,
-                       n2: int):
-    """Pack (row, SA value) samples into the locate bitmap structure.
+def pack_value_samples(marked: np.ndarray, values: np.ndarray, n2: int):
+    """Pack the sampled-row bitmap structure for locate.
 
-    ``rows_marked`` must be sorted ascending (full-row space 0..n2);
-    ``values`` are the SA values of those rows.  Returns
-    (sa_mark_words uint32, sa_mark_rank int32, sa_values int32).
+    ``marked``: dense bool [n2+1] over the full row space; ``values`` the
+    SA values of the marked rows in ROW order.  Returns (sa_mark_words
+    uint32, sa_mark_rank int32, sa_values int32).  packbits(little) packs
+    element 32k+i into bit i of word k — exactly the _is_marked layout.
     """
-    rows_marked = np.asarray(rows_marked, np.int64)
-    n_words = (n2 + 1 + 31) // 32
-    words = np.zeros(n_words, dtype=np.uint32)
-    # rows_marked is sorted: OR the bits per word with one reduceat pass
-    # (np.bitwise_or.at is an order-of-magnitude slower scalar loop)
-    if rows_marked.shape[0]:
-        wi = rows_marked >> 5
-        bits = np.uint32(1) << (rows_marked & 31).astype(np.uint32)
-        first = np.ones(wi.shape[0], bool)
-        first[1:] = wi[1:] != wi[:-1]
-        starts = np.nonzero(first)[0]
-        words[wi[starts]] = np.bitwise_or.reduceat(bits, starts)
-    per_word = np.bincount(rows_marked >> 5, minlength=n_words)
+    n_rows = n2 + 1
+    n_words = (n_rows + 31) // 32
+    pad = np.zeros(n_words * 32, dtype=bool)
+    pad[:n_rows] = marked[:n_rows]
+    words = np.packbits(pad, bitorder="little").view(np.uint32)
+    per_word = pad.reshape(n_words, 32).sum(axis=1, dtype=np.int64)
     mark_rank = np.zeros(n_words, dtype=np.int64)
     mark_rank[1:] = np.cumsum(per_word)[:-1]
     return words, mark_rank.astype(np.int32), values.astype(np.int32)

@@ -165,6 +165,15 @@ def get_lib() -> ctypes.CDLL:
         lib.umap_order_u32_sim.restype = ctypes.c_int64
         lib.umap_order_u32_sim.argtypes = \
             lib.umap_order_u32.argtypes + [ctypes.c_int32]
+        lib.bwa_sa_import_locate.restype = ctypes.c_int64
+        lib.bwa_sa_import_locate.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         lib.bc_encode_block.restype = None
         lib.bc_encode_block.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
@@ -891,6 +900,40 @@ def umap_order_u32(keys: np.ndarray, sim: bool | None = None,
     if n < 0:
         raise ValueError(f"umap_order_u32: native call failed (n={n})")
     return out[:n]
+
+
+def bwa_sa_import_locate(occ_blocks: np.ndarray, counts: np.ndarray,
+                         primary: int, n2: int,
+                         sa_start_vals: np.ndarray, sa_intv: int,
+                         sa_rate: int):
+    """Convert BWA's rank-sampled SA into our value-sampled locate
+    structure: (sa_mark_words, sa_mark_rank, sa_values).
+
+    ``sa_start_vals[k]`` is SA[k * sa_intv] over the full n2+1 row space
+    (row 0 = $, value n2).  One segmented LF-cycle walk (n2+1 steps total;
+    see ema_native.cpp) marks every row whose SA value is divisible by
+    ``sa_rate`` and compacts the values in row order.
+    """
+    occ_blocks = np.ascontiguousarray(occ_blocks, np.int32)
+    counts = np.ascontiguousarray(counts, np.int64)
+    sa_start_vals = np.ascontiguousarray(sa_start_vals, np.int64)
+    n_words = (n2 + 1 + 31) // 32
+    words = np.empty(n_words, np.uint32)
+    rank = np.empty(n_words, np.int32)
+    values = np.empty(n2 // sa_rate + 2, np.int32)
+    w = get_lib().bwa_sa_import_locate(
+        _ptr(occ_blocks, ctypes.c_int32), _ptr(counts, ctypes.c_int64),
+        ctypes.c_int32(primary), ctypes.c_int64(n2),
+        _ptr(sa_start_vals, ctypes.c_int64),
+        ctypes.c_int64(sa_start_vals.shape[0]),
+        ctypes.c_int64(sa_intv), ctypes.c_int64(sa_rate),
+        _ptr(words, ctypes.c_uint32), _ptr(rank, ctypes.c_int32),
+        _ptr(values, ctypes.c_int32))
+    if w != n2 // sa_rate + 1:
+        raise ValueError(
+            f"bwa_sa_import_locate: walked {w} sampled rows, expected "
+            f"{n2 // sa_rate + 1} — corrupt .bwt/.sa?")
+    return words, rank, values[:w]
 
 
 def bucket_assign_pq(sizes: np.ndarray, n_buckets: int) -> np.ndarray:

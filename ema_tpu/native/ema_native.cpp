@@ -2283,3 +2283,142 @@ extern "C" void sw_banded_native(
                             gap_open, gap_extend, clip, out_score,
                             out_qb, out_qe, out_ref_end, n_threads, wl);
 }
+
+// ---------------------------------------------------------------------------
+// BWA index import: rank-sampled .sa -> our value-sampled locate structure.
+//
+// The reference loads a prebuilt BWA FM-index directly (bwa_idx_load,
+// reference src/bwabridge.c:77-96).  Our occ layout is converted from the
+// .bwt file in numpy (index/bwa_import.py); this kernel converts BWA's
+// rank-space sampled suffix array (.sa stores SA[k*intv]) into the rows
+// whose SA VALUE is divisible by sa_rate — the structure our fixed-trip
+// device locate needs (index/build.py).
+//
+// Method: the LF map over the n2+1 BWT rows is a single cycle (one
+// sentinel).  Walking LF from every sampled row until the next sampled row
+// partitions the cycle exactly, so the total work is n2+1 LF steps and
+// every (row, value) pair is visited exactly once.  Segments are
+// independent; CH of them are interleaved round-robin so the random
+// occ-block loads overlap (memory-level parallelism) instead of forming
+// one dependent chain.
+
+// prefix masks for a 128-base block viewed as 4 u64 words: row off ->
+// 2*off one-bits from the LSB (4 KB, cache-resident across the walk)
+static const uint64_t *lf_prefix_masks() {
+    static uint64_t m[128][4];
+    static bool init = false;
+    if (!init) {
+        for (int off = 0; off < 128; off++) {
+            int nb = off;
+            for (int w = 0; w < 4; w++) {
+                int take = nb > 32 ? 32 : nb;
+                m[off][w] = take >= 32 ? ~0ull
+                                       : ((1ull << (2 * take)) - 1ull);
+                nb -= take;
+                if (nb < 0) nb = 0;
+            }
+        }
+        init = true;
+    }
+    return &m[0][0];
+}
+
+static inline int32_t lf_step_blocks(const int32_t *blocks,
+                                     const int64_t *counts,
+                                     int32_t primary, int32_t k,
+                                     const uint64_t *masks) {
+    if (k == primary) return 0;                 // full-string row -> $ row
+    const int32_t adj = k - (k > primary);      // skip the $ row
+    const int32_t *row = blocks + (int64_t)(adj >> 7) * 12;
+    const uint32_t *words32 = (const uint32_t *)(row + 4);
+    const int32_t off = adj & 127;
+    const int32_t c = (int32_t)((words32[off >> 4] >> (2 * (off & 15))) & 3u);
+    const uint64_t pat = 0x5555555555555555ull * (uint64_t)c;
+    const uint64_t *m = masks + 4 * off;
+    // branch-free masked popcount over the whole block (the words may be
+    // 4-byte aligned only: assemble u64s from u32 pairs)
+    int32_t cnt = row[c];
+    for (int w = 0; w < 4; w++) {
+        uint64_t x = ((uint64_t)words32[2 * w + 1] << 32) | words32[2 * w];
+        x ^= pat;
+        x = ~(x | (x >> 1)) & 0x5555555555555555ull & m[w];
+        cnt += (int32_t)__builtin_popcountll(x);
+    }
+    return (int32_t)counts[c] + cnt;
+}
+
+extern "C" int64_t bwa_sa_import_locate(
+    const int32_t *occ_blocks, const int64_t *counts,
+    int32_t primary, int64_t n2,
+    const int64_t *sa_start_vals /* [n_sa]: SA[k*sa_intv], incl row 0 */,
+    int64_t n_sa, int64_t sa_intv, int64_t sa_rate,
+    uint32_t *mark_words /* [(n2+32)/32] */,
+    int32_t *mark_rank /* same length */,
+    int32_t *sa_values /* capacity n2/sa_rate + 1 */) {
+    const int CH = 32;
+    const uint64_t *masks = lf_prefix_masks();
+    const int64_t n_words = (n2 + 1 + 31) / 32;
+
+    // phase 1: segmented LF walk writing SA values densely by row
+    // (-1 = unsampled; the bitmap falls out of a sequential scan in
+    // phase 2, avoiding a second random read-modify-write stream)
+    std::vector<int32_t> val_by_row((size_t)n2 + 1, -1);
+    int32_t rows[CH];
+    int64_t vals[CH];
+    int live[CH];
+    int64_t next_seg = 0;
+    int n_live = 0;
+    for (int i = 0; i < CH; i++) live[i] = 0;
+
+    auto start_chain = [&](int slot) {
+        if (next_seg < n_sa) {
+            int64_t seg = next_seg++;
+            rows[slot] = (int32_t)(seg * sa_intv);
+            vals[slot] = sa_start_vals[seg];
+            live[slot] = 1;
+            n_live++;
+        }
+    };
+    for (int i = 0; i < CH; i++) start_chain(i);
+
+    while (n_live > 0) {
+        for (int i = 0; i < CH; i++) {
+            if (!live[i]) continue;
+            if (vals[i] % sa_rate == 0)
+                val_by_row[(size_t)rows[i]] = (int32_t)vals[i];
+            int32_t nr = lf_step_blocks(occ_blocks, counts, primary,
+                                        rows[i], masks);
+            if (nr % sa_intv == 0) {       // next segment's start: done
+                live[i] = 0;
+                n_live--;
+                start_chain(i);
+            } else {
+                rows[i] = nr;
+                vals[i] = vals[i] == 0 ? n2 : vals[i] - 1;
+                __builtin_prefetch(
+                    occ_blocks +
+                    (int64_t)((nr - (nr > primary)) >> 7) * 12, 0, 1);
+            }
+        }
+    }
+
+    // phase 2: one sequential pass builds bitmap words, per-word prefix
+    // ranks, and the compacted value array
+    int64_t w = 0;
+    const int64_t n_rows = n2 + 1;
+    for (int64_t wi = 0; wi < n_words; wi++) {
+        mark_rank[wi] = (int32_t)w;
+        uint32_t bits = 0;
+        const int64_t base = wi << 5;
+        const int64_t hi = base + 32 < n_rows ? base + 32 : n_rows;
+        for (int64_t r = base; r < hi; r++) {
+            int32_t v = val_by_row[(size_t)r];
+            if (v >= 0) {
+                bits |= 1u << (r & 31);
+                sa_values[w++] = v;
+            }
+        }
+        mark_words[wi] = bits;
+    }
+    return w;
+}
