@@ -107,7 +107,10 @@ def _gather_score(text, oriented, olens, owners, win_lo, win_len, wl, *,
     cols = win_lo[:, None] + jnp.arange(w_max, dtype=jnp.int32)
     gathered = text[jnp.clip(cols, 0, n - 1)].astype(jnp.int32)
     wins = jnp.where((cols < 0) | (cols >= n), 5, gathered)
-    if sw_impl == "banded16":
+    if sw_impl == "banded_packed":
+        from ema_tpu.ops.sw_pallas import sw_score_banded_pallas_packed
+        sw_fn = functools.partial(sw_score_banded_pallas_packed, wl=wl)
+    elif sw_impl == "banded16":
         from ema_tpu.ops.sw_pallas import sw_score_banded_pallas16
         sw_fn = functools.partial(sw_score_banded_pallas16,
                                   w_band=w_band, wl=wl)
@@ -245,6 +248,13 @@ class Aligner:
         # concurrently, so stage sums are thread-seconds, not wall
         self.metrics = None
         self._sw_impl = self._probe_sw_impl()
+        # pair-packed 64-diagonal tier: candidates whose logical corridor
+        # fits 64 lanes run two-per-vector-row (BENCH_SW_r04 measured the
+        # 128-lane kernel ALU-bound with 2.56x corridor-padding waste;
+        # mean pipeline wl ~50).  EMA_TPU_SW_TIER64=0 disables.
+        self._sw_tier64 = (self._sw_impl == "banded_pallas"
+                           and _os.environ.get("EMA_TPU_SW_TIER64",
+                                               "1") != "0")
         self._host_fm = self._probe_host_fm()
         self._init_mesh()
 
@@ -579,6 +589,28 @@ class Aligner:
                 gap_open=self.cfg.aligner.gap_open,
                 gap_extend=self.cfg.aligner.gap_extend,
                 clip=self.cfg.aligner.clip_penalty, wl=wl_cand)
+        # 64-diagonal tier split: small-corridor candidates score in the
+        # pair-packed kernel, the rest in the 128-lane kernel.  Split
+        # before chunking so each chunk runs one uniform program.
+        sw_impl = self._sw_impl
+        if getattr(self, "_sw_tier64", False) and sw_impl == "banded_pallas":
+            small = wl_cand <= 64
+            ns = int(small.sum())
+            if ns == N:
+                sw_impl = "banded_packed"
+            elif ns >= 256:
+                i_s = np.nonzero(small)[0]
+                i_l = np.nonzero(~small)[0]
+                out = {k: np.zeros(N, np.int32)
+                       for k in ("score", "qb", "qe", "ref_end")}
+                for idx in (i_s, i_l):
+                    sub = self._score_windows(
+                        oriented_dev, olens_dev, owners[idx], win_lo[idx],
+                        win_len[idx], row_map, olens_host=olens_host,
+                        oriented_host=oriented_host, wl=wl_cand[idx])
+                    for k in out:
+                        out[k][idx] = np.asarray(sub[k], np.int32)
+                return out
         if N > SW_CHUNK:
             outs = [self._score_windows(
                         oriented_dev, olens_dev, owners[s:s + SW_CHUNK],
@@ -593,7 +625,7 @@ class Aligner:
         # independent of this padding) — computed on LOGICAL oriented
         # ids, before the device-row remap
         Wmax = _round_up(int(win_len.max()), WIN_BUCKET)
-        if self._sw_impl.startswith("banded"):
+        if sw_impl.startswith("banded"):
             w_band = _round_up(max(int(wl_cand.max()), 1), 128)
             w_band = min(w_band, _round_up(Wmax, 128))
         else:
@@ -620,7 +652,7 @@ class Aligner:
             w_max=Wmax, w_band=w_band, match=p.match,
             mismatch=p.mismatch,
             gap_open=p.gap_open, gap_extend=p.gap_extend,
-            clip=p.clip_penalty, sw_impl=self._sw_impl)
+            clip=p.clip_penalty, sw_impl=sw_impl)
         out = jax.device_get(out)
         return {k: np.asarray(v)[:N] for k, v in out.items()}
 

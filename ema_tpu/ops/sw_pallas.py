@@ -646,3 +646,220 @@ def sw_score_banded_pallas16(reads, read_lens, refs, ref_lens, w_band,
         "qe": out[:B, 2],
         "ref_end": out[:B, 3],
     }
+
+
+# ---------------------------------------------------------------------------
+# Pair-packed 64-diagonal tier.
+#
+# BENCH_SW_r04 measured the banded kernel ALU-bound at the chip's real
+# int32 rate with a 2.56x corridor-padding waste: the mean per-candidate
+# logical corridor is ~50 diagonals but the physical vector is 128 lanes.
+# This kernel serves candidates whose corridor fits 64 diagonals by
+# packing TWO candidates per 128-lane vector row (candidate A in lanes
+# 0..63, B in 64..127).  All shifts/scans are segment-masked on the local
+# diagonal kk = k & 63 (the log2 prefix scan also stops at 32), so each
+# row-step advances two candidates for the price the 128-lane kernel
+# paid for one.
+
+SEG = 64
+
+
+def _banded_kernel_packed(reads_ref, aux_ref, refs_ref, out_ref, *,
+                          m, n_pad, m_pad, match, mismatch, gap_open,
+                          gap_extend, clip):
+    """Two candidates per vector row; see _banded_kernel for the
+    recurrences and the packed-scan trick (reused here with kk)."""
+    B = reads_ref.shape[0]
+    W = 2 * SEG
+    goe = gap_open + gap_extend
+
+    k_idx = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+    kk = k_idx & (SEG - 1)
+    seg = k_idx >= SEG
+
+    def seg_vec(col_a, col_b):
+        return jnp.where(seg, col_b, col_a)
+
+    rl = seg_vec(aux_ref[:, 0][:, None], aux_ref[:, 1][:, None])
+    nl = seg_vec(aux_ref[:, 2][:, None], aux_ref[:, 3][:, None])
+    wl = seg_vec(aux_ref[:, 4][:, None], aux_ref[:, 5][:, None])
+    kmask = kk < wl
+    ke = kk * gap_extend
+
+    # A's read at buffer lanes [0, m), B's at [m_pad, m_pad + m)
+    read_roll0 = reads_ref[:].astype(jnp.int32)
+    rlaneA = jax.lax.broadcasted_iota(jnp.int32, (B, 2 * m_pad), 1) == 0
+    rlaneB = jax.lax.broadcasted_iota(
+        jnp.int32, (B, 2 * m_pad), 1) == m_pad
+    ref_roll0 = refs_ref[:].astype(jnp.int32)
+
+    def shift_left(x, fill):
+        r = pltpu.roll(x, shift=W - 1, axis=1)
+        return jnp.where(kk == SEG - 1, fill, r)
+
+    def shift_right(x, s, fill):
+        r = pltpu.roll(x, shift=s, axis=1)
+        return jnp.where(kk < s, fill, r)
+
+    zero = jnp.zeros((B, W), jnp.int32)
+    negv = zero + NEG
+    carry0 = (negv, negv, zero, zero,          # Hp, Fp, SHp, SFp
+              negv, zero, zero,                # bestv, besti, bests
+              read_roll0, ref_roll0)
+
+    def step(i, carry):
+        (Hp, Fp, SHp, SFp, bestv, besti, bests,
+         read_roll, ref_roll) = carry
+
+        colA = jnp.sum(jnp.where(rlaneA, read_roll, 0), axis=1,
+                       keepdims=True, dtype=jnp.int32)
+        colB = jnp.sum(jnp.where(rlaneB, read_roll, 0), axis=1,
+                       keepdims=True, dtype=jnp.int32)
+        read_col = seg_vec(colA, colB)
+        # A's window at buffer lanes [0, SEG); B's at [n_pad, n_pad+SEG)
+        # -> rotate B's window down into compute lanes [SEG, 2*SEG)
+        rowB = pltpu.roll(ref_roll, shift=n_pad + SEG, axis=1)
+        ref_row = jnp.where(seg, rowB[:, :W], ref_roll[:, :W])
+        valid = (i <= rl) & (i + kk <= nl) & kmask
+
+        sub = jnp.where((read_col >= 4) | (ref_row >= 4), -1,
+                        jnp.where(read_col == ref_row, match, -mismatch))
+        fresh = jnp.where(i == 1, 0, -clip)
+
+        Hd = jnp.maximum(Hp, fresh) + sub
+        Sd = jnp.where(Hp >= fresh, SHp, i - 1)
+
+        f_open = shift_left(Hp, NEG) - goe
+        f_ext = shift_left(Fp, NEG) - gap_extend
+        F = jnp.maximum(f_open, f_ext)
+        SF = jnp.where(f_open >= f_ext,
+                       shift_left(SHp, 0), shift_left(SFp, 0))
+
+        H0 = jnp.maximum(Hd, F)
+        S0 = jnp.where(Hd >= F, Sd, SF)
+        # packed scan (see _banded_kernel): valid whenever
+        # m * match + SEG * gap_extend < 8191 — every pipeline shape
+        A = jnp.where(valid, H0 + ke, -8192)
+        AK = (A << 17) | (kk << 8) | S0
+        NEGPACK = (-8192) << 17
+        P = shift_right(AK, 1, NEGPACK)
+        s = 1
+        while s < SEG:
+            P = jnp.maximum(P, shift_right(P, s, NEGPACK))
+            s *= 2
+        E = (P >> 17) - ke - gap_open
+        PS = P & 255
+        H = jnp.maximum(H0, E)
+        SH = jnp.where(Hd >= jnp.maximum(E, F), Sd,
+                       jnp.where(E >= F, PS, SF))
+        H = jnp.where(valid, H, NEG)
+        F = jnp.where(valid, F, NEG)
+
+        end_adj = jnp.where(i == rl, 0, -clip)
+        cand = jnp.where(valid, H + end_adj, NEG)
+        improve = cand > bestv
+        bestv = jnp.where(improve, cand, bestv)
+        besti = jnp.where(improve, i, besti)
+        bests = jnp.where(improve, SH, bests)
+
+        read_roll = pltpu.roll(read_roll, shift=2 * m_pad - 1, axis=1)
+        ref_roll = pltpu.roll(ref_roll, shift=2 * n_pad - 1, axis=1)
+        return (H, F, SH, SF, bestv, besti, bests, read_roll, ref_roll)
+
+    carry = jax.lax.fori_loop(1, m + 1, step, carry0)
+    bestv, besti, bests = carry[4:7]
+
+    d_key = (2 * besti + kk) * 1024 + besti
+    for half in (0, 1):
+        mask = seg if half else ~seg
+        bv = jnp.where(mask, bestv, NEG)
+        maxv = jnp.max(bv, axis=1, keepdims=True)
+        key = jnp.where(bv == maxv, d_key, jnp.int32(1 << 30))
+        minkey = jnp.min(key, axis=1, keepdims=True)
+        bk = jnp.min(jnp.where((key == minkey) & mask, kk, SEG), axis=1)
+        sel = mask & (kk == bk[:, None])
+        bi = jnp.sum(jnp.where(sel, besti, 0), axis=1, dtype=jnp.int32)
+        bs = jnp.sum(jnp.where(sel, bests, 0), axis=1, dtype=jnp.int32)
+        o = 4 * half
+        out_ref[:, o + 0] = maxv[:, 0]
+        out_ref[:, o + 1] = bs
+        out_ref[:, o + 2] = bi
+        out_ref[:, o + 3] = bi + bk
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "match", "mismatch", "gap_open", "gap_extend", "clip",
+    "interpret", "tile_b"))
+def sw_score_banded_pallas_packed(reads, read_lens, refs, ref_lens, wl,
+                                  match: int = 1, mismatch: int = 4,
+                                  gap_open: int = 6, gap_extend: int = 1,
+                                  clip: int = 5, interpret: bool = False,
+                                  tile_b: int = TILE_B):
+    """Pair-packed banded SW scorer for corridors wl <= 64.
+
+    Drop-in output contract of sw_score_banded_pallas(w_band=64) on the
+    same candidates (bit-exact; tests/test_sw_banded.py) at ~2x the
+    effective cell rate: two candidates share each 128-lane vector row.
+    """
+    B, m = reads.shape
+    _, n = refs.shape
+    if m >= 1024:
+        raise ValueError(f"banded SW tie-break packing requires read "
+                         f"length < 1024 (got m={m})")
+    # the kernel reads window columns [0, m + SEG); narrower inputs pad
+    n_eff = m + SEG
+    n_pad = _round_up(n_eff, 128)
+    m_pad = _round_up(m + 1, 128)
+    B2 = (B + 1) // 2
+    TB = min(tile_b, _round_up(max(B2, 1), 8))
+    B2p = _round_up(max(B2, 1), TB)
+
+    def pack_pairs(x, fill, width, src_w):
+        """[B, src_w] -> [B2p, 2*width]: even rows -> lanes [0, width),
+        odd rows -> [width, 2*width)."""
+        Bp2 = 2 * B2p
+        xp = jnp.full((Bp2, width), fill, jnp.int32)
+        w = min(src_w, width)
+        xp = xp.at[:B, :w].set(x[:, :w].astype(jnp.int32))
+        return xp.reshape(B2p, 2 * width)
+
+    reads_p = pack_pairs(reads, 4, m_pad, m)
+    refs_p = pack_pairs(refs, 5, n_pad, n)
+
+    def col(v, fill=0):
+        vp = jnp.full(2 * B2p, fill, jnp.int32)
+        vp = vp.at[:B].set(v.astype(jnp.int32))
+        return vp.reshape(B2p, 2)
+
+    aux = jnp.concatenate(
+        [col(read_lens), col(ref_lens), col(wl),
+         jnp.zeros((B2p, 2), jnp.int32)], axis=1)    # [B2p, 8]
+
+    kernel = functools.partial(
+        _banded_kernel_packed, m=m, n_pad=n_pad, m_pad=m_pad,
+        match=match, mismatch=mismatch, gap_open=gap_open,
+        gap_extend=gap_extend, clip=clip)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B2p // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, 2 * m_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 2 * n_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TB, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B2p, 8), jnp.int32),
+        interpret=interpret,
+    )(reads_p, aux, refs_p)
+
+    flat = out.reshape(2 * B2p, 4)[:B]
+    return {
+        "score": flat[:, 0],
+        "qb": flat[:, 1],
+        "qe": flat[:, 2],
+        "ref_end": flat[:, 3],
+    }

@@ -336,3 +336,42 @@ class TestLogicalCorridor:
                 jnp.asarray(win_len), W, wl=jnp.asarray(wl)).items()}
             for k in ("score", "qb", "qe", "ref_end"):
                 np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+
+class TestPackedTier:
+    def test_packed_pair_kernel_exact(self):
+        """The pair-packed 64-diagonal kernel (two candidates per vector
+        row) must be bit-exact vs the XLA row-sweep and the 128-lane
+        Pallas kernel for any corridor wl <= 64, including odd batch
+        sizes (dummy tail candidate) and planted similarity."""
+        import jax.numpy as jnp
+
+        from ema_tpu.ops.sw import sw_score_banded
+        from ema_tpu.ops.sw_pallas import sw_score_banded_pallas_packed
+
+        rng = np.random.default_rng(7)
+        for B, m in ((9, 40), (16, 33), (3, 25)):
+            n = m + 80
+            reads = rng.integers(0, 5, (B, m)).astype(np.int32)
+            rlens = rng.integers(10, m + 1, B).astype(np.int32)
+            refs = rng.integers(0, 6, (B, n)).astype(np.int32)
+            for b in range(B):         # plant similarity
+                off = int(rng.integers(0, 30))
+                L = min(int(rlens[b]), n - off)
+                keep = rng.random(L) < 0.9
+                refs[b, off:off + L] = np.where(
+                    keep, reads[b, :L], refs[b, off:off + L])
+            nlens = rng.integers(m, n + 1, B).astype(np.int32)
+            wl = rng.integers(1, 65, B).astype(np.int32)
+
+            want = {k: np.asarray(v) for k, v in sw_score_banded(
+                jnp.asarray(reads), jnp.asarray(rlens), jnp.asarray(refs),
+                jnp.asarray(nlens), 128, wl=jnp.asarray(wl)).items()}
+            got = {k: np.asarray(v)
+                   for k, v in sw_score_banded_pallas_packed(
+                       jnp.asarray(reads), jnp.asarray(rlens),
+                       jnp.asarray(refs), jnp.asarray(nlens),
+                       jnp.asarray(wl), interpret=True).items()}
+            for k in ("score", "qb", "qe", "ref_end"):
+                np.testing.assert_array_equal(
+                    got[k], want[k], err_msg=f"packed {k} B={B} m={m}")

@@ -62,6 +62,30 @@ def run_cli(args, **kw) -> float:
     return time.time() - t0
 
 
+def run_cli_stages(args) -> tuple[float, dict]:
+    """Run a CLI align and parse its stage summary (':: align: 1.23s ...'
+    stderr lines from utils/metrics.py) into {stage: seconds}."""
+    t0 = time.time()
+    r = subprocess.run([sys.executable, "-m", "ema_tpu.cli", *args],
+                       env=cli_env(), check=True, cwd=REPO,
+                       stderr=subprocess.PIPE, text=True)
+    wall = time.time() - t0
+    stages = {}
+    for ln in r.stderr.splitlines():
+        ln = ln.strip()
+        if ln.startswith("::") and ":" in ln[3:]:
+            body = ln[2:].strip()
+            name, _, rest = body.partition(":")
+            rest = rest.strip()
+            if rest[:1].isdigit() and "s" in rest:
+                try:
+                    stages[name.strip()] = float(rest.split("s")[0])
+                except ValueError:
+                    pass
+    sys.stderr.write(r.stderr)
+    return wall, stages
+
+
 def detected_platform() -> str:
     out = subprocess.run(
         [sys.executable, "-c",
@@ -91,7 +115,7 @@ def simulate(tmp, genome_bp: int, n_pairs: int, seed: int = 7):
 
 
 def write_artifact(name: str, payload: dict) -> None:
-    rnd = os.environ.get("EMA_TPU_ROUND", "04")
+    rnd = os.environ.get("EMA_TPU_ROUND", "05")
     path = os.path.join(REPO, f"BENCH_{name}_r{rnd}.json")
     with open(path, "w") as f:
         json.dump(payload, f, indent=1)
@@ -115,22 +139,34 @@ def config3(genome_bp: int, n_pairs: int) -> None:
         t_index = run_cli(["index", "-r", fa])
         log(f"index: {t_index:.1f}s for {genome_bp/1e6:.0f} Mbp")
         out = os.path.join(tmp, "out.sam")
-        t_align = run_cli(["align", "-r", fa, "-1", f1, "-2", f2,
-                           "-o", out])
+        # the index is built ONCE and loaded by every align run (the
+        # reference loads a prebuilt index too, bwa_idx_load).  Cold run
+        # populates the persistent XLA compilation cache; the warm run is
+        # what every subsequent user invocation sees and is the headline.
+        t_cold, st_cold = run_cli_stages(
+            ["align", "-r", fa, "-1", f1, "-2", f2, "-o", out])
+        t_warm, st_warm = run_cli_stages(
+            ["align", "-r", fa, "-1", f1, "-2", f2, "-o", out])
         n_rec = sum(1 for ln in open(out) if not ln.startswith("@"))
         assert n_rec >= 2 * len(ids), (n_rec, len(ids))
         write_artifact("CONFIG3", {
             "metric": "align_pair_fastq_pairs_per_sec",
-            "value": round(len(ids) / t_align, 1),
+            "value": round(len(ids) / t_warm, 1),
             "unit": "pairs/s",
             "genome_bp": genome_bp,
             "n_pairs": len(ids),
             "index_build_s": round(t_index, 1),
-            "align_wall_s": round(t_align, 1),
+            "align_warm_wall_s": round(t_warm, 1),
+            "align_cold_wall_s": round(t_cold, 1),
+            "compile_s_est": round(max(t_cold - t_warm, 0.0), 1),
+            "stages_warm": st_warm,
+            "cold_pairs_per_sec": round(len(ids) / t_cold, 1),
             "platform": plat,
             "note": ("chr20-scale simulated genome (no egress for real "
                      "chr20); full CLI path: streaming -1/-2 reader, EM, "
-                     "mate rescue, SAM emission"),
+                     "mate rescue, SAM emission.  Index built once and "
+                     "loaded (not rebuilt) by each align; warm run uses "
+                     "the persistent XLA compilation cache"),
         })
 
 
@@ -157,8 +193,10 @@ def config4(n_buckets: int, n_pairs: int, genome_bp: int) -> None:
                 os.path.join(tmp, "bkt")))
         t_index = run_cli(["index", "-r", fa])
         out = os.path.join(tmp, "out.sam")
-        t_align = run_cli(["align", "-r", fa, "-x", "-d",
-                           "-o", out, *buckets])
+        t_cold = run_cli(["align", "-r", fa, "-x", "-d",
+                          "-o", out, *buckets])
+        t_warm = run_cli(["align", "-r", fa, "-x", "-d",
+                          "-o", out, *buckets])
         import glob as _g
         n_rec = 0
         for p in _g.glob(out + "*"):
@@ -168,17 +206,22 @@ def config4(n_buckets: int, n_pairs: int, genome_bp: int) -> None:
         assert n_rec >= 2 * len(ids), (n_rec, len(ids))
         write_artifact("CONFIG4", {
             "metric": "align_multibucket_pairs_per_sec",
-            "value": round(len(ids) / t_align, 1),
+            "value": round(len(ids) / t_warm, 1),
             "unit": "pairs/s",
             "n_buckets": len(buckets),
             "n_pairs": len(ids),
             "genome_bp": genome_bp,
             "index_build_s": round(t_index, 1),
-            "align_wall_s": round(t_align, 1),
+            "align_warm_wall_s": round(t_warm, 1),
+            "align_cold_wall_s": round(t_cold, 1),
+            "compile_s_est": round(max(t_cold - t_warm, 0.0), 1),
+            "cold_pairs_per_sec": round(len(ids) / t_cold, 1),
             "platform": plat,
             "note": ("GRCh38-scale config scaled to the bench host: "
                      "-x bucket mode with default small-bucket "
-                     "coalescing and -d density optimization"),
+                     "coalescing and -d density optimization; index "
+                     "built once, warm run uses the persistent XLA "
+                     "compilation cache"),
         })
 
 

@@ -47,6 +47,7 @@ BANDED_OPS_PER_CELL = 93
 # tunnel window still yields the headline number.
 STEPS = [
     ("banded-pallas", True, 600),
+    ("banded-packed", True, 600),
     ("vpu-probe", True, 420),
     ("banded-scan", False, 600),
     ("banded-pallas-t128", True, 420),
@@ -78,6 +79,13 @@ def make_case(B, m, n, W):
     return reads, rlens, refs, nlens
 
 
+def _case_wl(B):
+    """Pipeline-like corridor distribution (BENCH_SW_r04 measured mean
+    wl ~50): clipped normal within the packed tier's 64-lane segment."""
+    rng = np.random.default_rng(1)
+    return np.clip(rng.normal(50, 10, B), 8, 64).astype(np.int32)
+
+
 def _variant_fn(name):
     import jax.numpy as jnp  # noqa: F401
     from ema_tpu.ops import sw, sw_pallas
@@ -87,6 +95,8 @@ def _variant_fn(name):
         "banded-scan": lambda a: sw.sw_score_banded(*a, W),
         "pallas": lambda a: sw_pallas.sw_score_batch_pallas(*a),
         "banded-pallas": lambda a: sw_pallas.sw_score_banded_pallas(*a, W),
+        "banded-packed": lambda a: sw_pallas.sw_score_banded_pallas_packed(
+            *a, jnp.asarray(_case_wl(a[0].shape[0]))),
         "banded-pallas-t128": lambda a: sw_pallas.sw_score_banded_pallas(
             *a, W, tile_b=128),
         "banded-pallas-t512": lambda a: sw_pallas.sw_score_banded_pallas(
@@ -132,6 +142,15 @@ def child_variant(name, outdir):
            "gcells_per_s": round(c / dt / 1e9, 3),
            "full_window_gcells_per_s": round(cells / dt / 1e9, 3),
            "warm_s": round(warm, 1), "platform": plat}
+    if name == "banded-packed":
+        # same candidates the 128-lane kernel would score at W=128, in
+        # less time: equiv128 is directly comparable to banded-pallas's
+        # gcells_per_s; corridor rate counts only true in-band cells
+        wl = _case_wl(B)
+        res["equiv128_gcells_per_s"] = round(bcells / dt / 1e9, 3)
+        res["physical_gcells_per_s"] = round(B * m * 64 / dt / 1e9, 3)
+        res["corridor_gcells_per_s"] = round(
+            float((m * wl.astype(np.int64)).sum()) / dt / 1e9, 3)
     with open(os.path.join(outdir, f"{name}.json"), "w") as f:
         json.dump(res, f)
     log(f"{name}: {dt*1e3:.2f} ms  {c/dt/1e9:.2f} Gcell/s (warm {warm:.0f}s)")

@@ -139,7 +139,7 @@ def main() -> None:
         "align_wall_s": round(wall, 1),
         "pairs_per_sec": round(n_pairs / wall, 1),
     }
-    rnd = os.environ.get("EMA_TPU_ROUND", "04")
+    rnd = os.environ.get("EMA_TPU_ROUND", "05")
     out = a.out or os.path.join(REPO, f"ACCURACY_r{rnd}.json")
     with open(out, "w") as f:
         json.dump(payload, f, indent=1)

@@ -91,7 +91,7 @@ def main() -> int:
 
     s = st.shared or 1
     out = {
-        "round": int(os.environ.get("EMA_TPU_ROUND", "04")),
+        "round": int(os.environ.get("EMA_TPU_ROUND", "05")),
         "what": "record-level concordance vs the reference's own "
                 "compiled EM/selection/SAM stack (bwabridge candidate "
                 "replay; identical candidates both sides; -t1, no -d)",

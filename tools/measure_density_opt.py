@@ -251,7 +251,7 @@ def main() -> int:
     tot_r = sum(ref_totals) / len(ref_totals)
 
     out = {
-        "round": int(os.environ.get("EMA_TPU_ROUND", "04")),
+        "round": int(os.environ.get("EMA_TPU_ROUND", "05")),
         "what": "-d density-optimizer quality parity vs the reference's "
                 "own compiled annealer (time-seeded -> tolerance-based "
                 "comparison per SURVEY; identical candidates via "
@@ -286,7 +286,7 @@ def main() -> int:
                 f"single chain; wins/ties/losses compare per-barcode "
                 f"means; the claim key is gated on the Wilson interval",
     }
-    rnd = os.environ.get("EMA_TPU_ROUND", "04")
+    rnd = os.environ.get("EMA_TPU_ROUND", "05")
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), f"DENSITY_r{rnd}.json")
     with open(path, "w") as f:
