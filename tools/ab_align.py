@@ -46,6 +46,8 @@ SPECS = {
     "smem": dict(seeding="smem"),
     "seednat": dict(seed_impl="native"),    # host C++ greedy seed+locate
     "seeddev": dict(seed_impl="device"),    # fused XLA seed_locate_reads
+    "tier64": dict(sw_tier="1"),            # pair-packed 64-lane SW tier
+    "notier": dict(sw_tier="0"),
     "default": dict(),
 }
 
@@ -54,14 +56,17 @@ def make_aligner(idx, name: str):
     from ema_tpu import config
     from ema_tpu.core.pipeline import Aligner
 
-    spec = dict(SPECS[name]) if name in SPECS else None
-    if spec is None:
-        if name.startswith("b") and name[1:].isdigit():
-            spec = dict(batch=int(name[1:]))
-        elif name.startswith("t") and name[1:].isdigit():
-            spec = dict(inflight=int(name[1:]))
+    # "+"-combined specs: e.g. seeddev+t6+b8192
+    spec = {}
+    for part in name.split("+"):
+        if part in SPECS:
+            spec.update(SPECS[part])
+        elif part.startswith("b") and part[1:].isdigit():
+            spec["batch"] = int(part[1:])
+        elif part.startswith("t") and part[1:].isdigit():
+            spec["inflight"] = int(part[1:])
         else:
-            raise SystemExit(f"unknown config spec: {name}")
+            raise SystemExit(f"unknown config spec: {part}")
     kw = {}
     if "device_em" in spec:
         kw["device_em"] = spec["device_em"]
@@ -75,7 +80,8 @@ def make_aligner(idx, name: str):
     cfg = config.RunConfig(aligner=ap, **kw)
     saved = {}
     for env_key, spec_key in (("EMA_TPU_SW_IMPL", "sw"),
-                              ("EMA_TPU_SEED_IMPL", "seed_impl")):
+                              ("EMA_TPU_SEED_IMPL", "seed_impl"),
+                              ("EMA_TPU_SW_TIER64", "sw_tier")):
         saved[env_key] = os.environ.pop(env_key, None)
         if spec_key in spec:
             os.environ[env_key] = spec[spec_key]
@@ -128,10 +134,23 @@ def main() -> None:
         assert n == 2 * n_pairs
         return dt
 
+    check_equal = os.environ.get("EMA_TPU_AB_CHECK_EQUAL") == "1"
+    sams = {}
     for n, al in aligners.items():
         t0 = time.time()
-        one_pass(al)
+        if check_equal:
+            batch = ReadBatch.from_pairs(ids, bcs, s1, q1, s2, q2)
+            sams[n] = al.align_batch_to_sam(batch)
+        else:
+            one_pass(al)
         log(f"warmup[{n}]: {time.time()-t0:.1f}s")
+    if check_equal:
+        base = sams[names[0]]
+        for n in names[1:]:
+            assert sams[n] == base, \
+                f"SAM output differs between {names[0]} and {n}"
+        log(f"SAM outputs identical across {names} "
+            f"({len(base)} records)")
 
     times = {n: [] for n in names}
     for r in range(reps):

@@ -1,12 +1,11 @@
 #!/bin/bash
-# Window-3 queue: re-measure the headline with the hybrid-seeding
-# default (host seed+locate at cache-resident occ sizes — measured
-# 17,866 vs 15,988 pairs/s in AB_SEED_r04.txt) and refresh the config
-# artifacts on a CLEAN window (the window-2 numbers contended with
-# builder benchmarks on the single host core).
+# Round-5 hardware queue.  Each step writes its own artifact and is
+# SKIPPED if that artifact already exists, so a tunnel wedge mid-queue
+# keeps everything already measured and the next live window resumes
+# where this one died.  Most-valuable-first ordering.
 set -x
 cd "$(dirname "$0")/.."
-export EMA_TPU_ROUND=04
+export EMA_TPU_ROUND=05
 
 timeout 250 python -c "
 import numpy as np, jax, jax.numpy as jnp
@@ -14,15 +13,58 @@ print('devices:', jax.devices())
 print('roundtrip:', np.asarray(jnp.arange(8) + 1))
 " || { echo "TUNNEL WEDGED - aborting queue"; exit 1; }
 
-# 1. headline with hybrid seeding
-timeout 1800 python bench.py | tee BENCH_QUEUE_r04.json
+step() {  # step <artifact> <timeout_s> <cmd...>
+  local art="$1" to="$2"; shift 2
+  if [ -s "$art" ]; then echo "SKIP $art (captured)"; return 0; fi
+  timeout "$to" "$@" > "$art.tmp" 2>>/tmp/tpu_queue_err.log \
+    && mv "$art.tmp" "$art" || { rm -f "$art.tmp"; return 1; }
+}
 
-# 2. stage split under the new default
+# 1. headline (hybrid defaults + tier64)
+step BENCH_QUEUE_r05.json 1800 python bench.py
+
+# 2. SW kernel roofline incl. the pair-packed tier (writes its own
+#    artifact per step internally; marker file gates the whole thing)
+if [ ! -s BENCH_SW_r05.json ]; then
+  timeout 2400 python tools/bench_sw.py --json BENCH_SW_r05.json || true
+fi
+
+# 3. tier64 on/off: SAM equality on hardware + same-window timing
+EMA_TPU_AB_CHECK_EQUAL=1 EMA_TPU_BENCH_REQUIRE_TPU=1 \
+  step AB_TIER64_r05.txt 1500 python -u tools/ab_align.py tier64 notier
+
+# 4. seeding placement under overlap: host C++ vs fused device seeder,
+#    and the device seeder with deeper in-flight pipelining
+EMA_TPU_BENCH_REQUIRE_TPU=1 \
+  step AB_SEED_r05.txt 2100 python -u tools/ab_align.py \
+    seednat seeddev seeddev+t6
+EMA_TPU_BENCH_REQUIRE_TPU=1 \
+  step AB_SEEDB_r05.txt 1800 python -u tools/ab_align.py \
+    seeddev+b8192 seeddev+t6+b8192
+
+# 5. stage split under the resolved defaults
 EMA_TPU_BENCH_INNER=1 EMA_TPU_BENCH_REQUIRE_TPU=1 EMA_TPU_STAGE_TIMERS=1 \
-    timeout 600 python -u bench.py 2>&1 | tee STAGE_TPU_r04.txt || true
+  step STAGE_TPU_r05.txt 900 bash -c "python -u bench.py 2>&1"
 
-# 3. clean config artifacts (warm compile cache from windows 1-2)
-timeout 1800 python tools/bench_configs.py config3 || true
-timeout 1800 python tools/bench_configs.py config4 || true
+# 6. host-core bottleneck isolation (VERDICT r4 #1 fallback evidence)
+EMA_TPU_BENCH_REQUIRE_TPU=1 \
+  step HOSTBOUND_QUEUE_r05.json 1500 python -u tools/hostbound.py
 
-touch .tpu_queue_completed
+# 7. full-CLI configs (index built once + warm compile cache)
+if [ ! -s BENCH_CONFIG3_r05.json ]; then
+  timeout 2400 python tools/bench_configs.py config3 || true
+fi
+if [ ! -s BENCH_CONFIG4_r05.json ]; then
+  timeout 2400 python tools/bench_configs.py config4 || true
+fi
+
+# done only when every artifact exists
+all=1
+for f in BENCH_QUEUE_r05.json BENCH_SW_r05.json AB_TIER64_r05.txt \
+         AB_SEED_r05.txt AB_SEEDB_r05.txt STAGE_TPU_r05.txt \
+         HOSTBOUND_QUEUE_r05.json BENCH_CONFIG3_r05.json \
+         BENCH_CONFIG4_r05.json; do
+  [ -s "$f" ] || all=0
+done
+[ "$all" = 1 ] && touch .tpu_queue_completed
+exit 0
