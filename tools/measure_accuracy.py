@@ -58,13 +58,26 @@ def main() -> None:
     # plant repeat families (~2% of the genome) so multi-mapping reads
     # exist and the mapq calibration bins are populated — a plain random
     # genome maps 100% at mapq>=50, which validates nothing about mapq
+    # copies carry VARYING divergence: exact copies make sub == score for
+    # every in-repeat read (mapq pinned to 0 — MAPQ_DIAG_r05 traced the
+    # empty 10-39 calibration buckets to exactly this), while real
+    # genomic repeat families are diverged, which grades the mapq middle
+    # (sub < score by varying margins).  Rates straddle the read error
+    # rate so some copies are distinguishable and some are not.
     n_fam, n_copies, unit_len = 4, 12, a.genome // 2500
+    div_rates = [0.0, 0.002, 0.005, 0.01, 0.02, 0.04]
     for fam in range(n_fam):
         src = int(rng.integers(0, a.genome - unit_len))
         unit = genome[src:src + unit_len].copy()
         for c in range(n_copies):
             at = int(rng.integers(0, a.genome - unit_len))
-            genome[at:at + unit_len] = unit
+            cp = unit.copy()
+            rate = div_rates[c % len(div_rates)]
+            if rate:
+                nmut = int(rate * unit_len)
+                pos = rng.integers(0, unit_len, nmut)
+                cp[pos] = (cp[pos] + rng.integers(1, 4, nmut)) % 4
+            genome[at:at + unit_len] = cp
     gs = to_str(genome)
     idx = build_index({"chr20sim": genome})
     log(f"index: {a.genome/1e6:.0f} Mbp ({n_fam}x{n_copies} repeat "
@@ -109,8 +122,8 @@ def main() -> None:
         mapq_tot[mq] += 1
         mapq_err[mq] += not ok
 
-    hi = mapq_tot[30:].sum()
-    hi_err = mapq_err[30:].sum()
+    hi30_n = int(mapq_tot[30:].sum())
+    hi30_err = int(mapq_err[30:].sum())
     bins = [(0, 10), (10, 20), (20, 30), (30, 40), (40, 50), (50, 61)]
     calib = {}
     for lo, hi in bins:
@@ -133,7 +146,7 @@ def main() -> None:
         "at_truth_pct_of_mapped": round(100.0 * n_at / max(n_mapped, 1), 3),
         "at_truth_pct_of_all": round(100.0 * n_at / max(n_primary, 1), 3),
         "at_truth_pct_mapq30plus": round(
-            100.0 * (1 - hi_err / max(hi, 1)), 3),
+            100.0 * (1 - hi30_err / max(hi30_n, 1)), 3),
         "proper_pair_pct": round(100.0 * n_proper / max(n_primary, 1), 3),
         "mapq_calibration": calib,
         "align_wall_s": round(wall, 1),
