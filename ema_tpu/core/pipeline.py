@@ -212,8 +212,16 @@ class Aligner:
                 or (4 if on_tpu else 5))
         self._em_place_cpu = False
         if self.cfg.aligner.seeding is None or self.cfg.device_em is None:
-            seeding = self.cfg.aligner.seeding or (
-                "smem" if (_os.cpu_count() or 1) > 1 else "greedy")
+            # SMEM + re-seeding is the reference's seeding semantics
+            # (BWA-MEM mem_align1_core) and the default EVERYWHERE:
+            # greedy maximal-suffix seeding cannot see diverged repeat
+            # copies (a maximal segment's interval only holds loci
+            # matching the whole segment), which CHAIN_r05 measured as
+            # 60% vs 100% recall of near-co-optimal loci.  Greedy stays
+            # an opt-in fast mode (RunConfig(aligner=...seeding="greedy")
+            # buys ~1.8x single-core seeding throughput where repeat
+            # fidelity doesn't matter).
+            seeding = self.cfg.aligner.seeding or "smem"
             device_em = self.cfg.device_em
             if device_em is None:
                 # auto: jitted EM everywhere, but PLACED on the host CPU
