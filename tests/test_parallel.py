@@ -113,3 +113,15 @@ def test_full_pipeline_meshed_sam_equality():
                 os.environ.pop(k, None)
             else:
                 os.environ[k] = v
+
+
+@pytest.mark.slow
+def test_full_pipeline_meshed_sam_equality_bench_scale():
+    """Bench-world-scale twin of dryrun_multichip half 3 (VERDICT r4 #5):
+    >=10k records, diverged repeat families (multi-chain clouds), and the
+    -d density optimizer ON — the collision/bad-cloud and split paths run
+    under sharding and must emit the exact single-device SAM."""
+    import __graft_entry__ as ge
+
+    n_rec = ge._dryrun_full_pipeline(8)
+    assert n_rec >= 10_000, n_rec
