@@ -198,6 +198,12 @@ def _bench() -> None:
         "value": round(pps, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pps / BASELINE_PAIRS_PER_SEC, 3),
+        "vs_baseline_note": (
+            "anchor is a COST-MODEL estimate (~1000 pairs/s per "
+            "reference align job from its own operational guidance, "
+            "BASELINE.md); the reference align cannot run here (empty "
+            "bwa submodule, zero egress).  Preproc has a measured "
+            "head-to-head instead (BENCH_PREPROC)."),
         "platform": jax.default_backend(),
     }))
 
