@@ -51,6 +51,9 @@ def pin_platform() -> str:
     time up front instead of inside every timed align run."""
     plat = detected_platform()
     if plat not in ("tpu", "axon"):
+        if os.environ.get("EMA_TPU_BENCH_REQUIRE_TPU"):
+            log("TPU required but unavailable (wedged tunnel?)")
+            sys.exit(3)
         _PINNED["EMA_TPU_PLATFORM"] = "cpu"
     return plat
 
