@@ -919,6 +919,81 @@ struct FM {
         *rhi = ch;
     }
 
+    // occ of chars cmin..3 among the first k rows (one block walk,
+    // restricted char set): extend_*_1 below only consumes ok[c] and the
+    // l prefix-sum over chars > c, so chars < cmin are never needed
+    inline void occ4_from(int cmin, int64_t k, int64_t cnt[4]) const {
+        int64_t adj = k - (k > primary ? 1 : 0);
+        const int32_t *row = blocks + (adj >> 7) * 12;
+        int off = (int)(adj & 127);
+        const uint64_t *w = (const uint64_t *)(row + 4);
+        int fw = off >> 5, rem = off & 31;
+        for (int c = cmin; c < 4; c++) cnt[c] = row[c];
+        for (int i = 0; i < fw; i++) {
+            uint64_t word = w[i];
+            for (int c = cmin; c < 4; c++) {
+                uint64_t x = word ^ (0x5555555555555555ULL * (uint64_t)c);
+                cnt[c] += __builtin_popcountll(
+                    (~(x | (x >> 1))) & 0x5555555555555555ULL);
+            }
+        }
+        if (rem) {
+            uint64_t word = w[fw];
+            uint64_t m = (1ULL << (2 * rem)) - 1ULL;
+            for (int c = cmin; c < 4; c++) {
+                uint64_t x = word ^ (0x5555555555555555ULL * (uint64_t)c);
+                cnt[c] += __builtin_popcountll(
+                    (~(x | (x >> 1))) & 0x5555555555555555ULL & m);
+            }
+        }
+    }
+
+    // occ of chars cmin..3 at TWO positions (klo <= khi) — the bi-interval
+    // extension always ranks at (k, k+s); once the interval narrows under
+    // a block (the common case after ~14 extensions) both land in the
+    // same 128-base block and the packed words are walked ONCE
+    inline void occ4_pair_from(int cmin, int64_t klo, int64_t khi,
+                               int64_t tk[4], int64_t tl[4]) const {
+        int64_t alo = klo - (klo > primary ? 1 : 0);
+        int64_t ahi = khi - (khi > primary ? 1 : 0);
+        if ((alo >> 7) != (ahi >> 7)) {
+            occ4_from(cmin, klo, tk);
+            occ4_from(cmin, khi, tl);
+            return;
+        }
+        const int32_t *row = blocks + (alo >> 7) * 12;
+        const uint64_t *w = (const uint64_t *)(row + 4);
+        int ol = (int)(alo & 127), oh = (int)(ahi & 127);
+        int fwh = oh >> 5, remh = oh & 31;
+        for (int c = cmin; c < 4; c++) { tk[c] = row[c]; tl[c] = row[c]; }
+        for (int i = 0; i < fwh; i++) {
+            uint64_t word = w[i];
+            int lo_nb = ol - 32 * i;       // bases of this word below klo
+            uint64_t lom = lo_nb >= 32 ? ~0ULL
+                         : (lo_nb <= 0 ? 0ULL
+                                       : ((1ULL << (2 * lo_nb)) - 1ULL));
+            for (int c = cmin; c < 4; c++) {
+                uint64_t x = word ^ (0x5555555555555555ULL * (uint64_t)c);
+                uint64_t eq = (~(x | (x >> 1))) & 0x5555555555555555ULL;
+                tl[c] += __builtin_popcountll(eq);
+                if (lom) tk[c] += __builtin_popcountll(eq & lom);
+            }
+        }
+        if (remh) {
+            uint64_t word = w[fwh];
+            uint64_t him = (1ULL << (2 * remh)) - 1ULL;
+            int lo_nb = ol - 32 * fwh;     // <= remh < 32 since ol <= oh
+            uint64_t lom = lo_nb <= 0 ? 0ULL
+                                      : ((1ULL << (2 * lo_nb)) - 1ULL);
+            for (int c = cmin; c < 4; c++) {
+                uint64_t x = word ^ (0x5555555555555555ULL * (uint64_t)c);
+                uint64_t eq = (~(x | (x >> 1))) & 0x5555555555555555ULL;
+                tl[c] += __builtin_popcountll(eq & him);
+                if (lom) tk[c] += __builtin_popcountll(eq & lom);
+            }
+        }
+    }
+
     // 2-bit BWT char at full-row index k (k != primary)
     inline int bwt_char(int64_t k) const {
         int64_t adj = k - (k > primary ? 1 : 0);
@@ -972,6 +1047,39 @@ static inline void extend_fwd(const FM &fm, const BiIntv &ik, BiIntv ok[4]) {
     }
 }
 
+// single-char backward extension: identical values to extend_back()[c]
+// (the reference semantics, BWA bwt_extend) but ranks only chars >= c —
+// ok[c].l needs just the complement-order prefix sum over chars > c —
+// and walks (k, k+s) in one pass when they share an occ block.  The
+// SMEM loops below only ever consume ok[q[i]], so this is the hot path.
+static inline void extend_back_1(const FM &fm, const BiIntv &ik, int c,
+                                 BiIntv *out) {
+    int64_t tk[4], tl[4];
+    fm.occ4_pair_from(c, ik.k, ik.k + ik.s, tk, tl);
+    int64_t sdol =
+        (ik.k <= fm.primary && fm.primary < ik.k + ik.s) ? 1 : 0;
+    int64_t l = ik.l + sdol;
+    for (int cc = 3; cc > c; cc--) l += tl[cc] - tk[cc];
+    out->k = fm.C[c] + tk[c];
+    out->l = l;
+    out->s = tl[c] - tk[c];
+    out->start = ik.start;
+    out->end = ik.end;
+}
+
+// single-char forward extension (append c) via the swap/complement trick
+static inline void extend_fwd_1(const FM &fm, const BiIntv &ik, int c,
+                                BiIntv *out) {
+    BiIntv tmp{ik.l, ik.k, ik.s, ik.start, ik.end};
+    BiIntv o2;
+    extend_back_1(fm, tmp, 3 - c, &o2);
+    out->k = o2.l;
+    out->l = o2.k;
+    out->s = o2.s;
+    out->start = ik.start;
+    out->end = ik.end;
+}
+
 static inline BiIntv init_intv(const FM &fm, int c, int x) {
     return BiIntv{fm.C[c], fm.C[3 - c], fm.C[c + 1] - fm.C[c], x, x + 1};
 }
@@ -984,17 +1092,17 @@ static int smem1(const FM &fm, const uint8_t *q, int len, int x,
     if (min_intv < 1) min_intv = 1;
     curr.clear();
     BiIntv ik = init_intv(fm, q[x], x);
-    BiIntv ok[4];
+    BiIntv oc;
     int i;
     for (i = x + 1; i < len; i++) {           // forward pass
         if (q[i] < 4) {
             int c = q[i];
-            extend_fwd(fm, ik, ok);
-            if (ok[c].s != ik.s) {
+            extend_fwd_1(fm, ik, c, &oc);
+            if (oc.s != ik.s) {
                 curr.push_back(ik);
-                if (ok[c].s < min_intv) break;
+                if (oc.s < min_intv) break;
             }
-            ik = ok[c];
+            ik = oc;
             ik.end = i + 1;
         } else {
             curr.push_back(ik);
@@ -1010,8 +1118,8 @@ static int smem1(const FM &fm, const uint8_t *q, int len, int x,
         curr.clear();
         for (size_t j = 0; j < prev.size(); j++) {
             const BiIntv &p = prev[j];
-            if (c >= 0) extend_back(fm, p, ok);
-            if (c < 0 || ok[c].s < min_intv) {
+            if (c >= 0) extend_back_1(fm, p, c, &oc);
+            if (c < 0 || oc.s < min_intv) {
                 if (curr.empty()) {
                     // longest candidate died: [i+1, p.end) is an SMEM
                     // unless contained in the previously emitted one
@@ -1021,10 +1129,10 @@ static int smem1(const FM &fm, const uint8_t *q, int len, int x,
                         mem.push_back(t);
                     }
                 }
-            } else if (curr.empty() || ok[c].s != curr.back().s) {
-                ok[c].start = p.start;
-                ok[c].end = p.end;
-                curr.push_back(ok[c]);
+            } else if (curr.empty() || oc.s != curr.back().s) {
+                oc.start = p.start;
+                oc.end = p.end;
+                curr.push_back(oc);
             }
         }
         if (curr.empty()) break;
@@ -1040,20 +1148,20 @@ static int seed_strategy1(const FM &fm, const uint8_t *q, int len, int x,
                           int min_len, int64_t max_intv, BiIntv *out) {
     out->s = 0;
     BiIntv ik = init_intv(fm, q[x], x);
-    BiIntv ok[4];
+    BiIntv oc;
     for (int i = x + 1; i < len; i++) {
         if (q[i] < 4) {
             int c = q[i];
-            extend_fwd(fm, ik, ok);
-            if (ok[c].s < max_intv && i - x >= min_len) {
-                if (ok[c].s > 0) {
-                    *out = ok[c];
+            extend_fwd_1(fm, ik, c, &oc);
+            if (oc.s < max_intv && i - x >= min_len) {
+                if (oc.s > 0) {
+                    *out = oc;
                     out->start = x;
                     out->end = i + 1;
                 }
                 return i + 1;
             }
-            ik = ok[c];
+            ik = oc;
         } else {
             return i + 1;
         }
