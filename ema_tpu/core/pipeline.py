@@ -330,6 +330,30 @@ class Aligner:
         except Exception:                        # pragma: no cover
             return "banded"
 
+    def _smem_kmer_tab(self):
+        """Per-index k-mer bi-interval table for SMEM round 3 (lazy).
+
+        Built once (~20 ms, 24 MB at k=10) and shared by every chunk's
+        smem_seed_batch call; output-identical to seeding without it.
+        EMA_TPU_SMEM_KMER sets k (0 disables).
+        """
+        tab = getattr(self, "_smem_ktab", False)
+        if tab is False:
+            with self._id_lock:    # chunk workers race the first build
+                tab = getattr(self, "_smem_ktab", False)
+                if tab is False:
+                    import os as _os
+                    k = int(_os.environ.get("EMA_TPU_SMEM_KMER", "10"))
+                    tab = None
+                    if k > 0:
+                        from ema_tpu import native as _native
+                        idx = self.index
+                        tab = _native.smem_kmer_table(
+                            idx.occ_blocks, idx.counts, idx.primary,
+                            idx.fm_n, k=k)
+                    self._smem_ktab = tab
+        return tab
+
     def _probe_host_fm(self) -> bool:
         """Host C++ FM ops (greedy seeding + SA locate) vs the device
         program.
@@ -412,12 +436,13 @@ class Aligner:
             # previous in-flight chunk
             with self._mst("seed[smem,host]", n_reads):
                 sm = native.smem_seed_batch(
-                idx.occ_blocks, idx.counts, idx.primary, idx.fm_n,
-                codes, lens,
-                min_seed_len=params.min_seed_len,
-                split_len=int(params.min_seed_len * 1.5 + 0.499),
-                split_width=params.split_width,
-                    max_mem_intv=params.max_mem_intv)
+                    idx.occ_blocks, idx.counts, idx.primary, idx.fm_n,
+                    codes, lens,
+                    min_seed_len=params.min_seed_len,
+                    split_len=int(params.min_seed_len * 1.5 + 0.499),
+                    split_width=params.split_width,
+                    max_mem_intv=params.max_mem_intv,
+                    kmer_tab=self._smem_kmer_tab())
                 seed_stack = np.stack(sm[:4]).astype(np.int64)
                 nsd = sm[4]
         elif self._host_fm:

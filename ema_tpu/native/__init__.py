@@ -7,6 +7,7 @@ cached next to the source and rebuilt when the source changes.
 from __future__ import annotations
 
 import ctypes
+import math
 import os
 import subprocess
 import threading
@@ -212,9 +213,17 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int64, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
+        ]
+
+        lib.smem_kmer_table.restype = None
+        lib.smem_kmer_table.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int64),
         ]
 
         lib.greedy_seed_batch.restype = None
@@ -619,14 +628,34 @@ def sa_optimize_best(pos, chrom, rev, score, umap_local, mm_start, mm_n,
     return mm_active, bins
 
 
+def smem_kmer_table(occ_blocks, counts, primary, fm_n, k=10):
+    """Bi-intervals of every k-mer: int64 [4^k, 3] of (k, l, s).
+
+    Built once per index (BFS backward extension, (4^k-4)/3 rank ops,
+    ~20 ms and 24 MB at k=10) and passed to smem_seed_batch, whose
+    round-3 restarts then jump their first k extensions in one lookup.
+    """
+    occ_blocks = np.ascontiguousarray(occ_blocks, np.int32)
+    counts = np.ascontiguousarray(counts, np.int64)
+    out = np.zeros((4 ** k, 3), np.int64)
+    get_lib().smem_kmer_table(
+        _ptr(occ_blocks, ctypes.c_int32), _ptr(counts, ctypes.c_int64),
+        ctypes.c_int64(int(primary)), ctypes.c_int64(int(fm_n)),
+        ctypes.c_int32(k), _ptr(out, ctypes.c_int64))
+    return out
+
+
 def smem_seed_batch(occ_blocks, counts, primary, fm_n, reads, lens,
                     min_seed_len=19, split_len=28, split_width=10,
-                    max_mem_intv=20, max_seeds=64, n_threads=0):
+                    max_mem_intv=20, max_seeds=64, n_threads=0,
+                    kmer_tab=None):
     """SMEM seeding on host (BWA bwt_smem1 semantics; see ema_native.cpp).
 
     reads: uint8 [B, L] base codes; returns (s_lo, s_hi, s_qb, s_len,
     n_seeds) with per-read seed arrays [B, max_seeds] — the same layout
-    as the device greedy seeder (index/fmindex.seed_reads).
+    as the device greedy seeder (index/fmindex.seed_reads).  kmer_tab
+    (from smem_kmer_table) accelerates round 3; output is identical
+    with or without it.
     """
     occ_blocks = np.ascontiguousarray(occ_blocks, np.int32)
     counts = np.ascontiguousarray(counts, np.int64)
@@ -640,6 +669,19 @@ def smem_seed_batch(occ_blocks, counts, primary, fm_n, reads, lens,
     n_seeds = np.zeros(B, np.int32)
     if n_threads <= 0:
         n_threads = min(os.cpu_count() or 1, 8)
+    ktab_k = 0
+    ktab_ptr = None
+    if kmer_tab is not None:
+        kmer_tab = np.ascontiguousarray(kmer_tab, np.int64)
+        ktab_k = int(round(math.log(kmer_tab.shape[0], 4)))
+        if 4 ** ktab_k != kmer_tab.shape[0]:
+            raise ValueError("kmer_tab rows must be a power of 4")
+        # the jump skips the emit checks of the first k extensions,
+        # which is exact only while k <= min_seed_len (see ema_native)
+        if ktab_k <= min_seed_len:
+            ktab_ptr = _ptr(kmer_tab, ctypes.c_int64)
+        else:
+            ktab_k = 0
     get_lib().smem_seed_batch(
         _ptr(occ_blocks, ctypes.c_int32), _ptr(counts, ctypes.c_int64),
         ctypes.c_int64(int(primary)), ctypes.c_int64(int(fm_n)),
@@ -648,6 +690,7 @@ def smem_seed_batch(occ_blocks, counts, primary, fm_n, reads, lens,
         ctypes.c_int32(min_seed_len), ctypes.c_int32(split_len),
         ctypes.c_int32(split_width), ctypes.c_int32(max_mem_intv),
         ctypes.c_int32(max_seeds), ctypes.c_int32(n_threads),
+        ktab_ptr, ctypes.c_int32(ktab_k),
         _ptr(s_lo, ctypes.c_int32), _ptr(s_hi, ctypes.c_int32),
         _ptr(s_qb, ctypes.c_int32), _ptr(s_len, ctypes.c_int32),
         _ptr(n_seeds, ctypes.c_int32))

@@ -819,6 +819,15 @@ extern "C" void sa_optimize_best(
 
 #include <thread>
 
+#if defined(__AVX512VL__) && defined(__AVX512VPOPCNTDQ__)
+// The occ-block scan ranks 4 chars per packed word: one __m256i lane per
+// char turns the 4 scalar eq-mask/popcount chains into one vector chain
+// (vpopcntq needs AVX512VPOPCNTDQ+VL; -march=native enables it where the
+// host has it, the scalar bodies below remain the portable fallback).
+#include <immintrin.h>
+#define EMA_OCC_AVX512 1
+#endif
+
 namespace smem {
 
 struct FM {
@@ -841,6 +850,9 @@ struct FM {
 
     // occurrences of each base among the first k rows of the full row space
     inline void occ4(int64_t k, int64_t cnt[4]) const {
+#ifdef EMA_OCC_AVX512
+        occ4_from(0, k, cnt);
+#else
         int64_t adj = k - (k > primary ? 1 : 0);
         int64_t blk = adj >> 7;
         int off = (int)(adj & 127);
@@ -850,6 +862,7 @@ struct FM {
         int fw = off >> 5, rem = off & 31;
         for (int i = 0; i < fw; i++) add_word64(w[i], 32, cnt);
         if (rem) add_word64(w[fw], rem, cnt);
+#endif
     }
 
     // single-char rank (occ(c, k)) — ~4x cheaper than occ4 when only one
@@ -928,6 +941,34 @@ struct FM {
         int off = (int)(adj & 127);
         const uint64_t *w = (const uint64_t *)(row + 4);
         int fw = off >> 5, rem = off & 31;
+#ifdef EMA_OCC_AVX512
+        (void)cmin;  // all 4 chars cost one vector chain; extras are free
+        const __m256i pats = _mm256_setr_epi64x(
+            0LL, 0x5555555555555555LL,
+            (long long)0xAAAAAAAAAAAAAAAAULL,
+            (long long)0xFFFFFFFFFFFFFFFFULL);
+        const __m256i fives = _mm256_set1_epi64x(0x5555555555555555LL);
+        __m256i acc =
+            _mm256_cvtepi32_epi64(_mm_loadu_si128((const __m128i *)row));
+        for (int i = 0; i < fw; i++) {
+            __m256i x = _mm256_xor_si256(
+                _mm256_set1_epi64x((long long)w[i]), pats);
+            __m256i eq = _mm256_andnot_si256(
+                _mm256_or_si256(x, _mm256_srli_epi64(x, 1)), fives);
+            acc = _mm256_add_epi64(acc, _mm256_popcnt_epi64(eq));
+        }
+        if (rem) {
+            __m256i x = _mm256_xor_si256(
+                _mm256_set1_epi64x((long long)w[fw]), pats);
+            __m256i eq = _mm256_andnot_si256(
+                _mm256_or_si256(x, _mm256_srli_epi64(x, 1)), fives);
+            eq = _mm256_and_si256(eq, _mm256_set1_epi64x(
+                (long long)((1ULL << (2 * rem)) - 1ULL)));
+            acc = _mm256_add_epi64(acc, _mm256_popcnt_epi64(eq));
+        }
+        _mm256_storeu_si256((__m256i *)cnt, acc);
+        return;
+#endif
         for (int c = cmin; c < 4; c++) cnt[c] = row[c];
         for (int i = 0; i < fw; i++) {
             uint64_t word = w[i];
@@ -965,6 +1006,51 @@ struct FM {
         const uint64_t *w = (const uint64_t *)(row + 4);
         int ol = (int)(alo & 127), oh = (int)(ahi & 127);
         int fwh = oh >> 5, remh = oh & 31;
+#ifdef EMA_OCC_AVX512
+        (void)cmin;
+        const __m256i pats = _mm256_setr_epi64x(
+            0LL, 0x5555555555555555LL,
+            (long long)0xAAAAAAAAAAAAAAAAULL,
+            (long long)0xFFFFFFFFFFFFFFFFULL);
+        const __m256i fives = _mm256_set1_epi64x(0x5555555555555555LL);
+        const __m256i base =
+            _mm256_cvtepi32_epi64(_mm_loadu_si128((const __m128i *)row));
+        __m256i acck = base, accl = base;
+        for (int i = 0; i < fwh; i++) {
+            __m256i x = _mm256_xor_si256(
+                _mm256_set1_epi64x((long long)w[i]), pats);
+            __m256i eq = _mm256_andnot_si256(
+                _mm256_or_si256(x, _mm256_srli_epi64(x, 1)), fives);
+            __m256i pc = _mm256_popcnt_epi64(eq);
+            accl = _mm256_add_epi64(accl, pc);
+            int lo_nb = ol - 32 * i;   // bases of this word below klo
+            if (lo_nb >= 32) {
+                acck = _mm256_add_epi64(acck, pc);
+            } else if (lo_nb > 0) {
+                __m256i eqlo = _mm256_and_si256(eq, _mm256_set1_epi64x(
+                    (long long)((1ULL << (2 * lo_nb)) - 1ULL)));
+                acck = _mm256_add_epi64(acck, _mm256_popcnt_epi64(eqlo));
+            }
+        }
+        if (remh) {
+            __m256i x = _mm256_xor_si256(
+                _mm256_set1_epi64x((long long)w[fwh]), pats);
+            __m256i eq = _mm256_andnot_si256(
+                _mm256_or_si256(x, _mm256_srli_epi64(x, 1)), fives);
+            __m256i eqhi = _mm256_and_si256(eq, _mm256_set1_epi64x(
+                (long long)((1ULL << (2 * remh)) - 1ULL)));
+            accl = _mm256_add_epi64(accl, _mm256_popcnt_epi64(eqhi));
+            int lo_nb = ol - 32 * fwh;  // <= remh < 32 since ol <= oh
+            if (lo_nb > 0) {
+                __m256i eqlo = _mm256_and_si256(eq, _mm256_set1_epi64x(
+                    (long long)((1ULL << (2 * lo_nb)) - 1ULL)));
+                acck = _mm256_add_epi64(acck, _mm256_popcnt_epi64(eqlo));
+            }
+        }
+        _mm256_storeu_si256((__m256i *)tk, acck);
+        _mm256_storeu_si256((__m256i *)tl, accl);
+        return;
+#endif
         for (int c = cmin; c < 4; c++) { tk[c] = row[c]; tl[c] = row[c]; }
         for (int i = 0; i < fwh; i++) {
             uint64_t word = w[i];
@@ -1143,13 +1229,19 @@ static int smem1(const FM &fm, const uint8_t *q, int len, int x,
 
 // LAST-like third round (BWA bwt_seed_strategy1): forward-only greedy,
 // emit the first extension whose interval drops under max_intv once the
-// match is long enough
-static int seed_strategy1(const FM &fm, const uint8_t *q, int len, int x,
-                          int min_len, int64_t max_intv, BiIntv *out) {
+// match is long enough.  The _from variant resumes from a precomputed
+// interval ik for q[x..i0) — identical to the plain walk when
+// (i0, ik) = (x+1, init_intv(q[x], x)); the k-mer jump table below
+// supplies ik for i0 = x+K in O(1).  Skipping the emit checks below i0
+// is exact because they cannot fire while i-x < min_len (callers keep
+// K <= min_len), and a dead interval (s=0) stays dead under extension,
+// so its k/l are never observable.
+static int seed_strategy1_from(const FM &fm, const uint8_t *q, int len,
+                               int x, int i0, BiIntv ik, int min_len,
+                               int64_t max_intv, BiIntv *out) {
     out->s = 0;
-    BiIntv ik = init_intv(fm, q[x], x);
     BiIntv oc;
-    for (int i = x + 1; i < len; i++) {
+    for (int i = i0; i < len; i++) {
         if (q[i] < 4) {
             int c = q[i];
             extend_fwd_1(fm, ik, c, &oc);
@@ -1169,7 +1261,46 @@ static int seed_strategy1(const FM &fm, const uint8_t *q, int len, int x,
     return len;
 }
 
+static int seed_strategy1(const FM &fm, const uint8_t *q, int len, int x,
+                          int min_len, int64_t max_intv, BiIntv *out) {
+    return seed_strategy1_from(fm, q, len, x, x + 1,
+                               init_intv(fm, q[x], x), min_len, max_intv,
+                               out);
+}
+
 }  // namespace smem
+
+// Bi-intervals of every K-mer, built once per index by breadth-first
+// backward extension (one extend_back per parent yields all 4 children:
+// (4^K-4)/3 rank ops for the whole table).  out[m] = (k, l, s) of the
+// K-mer whose base-4 code (leftmost char most significant) is m; absent
+// K-mers have s = 0.  Round 3 of smem_seed_batch jumps its first K
+// extensions through this table.
+extern "C" void smem_kmer_table(
+    const int32_t *occ_blocks, const int64_t *counts, int64_t primary,
+    int64_t fm_n, int32_t K, int64_t *out) {
+    smem::FM fm{occ_blocks, counts, primary, fm_n};
+    std::vector<smem::BiIntv> cur(4), nxt;
+    for (int c = 0; c < 4; c++) cur[c] = smem::init_intv(fm, c, 0);
+    int64_t sz = 4;
+    for (int j = 1; j < K; j++) {
+        nxt.assign(sz * 4, smem::BiIntv{0, 0, 0, 0, 0});
+        for (int64_t m = 0; m < sz; m++) {
+            const smem::BiIntv &p = cur[m];
+            if (p.s <= 0) continue;               // children stay dead
+            smem::BiIntv ch[4];
+            smem::extend_back(fm, p, ch);
+            for (int c = 0; c < 4; c++) nxt[(int64_t)c * sz + m] = ch[c];
+        }
+        std::swap(cur, nxt);
+        sz *= 4;
+    }
+    for (int64_t m = 0; m < sz; m++) {
+        out[m * 3 + 0] = cur[m].k;
+        out[m * 3 + 1] = cur[m].l;
+        out[m * 3 + 2] = cur[m].s;
+    }
+}
 
 extern "C" void smem_seed_batch(
     const int32_t *occ_blocks, const int64_t *counts,
@@ -1177,6 +1308,7 @@ extern "C" void smem_seed_batch(
     const uint8_t *reads, const int32_t *lens, int64_t B, int32_t Lmax,
     int32_t min_seed_len, int32_t split_len, int32_t split_width,
     int32_t max_mem_intv, int32_t max_seeds, int32_t n_threads,
+    const int64_t *ktab, int32_t ktab_k,
     int32_t *s_lo, int32_t *s_hi, int32_t *s_qb, int32_t *s_len,
     int32_t *n_seeds) {
     smem::FM fm{occ_blocks, counts, primary, fm_n};
@@ -1212,13 +1344,36 @@ extern "C" void smem_seed_batch(
                     mems.insert(mems.end(), m1.begin(), m1.end());
                 }
             }
-            // round 3: LAST-like forward-greedy seeds
+            // round 3: LAST-like forward-greedy seeds.  With a k-mer
+            // table the first K extensions of each restart are one
+            // lookup (exactness argued at seed_strategy1_from; K <=
+            // min_seed_len is enforced at the wrapper).
             if (max_mem_intv > 0) {
+                const int K = ktab ? ktab_k : 0;
                 for (int x = 0; x < len;) {
                     if (q[x] < 4) {
                         smem::BiIntv mm;
-                        x = smem::seed_strategy1(fm, q, len, x, min_seed_len,
-                                                 max_mem_intv, &mm);
+                        if (K && x + K <= len) {
+                            int64_t code = 0;
+                            int nx = -1;
+                            for (int j = 0; j < K; j++) {
+                                int c = q[x + j];
+                                if (c > 3) { nx = x + j + 1; break; }
+                                code = code * 4 + c;
+                            }
+                            if (nx >= 0) { x = nx; continue; }
+                            smem::BiIntv ik{ktab[code * 3],
+                                            ktab[code * 3 + 1],
+                                            ktab[code * 3 + 2],
+                                            x, x + K};
+                            x = smem::seed_strategy1_from(
+                                fm, q, len, x, x + K, ik, min_seed_len,
+                                max_mem_intv, &mm);
+                        } else {
+                            x = smem::seed_strategy1(fm, q, len, x,
+                                                     min_seed_len,
+                                                     max_mem_intv, &mm);
+                        }
                         if (mm.s > 0) mems.push_back(mm);
                     } else {
                         x++;

@@ -153,3 +153,47 @@ def test_pipeline_with_smem_seeding_matches_greedy():
                 d["rname"], d["pos"], d["cigar"])
     assert outs["greedy"] == outs["smem"]
     assert len(outs["smem"]) >= 2 * len(ids) * 0.98
+
+
+def test_smem_kmer_table_output_identical():
+    """The round-3 k-mer jump table must not change seeding output:
+    random reads (with Ns crossing the k-window) seeded with and without
+    the table yield identical seed arrays, across several k."""
+    rng = np.random.default_rng(31)
+    g = rand_genome(rng, 60_000)
+    # embed repeat copies so round 3 has sub-max_intv emissions to make
+    idx = build_index({"c1": g})
+    n, L = 64, 100
+    text = to_str(g)
+    reads = []
+    for i in range(n):
+        p = int(rng.integers(0, len(text) - L))
+        r = list(text[p:p + L])
+        for j in range(int(rng.integers(0, 4))):       # errors
+            r[int(rng.integers(0, L))] = BASES[int(rng.integers(0, 4))]
+        for j in range(int(rng.integers(0, 2))):       # Ns
+            r[int(rng.integers(0, L))] = "N"
+        reads.append("".join(r))
+    codes = np.stack([_encode(r) for r in reads])
+    lens = np.full(n, L, np.int32)
+
+    def run(tab):
+        return native.smem_seed_batch(
+            idx.occ_blocks, idx.counts, idx.primary, idx.fm_n, codes,
+            lens, min_seed_len=19, split_len=28, split_width=10,
+            max_mem_intv=20, max_seeds=64, n_threads=1, kmer_tab=tab)
+
+    base = run(None)
+    for k in (4, 8, 10):
+        tab = native.smem_kmer_table(idx.occ_blocks, idx.counts,
+                                     idx.primary, idx.fm_n, k=k)
+        got = run(tab)
+        for a, b in zip(base, got):
+            assert np.array_equal(a, b), f"k={k} changed seeding output"
+    # table k > min_seed_len must be refused (falls back to no table)
+    tab = native.smem_kmer_table(idx.occ_blocks, idx.counts, idx.primary,
+                                 idx.fm_n, k=4)
+    got = native.smem_seed_batch(
+        idx.occ_blocks, idx.counts, idx.primary, idx.fm_n, codes, lens,
+        min_seed_len=3, split_len=28, split_width=10, max_mem_intv=20,
+        max_seeds=64, n_threads=1, kmer_tab=tab)
