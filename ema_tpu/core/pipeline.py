@@ -259,10 +259,16 @@ class Aligner:
         # pair-packed 64-diagonal tier: candidates whose logical corridor
         # fits 64 lanes run two-per-vector-row (BENCH_SW_r04 measured the
         # 128-lane kernel ALU-bound with 2.56x corridor-padding waste;
-        # mean pipeline wl ~50).  EMA_TPU_SW_TIER64=0 disables.
+        # mean pipeline wl ~50).  Default OFF: the hardware pipeline A/B
+        # (AB_TIER64_r05: 12,805 vs 13,131 pairs/s) shows the split's
+        # extra dispatch + the packed kernel's per-physical-cell overhead
+        # eat the padding win at pipeline batch sizes; the kernel stays
+        # (bit-exact vs the wl-masked oracle, BENCH_SW_r05) for shapes
+        # where the corridor population is uniformly small.
+        # EMA_TPU_SW_TIER64=1 enables.
         self._sw_tier64 = (self._sw_impl == "banded_pallas"
                            and _os.environ.get("EMA_TPU_SW_TIER64",
-                                               "1") != "0")
+                                               "0") == "1")
         self._host_fm = self._probe_host_fm()
         self._init_mesh()
 

@@ -56,6 +56,11 @@ STEPS = [
     ("pallas", True, 600),
     ("scan", False, 900),
     ("wl-sample", False, 900),
+    # CPU-computed wl-masked oracle for banded-packed: the packed tier's
+    # contract is sw_score_banded(..., wl=wl) equality (the per-candidate
+    # corridor mask), NOT the unmasked full-W corridor the other variants
+    # score — comparing it against those is apples/oranges by construction
+    ("banded-packed-ref", False, 900),
 ]
 
 
@@ -103,6 +108,11 @@ def _variant_fn(name):
             *a, W, tile_b=512),
         "banded-pallas-t1024": lambda a: sw_pallas.sw_score_banded_pallas(
             *a, W, tile_b=1024),
+        # wl-masked XLA oracle on the same synthetic wl the packed tier
+        # gets: bit-exactness of banded-packed[tpu] vs this[cpu] is both
+        # the contract check and a cross-platform determinism check
+        "banded-packed-ref": lambda a: sw.sw_score_banded(
+            *a, W, wl=jnp.asarray(_case_wl(a[0].shape[0]))),
     }
     return table[name]
 
@@ -294,6 +304,8 @@ def supervise(out_json):
                 res = json.load(f)
             if name == "vpu-probe" or name == "wl-sample":
                 artifact.update(res)
+            elif name == "banded-packed-ref":
+                pass        # oracle for the packed check below, not a variant
             else:
                 artifact["variants"][name] = res
         vpu = artifact.get("vpu_int32_tops_measured")
@@ -318,12 +330,17 @@ def supervise(out_json):
             if vpu:
                 artifact["banded_roofline_pct"] = round(
                     100.0 * ach / (vpu * 1e12), 1)
-        # cross-variant equality from saved outputs
+        # cross-variant equality from saved outputs.  banded-packed's
+        # contract is the wl-MASKED corridor (sw_score_banded(.., wl=wl));
+        # it is checked against its CPU oracle below, not against the
+        # unmasked full-W variants (apples/oranges by construction).
         outs = {}
         for name, _, _ in STEPS:
             p = os.path.join(outdir, f"{name}.npz")
             if os.path.exists(p):
                 outs[name] = np.load(p)
+        packed = outs.pop("banded-packed", None)
+        packed_ref = outs.pop("banded-packed-ref", None)
         names = list(outs)
         mism = []
         for a in names[1:]:
@@ -335,6 +352,16 @@ def supervise(out_json):
             artifact["bit_exact_across_variants"] = not mism
             if mism:
                 artifact["mismatches"] = mism
+            else:
+                artifact.pop("mismatches", None)
+        if packed is not None and packed_ref is not None:
+            pk = [k for k in ("score", "qb", "qe", "ref_end")
+                  if not np.array_equal(packed[k], packed_ref[k])]
+            artifact["packed_bit_exact_vs_wl_masked_cpu_oracle"] = not pk
+            if pk:
+                artifact["packed_mismatch_keys"] = pk
+            else:
+                artifact.pop("packed_mismatch_keys", None)
         with open(out_json, "w") as f:
             json.dump(artifact, f, indent=1)
 
