@@ -204,6 +204,21 @@ def _bench() -> None:
             "BASELINE.md); the reference align cannot run here (empty "
             "bwa submodule, zero egress).  Preproc has a measured "
             "head-to-head instead (BENCH_PREPROC)."),
+        "seeding_note": (
+            "r5 default seeding is full SMEM enumeration + re-seeding "
+            "(the reference's exact BWA-MEM semantics; 100.000% record "
+            "concordance on 103k records, CONCORDANCE_r05).  r4 "
+            "benched greedy/hybrid seeding, which is ~1.8x faster "
+            "single-core but recalls only ~48% of near-co-optimal "
+            "repeat loci (CHAIN_r05) — r4/r5 headline numbers are not "
+            "like-for-like."),
+        "host_note": (
+            "this bench host has ONE core behind a TPU tunnel; every "
+            "host stage serializes with device dispatch, so the "
+            "device-SW path cannot overlap and the CPU-pinned path can "
+            "win.  HOSTBOUND_r05.json isolates this: projected "
+            ">=8-core TPU-VM host throughput is the "
+            "projected_8core_pairs_per_sec field there."),
         "platform": jax.default_backend(),
     }))
 

@@ -449,7 +449,12 @@ class Aligner:
                     split_width=params.split_width,
                     max_mem_intv=params.max_mem_intv,
                     kmer_tab=self._smem_kmer_tab())
-                seed_stack = np.stack(sm[:4]).astype(np.int64)
+                # keep the native int32 planes as-is: stacking + int64
+                # widening here cost ~0.6 s/pass in fresh-mmap page
+                # faults (the [4, B, 64] int64 temp is re-mapped every
+                # chunk); _compact_seed_hits gathers then widens only
+                # the compacted vectors
+                seed_stack = sm[:4]
                 nsd = sm[4]
         elif self._host_fm:
             # greedy chop in host C++ (value-identical to the device
@@ -460,7 +465,7 @@ class Aligner:
                     idx.occ_blocks, idx.counts, idx.primary, idx.fm_n,
                     codes, lens, min_seed_len=params.seed_len,
                     max_seeds=16)
-                seed_stack = np.stack(sm[:4]).astype(np.int64)
+                seed_stack = sm[:4]
                 nsd = sm[4]
         else:
             # greedy maximal-suffix chop, fused with hit compaction and
@@ -488,9 +493,9 @@ class Aligner:
                     s_lo, s_hi, s_qb, s_len, n_seeds = fmindex.seed_reads(
                         self.fma, spad_dev, slpad_dev,
                         max_seeds=16, min_seed_len=params.seed_len)
-                    seed_stack = np.asarray(jnp.stack(
-                        [s_lo, s_hi, s_qb,
-                         s_len]))[:, :n_reads].astype(np.int64)
+                    seed_stack = tuple(
+                        np.asarray(a)[:n_reads]
+                        for a in (s_lo, s_hi, s_qb, s_len))
                     nsd = np.asarray(n_seeds)[:n_reads]
 
         if hp is None:
@@ -503,7 +508,8 @@ class Aligner:
             # reference adapted, align.c:958-984).  Greedy seeds are
             # disjoint in read coords; SMEMs may overlap, so the sum
             # over-counts — clip to 1.
-            s_live = np.arange(seed_stack.shape[2])[None, :] < nsd[:, None]
+            n_s = seed_stack[0].shape[1]
+            s_live = np.arange(n_s)[None, :] < nsd[:, None]
             s_width = np.where(s_live, seed_stack[1] - seed_stack[0], 0)
             l_rep = np.where(s_width > params.max_occ,
                              seed_stack[3], 0).sum(axis=1)
@@ -1425,17 +1431,20 @@ def _compact_seed_hits(seed_stack: np.ndarray, n_seeds: np.ndarray,
                        max_hits: int):
     """Dense per-seed SA intervals -> flat hit rows (host, vectorized).
 
-    seed_stack: int32 [4, B, S] of (lo, hi, qb, len).  Intervals wider than
-    ``max_hits`` are evenly sampled (BWA max_occ capping, src/align.c:185).
+    seed_stack: 4 planes (lo, hi, qb, len), each [B, S] — a tuple of the
+    native seeder's int32 outputs or a stacked [4, B, S] array; kept
+    narrow until after the compacting gathers (full-plane int64 widening
+    re-mmapped tens of MB per chunk).  Intervals wider than ``max_hits``
+    are evenly sampled (BWA max_occ capping, src/align.c:185).
     Returns (owner [H], qb [H], seed_len [H], sa_rows [H]) int64 arrays.
     """
-    s_lo, s_hi, s_qb, s_len = (a.astype(np.int64) for a in seed_stack)
+    s_lo, s_hi, s_qb, s_len = seed_stack
     B, S = s_lo.shape
     live = np.arange(S)[None, :] < n_seeds[:, None]
     width = np.where(live, np.maximum(s_hi - s_lo, 0), 0)
     take = np.minimum(width, max_hits)
     b_idx, s_idx = np.nonzero(take)
-    take_f = take[b_idx, s_idx]
+    take_f = take[b_idx, s_idx].astype(np.int64)
     total = int(take_f.sum())
     if total == 0:
         z = np.zeros(0, np.int64)
@@ -1444,11 +1453,13 @@ def _compact_seed_hits(seed_stack: np.ndarray, n_seeds: np.ndarray,
     np.cumsum(take_f[:-1], out=off[1:])
     rep = np.repeat(np.arange(take_f.shape[0]), take_f)
     i_loc = np.arange(total, dtype=np.int64) - off[rep]
-    w = width[b_idx, s_idx][rep]
+    w = width[b_idx, s_idx].astype(np.int64)[rep]
     t = take_f[rep]
-    rows = s_lo[b_idx, s_idx][rep] + np.where(w > t, (i_loc * w) // t, i_loc)
-    return (b_idx[rep].astype(np.int64), s_qb[b_idx, s_idx][rep],
-            s_len[b_idx, s_idx][rep], rows)
+    rows = (s_lo[b_idx, s_idx].astype(np.int64)[rep]
+            + np.where(w > t, (i_loc * w) // t, i_loc))
+    return (b_idx[rep].astype(np.int64),
+            s_qb[b_idx, s_idx].astype(np.int64)[rep],
+            s_len[b_idx, s_idx].astype(np.int64)[rep], rows)
 
 
 LOCATE_CHUNK = 8 * HIT_BUCKET

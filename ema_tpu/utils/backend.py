@@ -14,6 +14,34 @@ import sys
 import time
 
 
+_malloc_tuned = False
+
+
+def _tune_malloc() -> None:
+    """Keep large numpy temporaries on the heap instead of mmap.
+
+    The batched pipeline allocates multi-MB arrays (seed planes, record
+    tables, SAM blobs) fresh every chunk; glibc serves >128 KB requests
+    via mmap and returns them to the kernel on free, so every chunk
+    re-faults its pages (measured ~2% of align wall on the bench world,
+    and the live-vs-warm-replay emit gap).  Raising M_MMAP_THRESHOLD and
+    disabling trim makes freed blocks reusable.  mallopt applies to the
+    running process, so this works without a launcher env.
+    """
+    global _malloc_tuned
+    if _malloc_tuned:
+        return
+    _malloc_tuned = True
+    try:
+        import ctypes
+        libc = ctypes.CDLL(None, use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(M_MMAP_THRESHOLD, 256 << 20)
+        libc.mallopt(M_TRIM_THRESHOLD, 256 << 20)
+    except Exception:
+        pass           # non-glibc platforms: nothing to tune
+
+
 def ensure_backend(retries: int = 3, delay_s: float = 3.0,
                    probe: bool = False):
     """Return jax.devices(), retrying init and falling back to CPU.
@@ -32,6 +60,8 @@ def ensure_backend(retries: int = 3, delay_s: float = 3.0,
     import os
 
     import jax
+
+    _tune_malloc()
 
     # persistent compilation cache: repeated CLI invocations (bucket
     # loops, bench reruns) skip recompiles; harmless no-op where the

@@ -1,13 +1,14 @@
 #!/bin/bash
-# Round-5 hardware queue (third revision: post AVX-512 occ + SMEM k-mer
-# table).  Each step writes its own artifact and is SKIPPED if that
-# artifact already exists, so a tunnel wedge mid-queue keeps everything
-# already measured and the next live window resumes where this one died.
+# Round-5 hardware queue (fourth revision: post seed-plane copy
+# elimination + mallopt heap reuse — the host stages got ~25% faster, so
+# the window-3 captures under-report the shipping code).  Each step
+# writes its own artifact and is SKIPPED if that artifact already
+# exists, so a tunnel wedge mid-queue keeps everything already measured
+# and the next live window resumes where this one died.
 # Most-valuable-first ordering.
 #
-# Superseded captures from the pre-ktab code were moved aside as
-# *_prektab.json by the builder; steps below re-capture them under the
-# current code.
+# Window-3 captures of the recaptured steps were moved aside as
+# *_w3.* by the builder (also in git history at e0050cc).
 set -x
 cd "$(dirname "$0")/.."
 export EMA_TPU_ROUND=05
@@ -37,23 +38,21 @@ step BENCH_QUEUE_r05.json 1800 python bench.py
 EMA_TPU_BENCH_INNER=1 EMA_TPU_BENCH_REQUIRE_TPU=1 EMA_TPU_STAGE_TIMERS=1 \
   step STAGE_TPU_r05.txt 900 bash -c "python -u bench.py 2>&1"
 
-# 3. dispatch amortization under the SMEM default: chunk size / in-flight
-#    depth (the r04 tuning predates the 5x-costlier seeding stage)
-EMA_TPU_AB_CHECK_EQUAL=1 EMA_TPU_BENCH_REQUIRE_TPU=1 \
-  step AB_CHUNKSMEM_r05.txt 2100 python -u tools/ab_align.py \
-    default b8192 b8192+t2
+# 3. host-core bottleneck isolation (VERDICT r4 #1 fallback evidence)
+EMA_TPU_BENCH_REQUIRE_TPU=1 \
+  step HOSTBOUND_QUEUE_r05.json 1500 python -u tools/hostbound.py
 
-# 4. SW kernel roofline incl. the pair-packed tier.  bench_sw resumes at
-#    per-step granularity (BENCH_SW_r05.json.steps/); gate on the TPU
-#    steps' own markers, not the merged artifact.
+# 4. SW kernel roofline incl. the pair-packed tier (kernels unchanged
+#    since window 3; gate on the TPU steps' own markers)
 if [ ! -s BENCH_SW_r05.json.steps/banded-pallas.json ] \
    || [ ! -s BENCH_SW_r05.json.steps/banded-packed.json ]; then
   timeout 2400 python tools/bench_sw.py --json BENCH_SW_r05.json || true
 fi
 
-# 5. host-core bottleneck isolation (VERDICT r4 #1 fallback evidence)
-EMA_TPU_BENCH_REQUIRE_TPU=1 \
-  step HOSTBOUND_QUEUE_r05.json 1500 python -u tools/hostbound.py
+# 5. dispatch amortization A/B (unchanged since window 3 — skip-gated)
+EMA_TPU_AB_CHECK_EQUAL=1 EMA_TPU_BENCH_REQUIRE_TPU=1 \
+  step AB_CHUNKSMEM_r05.txt 2100 python -u tools/ab_align.py \
+    default b8192 b8192+t2
 
 # 6. full-CLI configs (index built once + warm compile cache).  Require
 #    the device (exit 3 on a wedged tunnel instead of burning 40 min on
