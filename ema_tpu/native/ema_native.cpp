@@ -1268,6 +1268,250 @@ static int seed_strategy1(const FM &fm, const uint8_t *q, int len, int x,
                                out);
 }
 
+// ---------------------------------------------------------------------------
+// Interleaved SMEM driver: the per-read walk is a serial chain of occ
+// lookups (each extension's block address depends on the previous
+// result), so a single read leaves the core stalled on L2/L3 for most
+// of its wall (measured ~11 us/read vs ~4 us of pure compute).  Running
+// W reads per thread as explicit state machines — each step executes
+// exactly one pending extension, then PREFETCHES the occ rows of its
+// next one and yields — overlaps each lane's memory latency with the
+// other lanes' compute.  Outputs are bit-identical to the scalar loop
+// (same per-read code path, time-multiplexed; no cross-read state) —
+// equivalence-gated in tests/test_native.py.
+// ---------------------------------------------------------------------------
+
+static inline void pf_occ(const FM &fm, int64_t k) {
+    int64_t adj = k - (k > fm.primary ? 1 : 0);
+    const char *p = (const char *)(fm.blocks + (adj >> 7) * 12);
+    __builtin_prefetch(p, 0, 3);
+    __builtin_prefetch(p + 47, 0, 3);   // 48 B rows straddle two lines
+}
+
+static inline void pf_pair(const FM &fm, int64_t k, int64_t s) {
+    pf_occ(fm, k);
+    pf_occ(fm, k + s);
+}
+
+struct IlvParams {
+    int32_t min_seed_len, split_len, split_width, max_mem_intv, max_seeds;
+    const int64_t *ktab;
+    int32_t K;
+    int32_t *s_lo, *s_hi, *s_qb, *s_len, *n_seeds;
+};
+
+struct IlvLane {
+    const uint8_t *q = nullptr;
+    int len = 0;
+    int64_t b = -1;              // < 0: lane idle
+    std::vector<BiIntv> mems, m1, prev, curr;
+    BiIntv ik, oc;
+    int64_t min_intv = 1;
+    int x = 0, sx = 0, i = 0, ret = 0, bc = -1, pc = 0;
+    size_t j = 0, n_old = 0, m2 = 0;
+    int cont = 0;                // after smem1: 0 -> round-1 loop, 1 -> round 2
+    int resume = 0;              // 0 new read, 1 fwd, 2 back, 3 round-3
+};
+
+// One scheduling quantum: run lane L until it issues its next occ
+// lookup (prefetched; resume point recorded) or the read completes.
+// Control flow mirrors smem1 / seed_strategy1_from / the scalar batch
+// loop statement-for-statement.
+static bool ilv_step(const FM &fm, IlvLane &L, const IlvParams &P) {
+    switch (L.resume) {
+        case 1: goto r_fwd;
+        case 2: goto r_back;
+        case 3: goto r_r3;
+        default: break;
+    }
+    // fresh read: round 1 (all SMEMs through each anchor)
+    L.mems.clear();
+    L.cont = 0;
+    L.x = 0;
+r1_anchor:
+    if (L.x >= L.len) goto r2_init;
+    if (L.q[L.x] > 3) { L.x++; goto r1_anchor; }
+    L.m1.clear();
+    L.min_intv = 1;
+    L.sx = L.x;
+    goto smem1_start;
+
+smem1_start:
+    L.curr.clear();
+    L.ik = init_intv(fm, L.q[L.sx], L.sx);
+    L.i = L.sx + 1;
+fwd_loop:
+    if (L.i >= L.len) { L.curr.push_back(L.ik); goto fwd_done; }
+    if (L.q[L.i] > 3) { L.curr.push_back(L.ik); goto fwd_done; }
+    L.pc = L.q[L.i];
+    pf_pair(fm, L.ik.l, L.ik.s);     // fwd extend ranks the swapped side
+    L.resume = 1;
+    return true;
+r_fwd:
+    extend_fwd_1(fm, L.ik, L.pc, &L.oc);
+    if (L.oc.s != L.ik.s) {
+        L.curr.push_back(L.ik);
+        if (L.oc.s < L.min_intv) goto fwd_done;
+    }
+    L.ik = L.oc;
+    L.ik.end = L.i + 1;
+    L.i++;
+    goto fwd_loop;
+fwd_done:
+    L.ret = L.curr.back().end;
+    L.prev.assign(L.curr.rbegin(), L.curr.rend());
+    L.i = L.sx - 1;
+back_i:
+    if (L.i < -1) goto smem1_done;
+    L.bc = (L.i < 0 || L.q[L.i] > 3) ? -1 : L.q[L.i];
+    L.curr.clear();
+    L.j = 0;
+back_j:
+    if (L.j >= L.prev.size()) goto back_i_end;
+    if (L.bc >= 0) {
+        L.pc = L.bc;
+        pf_pair(fm, L.prev[L.j].k, L.prev[L.j].s);
+        L.resume = 2;
+        return true;
+    }
+    goto back_dead;
+r_back:
+    {
+        const BiIntv &p = L.prev[L.j];
+        extend_back_1(fm, p, L.pc, &L.oc);
+        if (L.oc.s < L.min_intv) goto back_dead;
+        if (L.curr.empty() || L.oc.s != L.curr.back().s) {
+            L.oc.start = p.start;
+            L.oc.end = p.end;
+            L.curr.push_back(L.oc);
+        }
+    }
+    L.j++;
+    goto back_j;
+back_dead:
+    {
+        const BiIntv &p = L.prev[L.j];
+        if (L.curr.empty()) {
+            if (L.m1.empty() || L.i + 1 < L.m1.back().start) {
+                BiIntv t = p;
+                t.start = L.i + 1;
+                L.m1.push_back(t);
+            }
+        }
+    }
+    L.j++;
+    goto back_j;
+back_i_end:
+    if (L.curr.empty()) goto smem1_done;
+    std::swap(L.curr, L.prev);
+    L.i--;
+    goto back_i;
+smem1_done:
+    L.mems.insert(L.mems.end(), L.m1.begin(), L.m1.end());
+    if (L.cont == 0) { L.x = L.ret; goto r1_anchor; }
+    L.m2++;
+    goto r2_loop;
+
+r2_init:
+    // round 2: re-seed long unique-ish MEMs from their middle
+    L.n_old = L.mems.size();
+    L.m2 = 0;
+    L.cont = 1;
+r2_loop:
+    if (L.m2 >= L.n_old) goto r3_init;
+    {
+        BiIntv mm = L.mems[L.m2];     // by value: mems may grow
+        if (mm.end - mm.start >= P.split_len && mm.s <= P.split_width) {
+            L.m1.clear();
+            L.min_intv = mm.s + 1;
+            L.sx = (mm.start + mm.end) >> 1;
+            goto smem1_start;
+        }
+    }
+    L.m2++;
+    goto r2_loop;
+
+r3_init:
+    // round 3: LAST-like forward-greedy seeds (k-mer jump table)
+    if (P.max_mem_intv <= 0) goto fin;
+    L.x = 0;
+r3_anchor:
+    if (L.x >= L.len) goto fin;
+    if (L.q[L.x] > 3) { L.x++; goto r3_anchor; }
+    {
+        const int K = P.ktab ? P.K : 0;
+        if (K && L.x + K <= L.len) {
+            int64_t code = 0;
+            int nx = -1;
+            for (int jj = 0; jj < K; jj++) {
+                int c = L.q[L.x + jj];
+                if (c > 3) { nx = L.x + jj + 1; break; }
+                code = code * 4 + c;
+            }
+            if (nx >= 0) { L.x = nx; goto r3_anchor; }
+            L.ik = BiIntv{P.ktab[code * 3], P.ktab[code * 3 + 1],
+                          P.ktab[code * 3 + 2], L.x, L.x + K};
+            L.i = L.x + K;
+        } else {
+            L.ik = init_intv(fm, L.q[L.x], L.x);
+            L.i = L.x + 1;
+        }
+    }
+r3_chain:
+    if (L.i >= L.len) { L.x = L.len; goto r3_anchor; }
+    if (L.q[L.i] > 3) { L.x = L.i + 1; goto r3_anchor; }
+    L.pc = L.q[L.i];
+    pf_pair(fm, L.ik.l, L.ik.s);
+    L.resume = 3;
+    return true;
+r_r3:
+    extend_fwd_1(fm, L.ik, L.pc, &L.oc);
+    if (L.oc.s < P.max_mem_intv && L.i - L.x >= P.min_seed_len) {
+        if (L.oc.s > 0) {
+            BiIntv mm = L.oc;
+            mm.start = L.x;
+            mm.end = L.i + 1;
+            L.mems.push_back(mm);
+        }
+        L.x = L.i + 1;
+        goto r3_anchor;
+    }
+    L.ik = L.oc;
+    L.i++;
+    goto r3_chain;
+
+fin:
+    // filter by seed length, dedup by (start, end, k), cap — the scalar
+    // epilogue verbatim
+    {
+        int ns = 0;
+        const int64_t b = L.b;
+        const int32_t ms = P.max_seeds;
+        for (size_t m = 0; m < L.mems.size() && ns < ms; m++) {
+            const BiIntv &mm = L.mems[m];
+            if (mm.end - mm.start < P.min_seed_len || mm.s <= 0) continue;
+            bool dup = false;
+            for (int t = 0; t < ns; t++) {
+                if (P.s_qb[b * ms + t] == mm.start
+                    && P.s_len[b * ms + t] == mm.end - mm.start
+                    && P.s_lo[b * ms + t] == (int32_t)mm.k) {
+                    dup = true;
+                    break;
+                }
+            }
+            if (dup) continue;
+            P.s_lo[b * ms + ns] = (int32_t)mm.k;
+            P.s_hi[b * ms + ns] = (int32_t)(mm.k + mm.s);
+            P.s_qb[b * ms + ns] = mm.start;
+            P.s_len[b * ms + ns] = mm.end - mm.start;
+            ns++;
+        }
+        P.n_seeds[b] = ns;
+    }
+    L.resume = 0;
+    return false;
+}
+
 }  // namespace smem
 
 // Bi-intervals of every K-mer, built once per index by breadth-first
@@ -1313,7 +1557,43 @@ extern "C" void smem_seed_batch(
     int32_t *n_seeds) {
     smem::FM fm{occ_blocks, counts, primary, fm_n};
 
+    // interleaved default is SIZE-GATED: occ tables that fit L2
+    // (~2 MB at bacterial scale) leave the chains compute-bound and the
+    // machine overhead costs ~3%; from ~tens of MB the lookups spill to
+    // L3/DRAM and interleaving wins (measured 1.14x at a 32 Mbp genome,
+    // growing with index size).  fm_n > 16M rows ~= 6 MB of occ.
+    // EMA_TPU_SMEM_ILV=1/0 forces either path (equivalence oracle).
+    const char *ilv_env = getenv("EMA_TPU_SMEM_ILV");
+    const bool use_ilv = ilv_env ? (ilv_env[0] != '0')
+                                 : (fm_n > (int64_t)16000000);
+
+    auto work_ilv = [&](int64_t b0, int64_t b1) {
+        constexpr int W = 8;
+        smem::IlvParams P{min_seed_len, split_len, split_width,
+                          max_mem_intv, max_seeds, ktab, ktab_k,
+                          s_lo, s_hi, s_qb, s_len, n_seeds};
+        std::vector<smem::IlvLane> lanes(W);
+        int64_t nb = b0;
+        while (true) {
+            bool any = false;
+            for (int w = 0; w < W; w++) {
+                smem::IlvLane &L = lanes[w];
+                if (L.b < 0) {
+                    if (nb >= b1) continue;
+                    L.q = reads + nb * Lmax;
+                    L.len = lens[nb];
+                    L.b = nb++;
+                    L.resume = 0;
+                }
+                any = true;
+                if (!smem::ilv_step(fm, L, P)) L.b = -1;
+            }
+            if (!any) break;
+        }
+    };
+
     auto work = [&](int64_t b0, int64_t b1) {
+        if (use_ilv) return work_ilv(b0, b1);
         std::vector<smem::BiIntv> mems, m1, prev, curr;
         for (int64_t b = b0; b < b1; b++) {
             const uint8_t *q = reads + b * Lmax;

@@ -197,3 +197,49 @@ def test_smem_kmer_table_output_identical():
         idx.occ_blocks, idx.counts, idx.primary, idx.fm_n, codes, lens,
         min_seed_len=3, split_len=28, split_width=10, max_mem_intv=20,
         max_seeds=64, n_threads=1, kmer_tab=tab)
+
+
+def test_interleaved_driver_identical_to_scalar(monkeypatch):
+    """The interleaved W-lane SMEM driver (latency-hiding state machines,
+    the default at genome-scale occ sizes) must be bit-identical to the
+    scalar per-read loop on every plane, including reads with Ns,
+    zero/short lengths, re-seeding (round 2), LAST rounds with and
+    without the k-mer jump table, and the max_seeds cap."""
+    rng = np.random.default_rng(123)
+    genome = rand_genome(rng, 200_000)
+    idx = build_index({"c": genome})
+    text = to_str(genome)
+    reads = []
+    for _ in range(400):
+        L = int(rng.integers(0, 140))
+        if L and rng.random() < 0.7:           # planted read with errors
+            p = int(rng.integers(0, max(len(text) - L, 1)))
+            r = list(text[p:p + L])
+            for _ in range(int(rng.integers(0, 4))):
+                r[int(rng.integers(0, max(len(r), 1)))] = "N" \
+                    if rng.random() < 0.3 else BASES[int(rng.integers(4))]
+            reads.append("".join(r))
+        else:                                   # random (incl. empty)
+            reads.append("".join(
+                rng.choice(list(BASES + "N"), size=L)))
+    Lm = max((len(r) for r in reads), default=1) or 1
+    codes = np.full((len(reads), Lm), 4, np.uint8)
+    lens = np.zeros(len(reads), np.int32)
+    for i, r in enumerate(reads):
+        codes[i, :len(r)] = _encode(r)
+        lens[i] = len(r)
+    ktab = native.smem_kmer_table(idx.occ_blocks, idx.counts, idx.primary,
+                                  idx.fm_n, k=8)
+    for kw in (dict(max_mem_intv=0, kmer_tab=None),
+               dict(max_mem_intv=20, kmer_tab=None),
+               dict(max_mem_intv=20, kmer_tab=ktab),
+               dict(max_mem_intv=20, kmer_tab=ktab, max_seeds=4)):
+        outs = {}
+        for mode in ("0", "1"):
+            monkeypatch.setenv("EMA_TPU_SMEM_ILV", mode)
+            outs[mode] = native.smem_seed_batch(
+                idx.occ_blocks, idx.counts, idx.primary, idx.fm_n,
+                codes, lens, min_seed_len=12, split_len=18,
+                split_width=10, n_threads=1, **kw)
+        for a, b in zip(outs["0"], outs["1"]):
+            np.testing.assert_array_equal(a, b)
