@@ -32,7 +32,14 @@ while [ "$(date +%s)" -lt "$deadline" ]; do
     exit 0
   fi
   if probe; then
-    echo "=== TUNNEL ALIVE $(date -u +%FT%TZ) — running queue ===" >>"$LOG"
+    # builder coordination: heavy local runs (pytest, profiling, index
+    # builds) on this 1-core host pollute queue timings — wait for the
+    # busy flag to clear (max 10 min) before burning the window
+    waited=0
+    while [ -e /tmp/ema_builder_busy ] && [ "$waited" -lt 600 ]; do
+      sleep 15; waited=$((waited + 15))
+    done
+    echo "=== TUNNEL ALIVE $(date -u +%FT%TZ) — running queue (waited ${waited}s) ===" >>"$LOG"
     bash tools/tpu_queue.sh >>"$LOG" 2>&1
     echo "=== queue done rc=$? $(date -u +%FT%TZ) ===" >>"$LOG"
     # keep watching: a wedge mid-queue leaves steps uncaptured; the
