@@ -30,7 +30,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ema_tpu.ops import sw as sw_scan
 
 NEG = -(1 << 28)
-TILE_B = 256
+# batch tile: 512 measured +5% over 256 on hardware at pipeline shapes
+# (BENCH_SW_r05 banded-pallas-t512 8.15 vs 7.75 Gcell/s full-window;
+# t1024 gains 8% but costs a 28 s compile — too slow for CLI starts)
+TILE_B = 512
 
 
 def _round_up(x: int, m: int) -> int:
