@@ -142,11 +142,14 @@ class ReadBatch:
     @classmethod
     def from_pairs(cls, ids, bcs, seq1, qual1, seq2, qual2) -> "ReadBatch":
         P = len(ids)
-        seqs: List[str] = []
-        quals: List[str] = []
-        for i in range(P):
-            seqs.extend((seq1[i], seq2[i]))
-            quals.extend((qual1[i], qual2[i]))
+        # mate-interleave via slice assignment (C speed; the per-pair
+        # Python loop cost ~0.1 s/pass at bench shapes)
+        seqs: List[str] = [None] * (2 * P)
+        quals: List[str] = [None] * (2 * P)
+        seqs[0::2] = seq1
+        seqs[1::2] = seq2
+        quals[0::2] = qual1
+        quals[1::2] = qual2
         # vectorized code-matrix fill: one blob decode + scatter (the
         # per-read loop dominated host time at bench shapes)
         lens = np.fromiter((len(s) for s in seqs), np.int32, 2 * P)
