@@ -165,7 +165,7 @@ def main() -> int:
                 "host: the distributed time validates the multi-host "
                 "path (byte-level equivalence), not scaling; on a real "
                 "pod these flags produce the >=80% scaling measurement",
-        "round": 3,
+        "round": int(os.environ.get("EMA_TPU_ROUND", "4")),
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), f"BENCH_CONFIG5_r{os.environ.get('EMA_TPU_ROUND', '04')}.json")
