@@ -1567,8 +1567,14 @@ extern "C" void smem_seed_batch(
     const bool use_ilv = ilv_env ? (ilv_env[0] != '0')
                                  : (fm_n > (int64_t)16000000);
 
+    // lane count: swept on the 1-core builder host at a 32 Mbp index
+    // (occ 24 MB): 8->1.19x, 16->1.31x, 24->1.33x over scalar, W>=48
+    // degrades as lane state spills L2 — 24 is the plateau
+    const char *wenv = getenv("EMA_TPU_SMEM_ILV_W");
+    const int ilv_w = wenv ? std::max(1, atoi(wenv)) : 24;
+
     auto work_ilv = [&](int64_t b0, int64_t b1) {
-        constexpr int W = 8;
+        const int W = ilv_w;
         smem::IlvParams P{min_seed_len, split_len, split_width,
                           max_mem_intv, max_seeds, ktab, ktab_k,
                           s_lo, s_hi, s_qb, s_len, n_seeds};
