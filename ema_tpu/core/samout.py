@@ -375,7 +375,8 @@ def emit_groups_lines(groups, pool, max_cigar_ops, seqs, quals,
 
     def offs(lst):
         o = np.zeros(len(lst) + 1, np.int64)
-        np.cumsum([len(x) for x in lst], out=o[1:])
+        np.cumsum(np.fromiter(map(len, lst), np.int64, len(lst)),
+                  out=o[1:])
         return o
 
     if bx_rows is None:
@@ -383,7 +384,8 @@ def emit_groups_lines(groups, pool, max_cigar_ops, seqs, quals,
     else:
         bx_blob = b"".join(bx_rows)
         bx_off = np.zeros(len(bx_rows) + 1, np.int64)
-        np.cumsum([len(b) for b in bx_rows], out=bx_off[1:])
+        np.cumsum(np.fromiter(map(len, bx_rows), np.int64, len(bx_rows)),
+                  out=bx_off[1:])
         bx_arg = (bx_blob, bx_off)
     rg_bytes = (rg_id or "").encode()
 
