@@ -74,11 +74,15 @@ def main() -> None:
     env = dict(os.environ, EMA_TPU_BENCH_INNER="1",
                EMA_TPU_BENCH_REQUIRE_TPU="1",
                EMA_TPU_PROBE_TIMEOUT="120")
+    # a WORKING window completes the TPU inner in <=3 min with a warm
+    # compile cache (window-4 capture); a wedged tunnel hangs until the
+    # timeout, so a tight box wastes less of a flapping window
+    tpu_timeout = int(os.environ.get("EMA_TPU_BENCH_TPU_TIMEOUT", "540"))
     tpu_res = None
     tpu_attempts = 0
     for attempt in range(3):
         tpu_attempts += 1
-        tpu_res = run_inner(env, 540)
+        tpu_res = run_inner(env, tpu_timeout)
         if tpu_res is not None:
             break
         log(f"bench TPU attempt {attempt} failed/hung")

@@ -32,7 +32,7 @@ step() {  # step <artifact> <timeout_s> <cmd...>
 if [ -s BENCH_QUEUE_r05.json ] && grep -q '"tpu_failed": true' BENCH_QUEUE_r05.json; then
   mv BENCH_QUEUE_r05.json BENCH_QUEUE_r05_cpuonly.json
 fi
-step BENCH_QUEUE_r05.json 1800 python bench.py
+EMA_TPU_BENCH_TPU_TIMEOUT=330 step BENCH_QUEUE_r05.json 1800 python bench.py
 
 # 2. stage split under the resolved defaults
 EMA_TPU_BENCH_INNER=1 EMA_TPU_BENCH_REQUIRE_TPU=1 EMA_TPU_STAGE_TIMERS=1 \
